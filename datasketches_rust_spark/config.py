@@ -1,0 +1,83 @@
+"""Session + pipeline configuration.
+
+Mirrors the reference's fixed-at-construction config discipline
+(theta/sketch.rs:919-1027 builder, hll/sketch.rs:90-103): every sketch and
+every pipeline stage takes an explicit, hashable config so that merge-time
+compatibility can be enforced (the reference rejects mismatched seed hashes,
+theta/intersection.rs:81-87; we embed a config fingerprint in checkpoint
+metadata for the same reason).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, asdict
+
+DEFAULT_SEED = 9001  # reference contract: hash/mod.rs:61 (DEFAULT_UPDATE_SEED)
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Shingle/signature config shared by the Spark pipeline and the numpy
+    oracle. Recall is only meaningful when both sides run the identical
+    config (BASELINE.json north_rule: "at the same shingle/signature
+    config")."""
+
+    seed: int = DEFAULT_SEED
+    shingle_k: int = 5          # character-shingle width (bytes of UTF-8)
+    num_perm: int = 128         # MinHash permutations (north_star: 128)
+    lsh_bands: int = 32         # b
+    lsh_rows: int = 4           # r ; b*r must equal num_perm
+    jaccard_threshold: float = 0.8
+    simhash_bits: int = 64
+    simhash_hamming: int = 3    # max Hamming distance for visual near-dup
+    phash_ngram: int = 2        # byte n-gram width over phash bytes
+    max_bucket_size: int = 512  # LSH bucket cap (skew guard; counted + logged)
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_perm:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
+                f"must equal num_perm ({self.num_perm})"
+            )
+
+    def fingerprint(self) -> str:
+        """16-bit-style config fingerprint, analog of compute_seed_hash
+        (hash/mod.rs:72-81): embedded in checkpoint metadata; merges across
+        mismatched configs are rejected."""
+        import hashlib
+        payload = repr(sorted(asdict(self).items())).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+def spark_session(app: str = "datasketches-rust-spark", cpus: int | None = None,
+                  shuffle_partitions: int | None = None):
+    """Local SparkSession tuned the way the real cluster would be:
+    AQE on (coalescing + skew-join split), Arrow on, sensible batch sizes.
+
+    On a real 1000-executor cluster the same confs apply; only master()
+    changes (spark-submit supplies it).
+    """
+    from pyspark.sql import SparkSession
+
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(32, cpus)
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # large binary image columns through Arrow: bound batch size so a
+        # batch of (bytes, caption) rows stays well under worker memory
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
