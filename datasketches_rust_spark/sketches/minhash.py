@@ -1,0 +1,106 @@
+"""Batched 128-permutation MinHash — the KMV/theta idea specialized to
+Jaccard similarity (theta is "a generalization of the KMV sketch",
+theta/mod.rs:20-23; MinHash is its per-permutation little sibling).
+
+One murmur3-x64-128(seed 9001) base hash per shingle (coupon-precompute
+trick: hash once, fan out to all permutations — hll/mod.rs:167-173), then
+num_perm affine permutations a*h+b mod 2^64 (numpy uint64 wraparound),
+column-wise min per document. Merge = elementwise min (commutative +
+associative => legal Spark partial aggregation, same property the reference
+exploits for HLL register-max union, hll/union.rs:449-464).
+
+Everything is segment-vectorized: one call signs an entire Arrow batch of
+documents via np.minimum.reduceat — zero per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from datasketches_rust_spark.hashing import DEFAULT_SEED, murmur3_x64_128
+from datasketches_rust_spark.sketches.util import U64_MAX
+
+_PERM_CHUNK = 16  # bound peak memory: n_shingles x chunk x 8B per slab
+
+
+def perm_params(num_perm: int, seed: int = DEFAULT_SEED
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic affine permutation params (a odd, b) derived from the
+    sketch seed via murmur — same-seed sketches are mergeable, different
+    seeds are not (hash/mod.rs:44-61 contract)."""
+    h1, h2 = murmur3_x64_128(b"minhash-perms", seed)
+    rng = np.random.default_rng(np.uint64(h1 ^ h2))
+    a = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) * np.uint64(2) \
+        + np.uint64(1)  # odd => bijective mod 2^64
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def signatures(shingle_hashes: np.ndarray, doc_offsets: np.ndarray,
+               num_perm: int = 128, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """MinHash signatures for a batch of documents.
+
+    shingle_hashes: (total,) uint64 — concatenated base hashes, doc-major.
+    doc_offsets: (n_docs + 1,) int64 — doc d owns [offsets[d], offsets[d+1]).
+    Returns (n_docs, num_perm) uint64. Documents with zero shingles get the
+    empty signature (all U64_MAX) — merging it is a no-op, like an empty
+    sketch.
+    """
+    h = np.ascontiguousarray(shingle_hashes, dtype=np.uint64)
+    offsets = np.asarray(doc_offsets, dtype=np.int64)
+    n_docs = len(offsets) - 1
+    out = np.full((n_docs, num_perm), U64_MAX, dtype=np.uint64)
+    if h.size == 0 or n_docs == 0:
+        return out
+
+    counts = np.diff(offsets)
+    nonempty = counts > 0
+    starts = offsets[:-1][nonempty]
+
+    a, b = perm_params(num_perm, seed)
+    for c0 in range(0, num_perm, _PERM_CHUNK):
+        c1 = min(c0 + _PERM_CHUNK, num_perm)
+        # (total, chunk) slab; uint64 wraparound = mod 2^64
+        slab = h[:, None] * a[c0:c1][None, :] + b[c0:c1][None, :]
+        mins = np.minimum.reduceat(slab, starts, axis=0)
+        out[nonempty, c0:c1] = mins
+    return out
+
+
+def signature_one(shingle_hashes: np.ndarray, num_perm: int = 128,
+                  seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Single-document convenience (oracle path)."""
+    offs = np.array([0, len(shingle_hashes)], dtype=np.int64)
+    return signatures(shingle_hashes, offs, num_perm, seed)[0]
+
+
+def merge(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Union of the underlying shingle sets = elementwise min."""
+    return np.minimum(sig_a, sig_b)
+
+
+def jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """Fraction of agreeing permutations — unbiased Jaccard estimator."""
+    return float(np.mean(sig_a == sig_b))
+
+
+def jaccard_estimate_matrix(sigs_a: np.ndarray, sigs_b: np.ndarray) -> np.ndarray:
+    """(N, P) x (N, P) -> (N,) pairwise estimates, vectorized."""
+    return (sigs_a == sigs_b).mean(axis=1)
+
+
+def band_hashes(sigs: np.ndarray, bands: int, rows: int,
+                seed: int = DEFAULT_SEED) -> np.ndarray:
+    """LSH band keys: (n_docs, bands) int64. Band j's key summarizes
+    signature columns [j*rows, (j+1)*rows) — equal keys <=> (w.h.p.) equal
+    band slices. Uses an order-dependent affine fold so that permuted
+    slices don't collide."""
+    n, p = sigs.shape
+    if bands * rows != p:
+        raise ValueError(f"bands*rows {bands}*{rows} != num_perm {p}")
+    a, b = perm_params(rows, np.uint64(seed) ^ np.uint64(0xB4D5EED))
+    view = sigs.reshape(n, bands, rows)
+    folded = (view * a[None, None, :] + b[None, None, :]).sum(axis=2,
+                                                              dtype=np.uint64)
+    # make it a positive int63 so Spark LongType holds it comfortably
+    return (folded >> np.uint64(1)).astype(np.int64)
