@@ -1,0 +1,333 @@
+"""The UDAF layer: sketch kernels as distributed Spark aggregates.
+
+The reference's lifecycle — build(config) -> update(v)* -> serialize ->
+merge* -> estimate (SURVEY.md §1) — is isomorphic to Spark's partial/final
+aggregation, and merge legality rests on the same property the reference
+exploits: register-max / bitwise-OR / counter-add / k-smallest-union are
+commutative + associative (hll/union.rs:449, bloom/sketch.rs:174,
+countmin/sketch.rs:246).
+
+Execution shape (scale rationale):
+  1. PARTIAL — ``mapInPandas`` over the scan: each Arrow batch is reduced
+     to one serialized sketch per group key **before any shuffle** (map-side
+     combine). What travels through the exchange is O(#groups x #partitions)
+     sketch blobs, never raw rows — the same serialize/move/deserialize seam
+     the reference acknowledges as its only process boundary
+     (SURVEY.md §3.2 step 1).
+  2. (optional) SALTED INTERMEDIATE — for low-cardinality keys at very high
+     partition counts, a two-level groupBy((key, salt)) -> groupBy(key)
+     treeReduce keeps any single reducer from absorbing all partials.
+  3. FINAL — ``applyInPandas`` per key: deserialize + fold merge + emit
+     either the serialized union (for further merging / checkpointing) or
+     the finished estimate.
+
+All sketch configs are fixed at plan time and closed over by the UDFs, so
+every executor builds byte-compatible states (seed-hash checked at merge,
+as theta/intersection.rs:81-87 demands).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (BinaryType, DoubleType, LongType, StructField,
+                               StructType)
+
+from datasketches_rust_spark.hashing import (DEFAULT_SEED, encode_values,
+                                             hash_bytes_list,
+                                             murmur128_bytes_list)
+from datasketches_rust_spark.sketches.bloom import BloomFilter
+from datasketches_rust_spark.sketches.countmin import CountMinSketch
+from datasketches_rust_spark.sketches.frequencies import FrequentItemsSketch
+from datasketches_rust_spark.sketches.hll import HllSketch, coupons_from_keys
+from datasketches_rust_spark.sketches.minhash import merge as mh_merge
+from datasketches_rust_spark.sketches.tdigest import TDigest
+from datasketches_rust_spark.sketches.theta import ThetaSketch
+from datasketches_rust_spark.sketches.util import clz64
+
+SKETCH_COL = "sketch"
+
+
+# ---------------------------------------------------------------------------
+# per-kind (build, update_series, merge, deserialize) drivers
+# ---------------------------------------------------------------------------
+
+class _Kind:
+    def __init__(self, build: Callable, update: Callable,
+                 deserialize: Callable):
+        self.build = build
+        self.update = update
+        self.deserialize = deserialize
+
+
+def _theta_update(sk: ThetaSketch, values: pd.Series) -> None:
+    vals = values.dropna()
+    if len(vals):
+        sk.update_hashes(hash_bytes_list(encode_values(vals), sk.seed))
+
+
+def _hll_update(sk: HllSketch, values: pd.Series) -> None:
+    vals = values.dropna()
+    if not len(vals):
+        return
+    h1, h2 = murmur128_bytes_list(encode_values(vals), sk.seed)
+    slots = (h1 & np.uint64(sk.k - 1)).astype(np.int64)
+    v = np.minimum(clz64(h2), 62).astype(np.uint8) + np.uint8(1)
+    sk.update_coupons(slots, v)
+
+
+def _bloom_update(sk: BloomFilter, values: pd.Series) -> None:
+    vals = values.dropna()
+    if not len(vals):
+        return
+    from datasketches_rust_spark.hashing import _grouped_by_length
+    for grp, mat in _grouped_by_length(encode_values(vals)):
+        sk.insert_keys(mat)
+
+
+def _countmin_update(sk: CountMinSketch, values: pd.Series) -> None:
+    vals = values.dropna()
+    if len(vals):
+        sk.update_hashes(hash_bytes_list(encode_values(vals), sk.seed))
+
+
+def _freq_update(sk: FrequentItemsSketch, values: pd.Series) -> None:
+    counts = values.dropna().value_counts()  # batch pre-reduction
+    if len(counts):
+        sk.update_counts(list(counts.index), counts.to_numpy())
+
+
+def _tdigest_update(sk: TDigest, values: pd.Series) -> None:
+    sk.update_values(values.dropna().to_numpy(dtype=np.float64))
+
+
+def sketch_kind(kind: str, **kw) -> _Kind:
+    seed = kw.pop("seed", DEFAULT_SEED)
+    if kind == "theta":
+        lg_k = kw.pop("lg_k", 12)
+        return _Kind(lambda: ThetaSketch(lg_k=lg_k, seed=seed),
+                     _theta_update,
+                     lambda b: ThetaSketch.deserialize(b, seed))
+    if kind == "hll":
+        lg_k = kw.pop("lg_k", 12)
+        return _Kind(lambda: HllSketch(lg_k=lg_k, seed=seed),
+                     _hll_update,
+                     lambda b: HllSketch.deserialize(b, seed))
+    if kind == "bloom":
+        num_bits = kw.pop("num_bits")
+        num_hashes = kw.pop("num_hashes")
+        return _Kind(lambda: BloomFilter(num_bits, num_hashes, seed),
+                     _bloom_update,
+                     lambda b: BloomFilter.deserialize(b, seed))
+    if kind == "countmin":
+        nh, nb = kw.pop("num_hashes"), kw.pop("num_buckets")
+        return _Kind(lambda: CountMinSketch(nh, nb, seed),
+                     _countmin_update,
+                     lambda b: CountMinSketch.deserialize(b, seed))
+    if kind == "freqitems":
+        m = kw.pop("max_map_size", 256)
+        return _Kind(lambda: FrequentItemsSketch(m),
+                     _freq_update,
+                     FrequentItemsSketch.deserialize)
+    if kind == "tdigest":
+        k = kw.pop("k", 200)
+        return _Kind(lambda: TDigest(k=k),
+                     _tdigest_update,
+                     TDigest.deserialize)
+    raise ValueError(f"unknown sketch kind {kind!r}")
+
+
+def _merge_two(kind_name: str, a, b):
+    if kind_name in ("theta", "hll", "bloom"):
+        return a.union(b)
+    return a.merge(b)
+
+
+# ---------------------------------------------------------------------------
+# distributed aggregation
+# ---------------------------------------------------------------------------
+
+def sketch_agg(df: DataFrame, key_cols: list[str], value_col: str,
+               kind: str, salt_buckets: int = 0, **sketch_kw) -> DataFrame:
+    """GroupBy-aggregate ``value_col`` into one sketch per key.
+
+    Returns DataFrame[key_cols..., sketch: binary]. ``key_cols`` may be
+    empty for a global aggregate. ``salt_buckets`` > 0 inserts the
+    treeReduce intermediate level.
+    """
+    knd = sketch_kind(kind, **dict(sketch_kw))
+    kind_name = kind
+
+    keyed = df.select(*key_cols, F.col(value_col).alias("__v"))
+    key_fields = [keyed.schema[c] for c in key_cols]
+    partial_schema = StructType(
+        list(key_fields) + [StructField(SKETCH_COL, BinaryType(), False)])
+
+    const_key = not key_cols
+
+    def partial_iter(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if const_key:
+                sk = knd.build()
+                knd.update(sk, pdf["__v"])
+                yield pd.DataFrame({SKETCH_COL: [sk.serialize()]})
+                continue
+            rows = []
+            for key, sub in pdf.groupby(key_cols, dropna=False, sort=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                sk = knd.build()
+                knd.update(sk, sub["__v"])
+                rows.append((*key, sk.serialize()))
+            yield pd.DataFrame(rows, columns=[*key_cols, SKETCH_COL])
+
+    partials = keyed.mapInPandas(partial_iter, schema=partial_schema)
+    return merge_sketch_col(partials, key_cols, kind,
+                            salt_buckets=salt_buckets, **sketch_kw)
+
+
+def merge_sketch_col(df: DataFrame, key_cols: list[str], kind: str,
+                     sketch_col: str = SKETCH_COL, salt_buckets: int = 0,
+                     **sketch_kw) -> DataFrame:
+    """Merge a binary sketch column down to one sketch per key."""
+    knd = sketch_kind(kind, **dict(sketch_kw))
+    kind_name = kind
+
+    out_fields = ([df.schema[c] for c in key_cols]
+                  + [StructField(sketch_col, BinaryType(), False)])
+    out_schema = StructType(out_fields)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for blob in pdf[sketch_col]:
+            sk = knd.deserialize(bytes(blob))
+            acc = sk if acc is None else _merge_two(kind_name, acc, sk)
+        head = pdf.iloc[[0]][key_cols].reset_index(drop=True)
+        head[sketch_col] = [acc.serialize()]
+        return head
+
+    if not key_cols:
+        # global: constant key; optionally tree-reduce through a salt level
+        work = df.withColumn("__k", F.lit(0))
+        if salt_buckets > 1:
+            salted = work.withColumn(
+                "__salt", F.spark_partition_id() % salt_buckets)
+            lvl1_schema = StructType(
+                [StructField("__k", LongType(), False),
+                 StructField("__salt", LongType(), False),
+                 StructField(sketch_col, BinaryType(), False)])
+
+            def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+                acc = None
+                for blob in pdf[sketch_col]:
+                    sk = knd.deserialize(bytes(blob))
+                    acc = sk if acc is None else _merge_two(kind_name, acc, sk)
+                return pd.DataFrame({"__k": [0], "__salt": [pdf["__salt"].iloc[0]],
+                                     sketch_col: [acc.serialize()]})
+
+            work = salted.groupBy("__k", "__salt").applyInPandas(
+                merge_salted, lvl1_schema).drop("__salt")
+        final_schema = StructType(
+            [StructField("__k", LongType(), False),
+             StructField(sketch_col, BinaryType(), False)])
+
+        def merge_global(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = None
+            for blob in pdf[sketch_col]:
+                sk = knd.deserialize(bytes(blob))
+                acc = sk if acc is None else _merge_two(kind_name, acc, sk)
+            return pd.DataFrame({"__k": [0], sketch_col: [acc.serialize()]})
+
+        return work.groupBy("__k").applyInPandas(
+            merge_global, final_schema).drop("__k")
+
+    return df.groupBy(*key_cols).applyInPandas(merge_group, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# finishers (sketch bytes -> scalars), as vectorized pandas UDFs
+# ---------------------------------------------------------------------------
+
+def estimate_udf(kind: str, as_long: bool = False, **sketch_kw):
+    """pandas UDF: sketch bytes -> cardinality estimate.
+
+    ``as_long=True`` rounds to bigint — used for exact-mode parity queries
+    (theta is exact until >k retained, tests/theta_sketch_test.rs:24-36,
+    so at k > NDV the rounded estimate equals COUNT(DISTINCT))."""
+    from pyspark.sql.functions import pandas_udf
+    knd = sketch_kind(kind, **dict(sketch_kw))
+
+    ret = LongType() if as_long else DoubleType()
+
+    @pandas_udf(ret)
+    def _udf(blobs: pd.Series) -> pd.Series:
+        ests = [knd.deserialize(bytes(b)).estimate() for b in blobs]
+        if as_long:
+            return pd.Series([int(round(e)) for e in ests], dtype="int64")
+        return pd.Series(ests, dtype="float64")
+
+    return _udf
+
+
+def tdigest_quantile_udf(quantile: float, k: int = 200):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(DoubleType())
+    def _udf(blobs: pd.Series) -> pd.Series:
+        return pd.Series([TDigest.deserialize(bytes(b)).quantile(quantile)
+                          for b in blobs])
+
+    return _udf
+
+
+def tdigest_stats_udf():
+    """pandas UDF: tdigest bytes -> struct(min, max, total_weight) — these
+    three are exact (tdigest tracks true min/max/weight), hence
+    oracle-checkable against SQL MIN/MAX/COUNT."""
+    from pyspark.sql.functions import pandas_udf
+    schema = StructType([StructField("min_val", DoubleType()),
+                         StructField("max_val", DoubleType()),
+                         StructField("total_w", LongType())])
+
+    @pandas_udf(schema)
+    def _udf(blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in blobs:
+            td = TDigest.deserialize(bytes(b))
+            rows.append((td.min_val, td.max_val, int(td.total_weight())))
+        return pd.DataFrame(rows, columns=["min_val", "max_val", "total_w"])
+
+    return _udf
+
+
+def freq_topk_explode(df: DataFrame, key_cols: list[str], k: int,
+                      sketch_col: str = SKETCH_COL,
+                      max_map_size: int = 256) -> DataFrame:
+    """Explode a frequent-items sketch column into top-k rows per key:
+    DataFrame[key..., item string, est long, lb long, ub long]."""
+    from pyspark.sql.types import StringType
+    fields = [df.schema[c] for c in key_cols] if key_cols else []
+    schema = StructType(fields + [
+        StructField("item", StringType()), StructField("est", LongType()),
+        StructField("lb", LongType()), StructField("ub", LongType())])
+
+    def explode_group(pdf: pd.DataFrame):
+        out = []
+        for _, row in pdf.iterrows():
+            fs = FrequentItemsSketch.deserialize(bytes(row[sketch_col]))
+            for item, est, lb, ub in fs.frequent_items()[:k]:
+                out.append((*[row[c] for c in key_cols], str(item),
+                            int(est), int(lb), int(ub)))
+        return pd.DataFrame(out, columns=[*key_cols, "item", "est", "lb", "ub"])
+
+    if key_cols:
+        return df.groupBy(*key_cols).applyInPandas(explode_group, schema)
+    # global: the merged sketch column has exactly one row; mapInPandas
+    # explodes it without another shuffle
+    return df.mapInPandas(lambda it: (explode_group(pdf) for pdf in it
+                                      if not pdf.empty), schema)

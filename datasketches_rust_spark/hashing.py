@@ -151,20 +151,71 @@ def hash_bytes_list(keys: list[bytes], seed: int = DEFAULT_SEED) -> np.ndarray:
     """hash64 of variable-length byte keys: group by length, hash each
     group as one matrix (raw_bytes convention, hash_value/mod.rs:59-73 —
     no length prefix). O(#distinct lengths) kernel launches."""
+    out = np.empty(len(keys), dtype=np.uint64)
+    for grp, mat in _grouped_by_length(keys):
+        out[grp] = hash64_matrix(mat, seed)
+    return out
+
+
+def _grouped_by_length(keys: list[bytes]):
+    """Yield (group_indices, (G, L) uint8 matrix) per distinct key length."""
     n = len(keys)
-    out = np.empty(n, dtype=np.uint64)
     lengths = np.fromiter((len(k) for k in keys), dtype=np.int64, count=n)
     order = np.argsort(lengths, kind="stable")
-    sorted_lengths = lengths[order]
-    bounds = np.flatnonzero(np.diff(sorted_lengths)) + 1
+    bounds = np.flatnonzero(np.diff(lengths[order])) + 1
     for grp in np.split(order, bounds):
         length = int(lengths[grp[0]])
         if length == 0:
-            mat = np.zeros((len(grp), 0), dtype=np.uint8)
+            yield grp, np.zeros((len(grp), 0), dtype=np.uint8)
         else:
             buf = b"".join(keys[int(i)] for i in grp)
-            mat = np.frombuffer(buf, dtype=np.uint8).reshape(len(grp), length)
-        out[grp] = hash64_matrix(mat, seed)
+            yield grp, np.frombuffer(buf, dtype=np.uint8).reshape(-1, length)
+
+
+def murmur128_bytes_list(keys: list[bytes], seed: int = DEFAULT_SEED
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) for variable-length byte keys (grouped-by-length batches)."""
+    h1 = np.empty(len(keys), dtype=np.uint64)
+    h2 = np.empty(len(keys), dtype=np.uint64)
+    for grp, mat in _grouped_by_length(keys):
+        g1, g2 = murmur3_x64_128_matrix(mat, seed)
+        h1[grp], h2[grp] = g1, g2
+    return h1, h2
+
+
+def xxhash64_bytes_list(keys: list[bytes], seed: int = 0) -> np.ndarray:
+    """xxhash64 for variable-length byte keys."""
+    out = np.empty(len(keys), dtype=np.uint64)
+    for grp, mat in _grouped_by_length(keys):
+        out[grp] = xxhash64_matrix(mat, seed)
+    return out
+
+
+def encode_values(values) -> list[bytes]:
+    """Canonical byte encodings for hashable column values, following the
+    reference's hash_value conventions (hash_value/mod.rs:24-73):
+    ints sign-extended to 8-byte LE (sign_extend.rs), floats canonical f64
+    bit pattern with -0.0 -> +0.0 (canonical_float.rs), strings/bytes raw
+    (raw_bytes.rs). None -> b'' (callers should pre-filter nulls)."""
+    out = []
+    for v in values:
+        if v is None:
+            out.append(b"")
+        elif isinstance(v, bytes):
+            out.append(v)
+        elif isinstance(v, str):
+            out.append(v.encode("utf-8"))
+        elif isinstance(v, (bool, np.bool_)):
+            out.append(np.int64(int(v)).tobytes())
+        elif isinstance(v, (int, np.integer)):
+            out.append(np.int64(v).astype("<i8").tobytes())
+        elif isinstance(v, (float, np.floating)):
+            f = float(v)
+            if f == 0.0:
+                f = 0.0  # canonicalize -0.0
+            out.append(np.float64(f).astype("<f8").tobytes())
+        else:
+            out.append(str(v).encode("utf-8"))
     return out
 
 

@@ -1,0 +1,109 @@
+"""Distributed sketch aggregates vs exact Spark answers on the driver
+testdata — the partial/merge/estimate lifecycle end-to-end on real data."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from datasketches_rust_spark import agg
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_smoke_dir):
+    return spark.read.parquet(f"{sf_smoke_dir}/lineitem.parquet")
+
+
+def test_theta_exact_mode_global(spark, lineitem):
+    exact = lineitem.select(F.countDistinct("l_partkey")).first()[0]
+    sk = agg.sketch_agg(lineitem, [], "l_partkey", "theta", lg_k=16)
+    est = sk.select(agg.estimate_udf("theta", as_long=True, lg_k=16)(
+        "sketch").alias("e")).first()["e"]
+    assert est == exact
+
+
+def test_theta_grouped_and_salted(spark, lineitem):
+    exact = {r["l_returnflag"]: r["d"] for r in lineitem.groupBy(
+        "l_returnflag").agg(F.countDistinct("l_partkey").alias("d")).collect()}
+    sk = agg.sketch_agg(lineitem, ["l_returnflag"], "l_partkey", "theta",
+                        lg_k=16)
+    got = {r["l_returnflag"]: r["e"] for r in sk.select(
+        "l_returnflag", agg.estimate_udf("theta", as_long=True, lg_k=16)(
+            "sketch").alias("e")).collect()}
+    assert got == exact
+    # salted global tree-reduce gives the same answer
+    sk2 = agg.sketch_agg(lineitem, [], "l_partkey", "theta", lg_k=16,
+                         salt_buckets=4)
+    est2 = sk2.select(agg.estimate_udf("theta", as_long=True, lg_k=16)(
+        "sketch").alias("e")).first()["e"]
+    assert est2 == lineitem.select(F.countDistinct("l_partkey")).first()[0]
+
+
+def test_hll_estimation_accuracy(spark, lineitem):
+    exact = lineitem.select(F.countDistinct("l_orderkey")).first()[0]
+    sk = agg.sketch_agg(lineitem, [], "l_orderkey", "hll", lg_k=12)
+    est = sk.select(agg.estimate_udf("hll", lg_k=12)("sketch").alias(
+        "e")).first()["e"]
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_freqitems_exact_topk(spark, sf_smoke_dir):
+    events = spark.read.parquet(f"{sf_smoke_dir}/events.parquet")
+    exact = events.groupBy("event_type").count().orderBy(
+        F.desc("count"), "event_type").collect()
+    sk = agg.sketch_agg(events, [], "event_type", "freqitems",
+                        max_map_size=256)
+    got = agg.freq_topk_explode(sk, [], k=10, max_map_size=256).collect()
+    # distinct event types << 0.75*256 => sketch is exact
+    assert {(r["item"], r["est"]) for r in got} == \
+        {(r["event_type"], r["count"]) for r in exact[:10]}
+
+
+def test_tdigest_stats_exact(spark, lineitem):
+    row = lineitem.select(F.min("l_extendedprice"), F.max("l_extendedprice"),
+                          F.count("l_extendedprice")).first()
+    sk = agg.sketch_agg(lineitem, [], "l_extendedprice", "tdigest")
+    got = sk.select(agg.tdigest_stats_udf()("sketch").alias("s")).select(
+        "s.*").first()
+    assert got["min_val"] == row[0]
+    assert got["max_val"] == row[1]
+    assert got["total_w"] == row[2]
+
+
+def test_tdigest_quantile_tolerance(spark, lineitem):
+    sk = agg.sketch_agg(lineitem, [], "l_extendedprice", "tdigest")
+    q50 = sk.select(agg.tdigest_quantile_udf(0.5)("sketch").alias(
+        "q")).first()["q"]
+    exact = lineitem.selectExpr(
+        "percentile(l_extendedprice, 0.5) as q").first()["q"]
+    rng = lineitem.select(F.max("l_extendedprice")
+                          - F.min("l_extendedprice")).first()[0]
+    assert abs(q50 - exact) / rng < 0.02
+
+
+def test_countmin_upper_bounds(spark, sf_smoke_dir):
+    events = spark.read.parquet(f"{sf_smoke_dir}/events.parquet")
+    sk = agg.sketch_agg(events, [], "event_type", "countmin",
+                        num_hashes=3, num_buckets=2048)
+    blob = bytes(sk.first()["sketch"])
+    from datasketches_rust_spark.hashing import encode_values, hash_bytes_list
+    from datasketches_rust_spark.sketches.countmin import CountMinSketch
+    cm = CountMinSketch.deserialize(blob)
+    exact = {r["event_type"]: r["count"]
+             for r in events.groupBy("event_type").count().collect()}
+    keys = list(exact)
+    est = cm.estimate_hashes(hash_bytes_list(encode_values(keys)))
+    for k, e in zip(keys, est):
+        assert e >= exact[k]
+        assert e <= exact[k] + cm.relative_error() * cm.total_weight
+
+
+def test_bloom_membership(spark, lineitem):
+    sk = agg.sketch_agg(lineitem.limit(2000), [], "l_partkey", "bloom",
+                        num_bits=1 << 16, num_hashes=7)
+    blob = bytes(sk.first()["sketch"])
+    from datasketches_rust_spark.hashing import _grouped_by_length, encode_values
+    from datasketches_rust_spark.sketches.bloom import BloomFilter
+    bf = BloomFilter.deserialize(blob)
+    present = [r["l_partkey"] for r in lineitem.limit(2000).select(
+        "l_partkey").distinct().collect()]
+    for grp, mat in _grouped_by_length(encode_values(present)):
+        assert bf.contains_keys(mat).all()  # no false negatives
