@@ -1,0 +1,86 @@
+"""The end-to-end near-duplicate detection + clustering pipeline
+(BASELINE.json north_rule), text modality. The image modality adds phash /
+SimHash edges on top (sources/images.py + operators/visual.py).
+
+Stages (SURVEY.md §7 step 4 spine):
+  1. signatures : one Arrow-batched pandas UDF pass computes shingle
+                  hashes -> 128-perm MinHash -> 32x4 LSH band keys per doc
+                  (coupon-precompute discipline: hash each shingle once,
+                  reuse across all permutations — hll/mod.rs:167-173).
+  2. candidates : LSH band self-join (operators/lsh.py) with hot-bucket cap.
+  3. verify     : exact shingle-set Jaccard on candidate pairs (the
+                  "confirm" pass; analog of theta intersection semantics,
+                  theta/intersection.rs:142-155) — keep pairs >= threshold.
+  4. cluster    : connected components -> cluster_id = min member id.
+
+Every stage returns a DataFrame so callers can checkpoint/inspect between
+stages; run_dedup() wires them together.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from datasketches_rust_spark.config import DedupConfig
+from datasketches_rust_spark.functions.text import (exact_jaccard_udf,
+                                                    minhash_struct_udf)
+from datasketches_rust_spark.operators.connected_components import \
+    connected_components
+from datasketches_rust_spark.operators.lsh import candidate_pairs
+
+
+def minhash_signatures(df: DataFrame, cfg: DedupConfig, id_col: str,
+                       text_col: str) -> DataFrame:
+    """DataFrame[id, sig, bands, n_shingles]. Column-pruned: only id + text
+    are read from the scan."""
+    mh = minhash_struct_udf(cfg)
+    return (df.select(F.col(id_col), F.col(text_col))
+            .withColumn("__mh", mh(F.lower(F.col(text_col))))
+            .select(id_col, F.col("__mh.sig").alias("sig"),
+                    F.col("__mh.bands").alias("bands"),
+                    F.col("__mh.n_shingles").alias("n_shingles")))
+
+
+def dedup_pairs(df: DataFrame, cfg: DedupConfig, id_col: str,
+                text_col: str) -> DataFrame:
+    """DataFrame[id_a, id_b, jaccard] — verified near-dup pairs
+    (exact shingle Jaccard >= cfg.jaccard_threshold), id_a < id_b."""
+    sigs = minhash_signatures(df, cfg, id_col, text_col)
+    cands = candidate_pairs(sigs, cfg, id_col)
+
+    texts = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t"))
+    jac = exact_jaccard_udf(cfg)
+    verified = (cands
+                .join(texts.withColumnRenamed(id_col, "id_a")
+                      .withColumnRenamed("__t", "__ta"), "id_a")
+                .join(texts.withColumnRenamed(id_col, "id_b")
+                      .withColumnRenamed("__t", "__tb"), "id_b")
+                .withColumn("jaccard", jac("__ta", "__tb"))
+                .where(F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
+                .select("id_a", "id_b", "jaccard"))
+    return verified
+
+
+def cluster_assignments(df: DataFrame, cfg: DedupConfig, id_col: str,
+                        text_col: str,
+                        extra_edges: DataFrame | None = None) -> DataFrame:
+    """DataFrame[id, cluster_id] for every input row (singletons included).
+    cluster_id = min member id of the connected component. ``extra_edges``
+    (e.g. visual SimHash edges) are unioned in before clustering."""
+    edges = dedup_pairs(df, cfg, id_col, text_col).select("id_a", "id_b")
+    if extra_edges is not None:
+        edges = edges.unionByName(
+            extra_edges.select("id_a", "id_b")).distinct()
+    vertices = df.select(F.col(id_col))
+    cc = connected_components(edges, vertices, id_col=id_col)
+    return cc
+
+
+def dedup_keep_canonical(df: DataFrame, cfg: DedupConfig, id_col: str,
+                         text_col: str) -> DataFrame:
+    """The actual dedup: keep one canonical row (min id) per cluster."""
+    clusters = cluster_assignments(df, cfg, id_col, text_col)
+    keep = (clusters.groupBy("cluster_id")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count("*").alias("cluster_size")))
+    return df.join(keep, id_col, "inner")
