@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: full near-dup detection + clustering on the
+                sf0.001 documents table (MinHash -> LSH -> exact-Jaccard
+                verify -> connected components).
+queries()     — one entry per implemented operator (SURVEY.md §2 +
+                training-pipeline ops), from datasketches_rust_spark.queries.
+oracle_sql()  — DuckDB-equivalent SQL for every SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -16,23 +17,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from datasketches_rust_spark.config import DedupConfig
+    from datasketches_rust_spark.pipeline import cluster_assignments
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return cluster_assignments(docs, DedupConfig(), "doc_id", "text")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from datasketches_rust_spark.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from datasketches_rust_spark.queries import ORACLE_SQL
+    return dict(ORACLE_SQL)

@@ -274,6 +274,82 @@ def estimate_udf(kind: str, as_long: bool = False, **sketch_kw):
     return _udf
 
 
+def theta_set_op_udf(op: str, seed: int = DEFAULT_SEED, as_long: bool = False):
+    """pandas UDF: (sketch_a, sketch_b) -> estimate of union/intersection/
+    a_not_b (theta/intersection.rs:64-196 semantics; a_not_b per the
+    sibling DataSketches AnotB operator)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ret = LongType() if as_long else DoubleType()
+
+    @pandas_udf(ret)
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(a, b):
+            sa = ThetaSketch.deserialize(bytes(ba), seed)
+            sb = ThetaSketch.deserialize(bytes(bb), seed)
+            res = getattr(sa, "union" if op == "union" else
+                          "intersect" if op == "intersect" else "a_not_b")(sb)
+            e = res.estimate()
+            out.append(int(round(e)) if as_long else e)
+        return pd.Series(out, dtype="int64" if as_long else "float64")
+
+    return _udf
+
+
+def countmin_estimate_udf(seed: int = DEFAULT_SEED):
+    """pandas UDF: (item, sketch) -> frequency estimate (long)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def _udf(items: pd.Series, blobs: pd.Series) -> pd.Series:
+        out = np.empty(len(items), dtype=np.int64)
+        cache: dict[bytes, CountMinSketch] = {}
+        for i, (item, blob) in enumerate(zip(items, blobs)):
+            blob = bytes(blob)
+            cm = cache.get(blob)
+            if cm is None:
+                cm = cache[blob] = CountMinSketch.deserialize(blob, seed)
+            h = hash_bytes_list(encode_values([item]), seed)
+            out[i] = int(cm.estimate_hashes(h)[0])
+        return pd.Series(out)
+
+    return _udf
+
+
+def bloom_contains_udf(seed: int = DEFAULT_SEED):
+    """pandas UDF: (item, sketch) -> bool membership probe (no false
+    negatives, bloom/sketch.rs:71-78). Typical use: broadcast one bloom
+    blob as a literal column and pre-filter a huge fact table before an
+    exact semi-join kills the false positives."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+    from datasketches_rust_spark.hashing import _grouped_by_length
+
+    @pandas_udf(BooleanType())
+    def _udf(items: pd.Series, blobs: pd.Series) -> pd.Series:
+        out = np.zeros(len(items), dtype=bool)
+        cache: dict[bytes, BloomFilter] = {}
+        encoded = encode_values(items)
+        blob0 = bytes(blobs.iloc[0]) if len(blobs) else b""
+        uniform = all(bytes(b) == blob0 for b in blobs)
+        if uniform and len(items):
+            bf = BloomFilter.deserialize(blob0, seed)
+            for grp, mat in _grouped_by_length(encoded):
+                out[grp] = bf.contains_keys(mat)
+        else:
+            for i, (enc, blob) in enumerate(zip(encoded, blobs)):
+                blob = bytes(blob)
+                bf = cache.get(blob)
+                if bf is None:
+                    bf = cache[blob] = BloomFilter.deserialize(blob, seed)
+                mat = np.frombuffer(enc, np.uint8).reshape(1, -1)
+                out[i] = bool(bf.contains_keys(mat)[0])
+        return pd.Series(out)
+
+    return _udf
+
+
 def tdigest_quantile_udf(quantile: float, k: int = 200):
     from pyspark.sql.functions import pandas_udf
 

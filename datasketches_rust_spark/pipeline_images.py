@@ -1,0 +1,84 @@
+"""Image+caption near-duplicate pipeline (the north_star pipeline).
+
+Edge sources, merged before clustering:
+  caption edges — MinHash/LSH/exact-Jaccard on the caption column
+                  (pipeline.dedup_pairs), jaccard >= cfg threshold.
+  visual edges  — phash Hamming <= cfg.simhash_hamming via pigeonhole
+                  banding (operators/visual.simhash_pairs): recall 1.0,
+                  then exact popcount verify. phash is DCT-based
+                  (sources/phash.py) so JPEG re-encode / bounded noise
+                  (PSNR >= 40 dB) keeps Hamming distance ~0-3.
+
+Scale notes: the caption path shuffles (band_idx, band_key, id) triples;
+the visual path shuffles (band_idx, 16-bit band, id) — both tiny rows.
+The heavy `bytes` column is never shuffled: phash is computed at scan time
+(mapInPandas over the binary column) and only the 8-byte fingerprint
+travels. Cluster ids come from connected components over the merged edges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+from datasketches_rust_spark.config import DedupConfig
+from datasketches_rust_spark.operators.connected_components import \
+    connected_components
+from datasketches_rust_spark.operators.visual import simhash_pairs
+from datasketches_rust_spark.pipeline import dedup_pairs
+
+
+def phash_from_bytes_udf():
+    """pandas UDF: (bytes, fmt) -> phash long, decoding in the scan stage.
+    Only needed when the source lacks a phash column; the fixture stores a
+    consistent one (FIXTURES F1)."""
+    from pyspark.sql.functions import pandas_udf
+    from datasketches_rust_spark.sources.codec import decode_image
+    from datasketches_rust_spark.sources.phash import phash64
+
+    @pandas_udf(LongType())
+    def _udf(bufs: pd.Series, fmts: pd.Series) -> pd.Series:
+        return pd.Series([phash64(decode_image(bytes(b), f))
+                          for b, f in zip(bufs, fmts)], dtype="int64")
+
+    return _udf
+
+
+def visual_edges(images: DataFrame, cfg: DedupConfig,
+                 id_col: str = "image_id",
+                 phash_col: str = "phash") -> DataFrame:
+    """DataFrame[id_a, id_b] — phash Hamming <= cfg.simhash_hamming."""
+    fps = images.select(F.col(id_col), F.col(phash_col))
+    return (simhash_pairs(fps, id_col, phash_col,
+                          max_hamming=cfg.simhash_hamming)
+            .select("id_a", "id_b"))
+
+
+def caption_edges(images: DataFrame, cfg: DedupConfig,
+                  id_col: str = "image_id",
+                  caption_col: str = "caption") -> DataFrame:
+    return (dedup_pairs(images, cfg, id_col, caption_col)
+            .select("id_a", "id_b"))
+
+
+def image_cluster_assignments(images: DataFrame, cfg: DedupConfig,
+                              id_col: str = "image_id") -> DataFrame:
+    """DataFrame[image_id, cluster_id(string)] — connected components over
+    caption ∪ visual edges; cluster_id = min member image_id."""
+    edges = (caption_edges(images, cfg, id_col)
+             .unionByName(visual_edges(images, cfg, id_col))
+             .distinct())
+    vertices = images.select(F.col(id_col))
+    return connected_components(edges, vertices, id_col=id_col) \
+        .withColumnRenamed("cluster_id", "cluster_id")
+
+
+def image_dedup_keep_canonical(images: DataFrame, cfg: DedupConfig,
+                               id_col: str = "image_id") -> DataFrame:
+    clusters = image_cluster_assignments(images, cfg, id_col)
+    keep = (clusters.groupBy("cluster_id")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count("*").alias("cluster_size")))
+    return images.join(keep, id_col, "inner")

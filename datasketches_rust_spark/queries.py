@@ -1,0 +1,515 @@
+"""Registered queries for the driver contract (__spark_entry__.py).
+
+Each entry: name -> (spark, sf_dir) -> DataFrame, with a matching ANSI-SQL
+oracle in ORACLE_SQL where the semantics are SQL-expressible (the driver
+runs both through DuckDB/Spark and hash-compares). Non-SQL-expressible ops
+(HLL estimates, SimHash, LSH-ANN, winnowing) are registered without an
+oracle -> the driver records a rows-only check and pytest covers accuracy.
+
+Column names are aliased identically on both sides (driver compares after
+sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from datasketches_rust_spark import agg
+from datasketches_rust_spark.config import DedupConfig
+from datasketches_rust_spark.functions.text import (lang_id_udf, quality_cols,
+                                                    simhash_udf,
+                                                    token_count_col,
+                                                    winnow_fingerprints_udf)
+from datasketches_rust_spark.operators.similarity import (
+    ann_lsh_topk, cosine_pairs_bruteforce, cosine_topk_bruteforce)
+from datasketches_rust_spark.pipeline import (cluster_assignments,
+                                              dedup_pairs)
+
+CFG = DedupConfig()
+STOPWORDS_SQL = "['the','a','an','of','to','and','in','is','on','for']"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational baseline (pure JVM, whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              ).alias("sum_disc_price"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.avg("l_discount").alias("avg_disc"),
+        F.count("*").alias("count_order")))
+
+
+def q_top_suppliers_by_revenue(spark, sf_dir):
+    """Join + agg + top-k with broadcast dim (supplier is tiny)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = (li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              ).alias("revenue"),
+        F.count("*").alias("n_items")))
+    w = Window.orderBy(F.desc("revenue"), F.col("l_suppkey"))
+    return (rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+            .select(F.col("s_suppkey").alias("suppkey"),
+                    F.col("s_name").alias("name"),
+                    F.col("revenue"), F.col("n_items"))
+            .withColumn("rnk", F.row_number().over(
+                Window.orderBy(F.desc("revenue"), F.col("suppkey"))))
+            .where(F.col("rnk") <= 10))
+
+
+# ---------------------------------------------------------------------------
+# theta family (exact-mode configs -> SQL-checkable)
+# ---------------------------------------------------------------------------
+
+def q_theta_distinct_parts_by_flag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sk = agg.sketch_agg(li, ["l_returnflag"], "l_partkey", "theta", lg_k=16)
+    est = agg.estimate_udf("theta", as_long=True, lg_k=16)
+    return sk.select("l_returnflag", est("sketch").alias("distinct_parts"))
+
+
+def q_theta_union_custkeys(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    a = agg.sketch_agg(orders, [], "o_custkey", "theta", lg_k=16)
+    b = agg.sketch_agg(cust, [], "c_custkey", "theta", lg_k=16)
+    both = a.unionByName(b)
+    merged = agg.merge_sketch_col(both, [], "theta", lg_k=16)
+    est = agg.estimate_udf("theta", as_long=True, lg_k=16)
+    return merged.select(est("sketch").alias("distinct_custkeys"))
+
+
+def q_theta_intersect_custkeys(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    a = agg.sketch_agg(orders.where(F.col("o_orderstatus") == "O"),
+                       [], "o_custkey", "theta", lg_k=16)
+    b = agg.sketch_agg(orders.where(F.col("o_orderstatus") == "F"),
+                       [], "o_custkey", "theta", lg_k=16)
+    op = agg.theta_set_op_udf("intersect", as_long=True)
+    return (a.select(F.col("sketch").alias("sa"))
+            .crossJoin(b.select(F.col("sketch").alias("sb")))
+            .select(op("sa", "sb").alias("custkeys_in_both")))
+
+
+def q_theta_anotb_custkeys(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    a = agg.sketch_agg(orders.where(F.col("o_orderstatus") == "O"),
+                       [], "o_custkey", "theta", lg_k=16)
+    b = agg.sketch_agg(orders.where(F.col("o_orderstatus") == "F"),
+                       [], "o_custkey", "theta", lg_k=16)
+    op = agg.theta_set_op_udf("a_not_b", as_long=True)
+    return (a.select(F.col("sketch").alias("sa"))
+            .crossJoin(b.select(F.col("sketch").alias("sb")))
+            .select(op("sa", "sb").alias("custkeys_only_o")))
+
+
+# ---------------------------------------------------------------------------
+# hll / countmin / freq / tdigest / bloom
+# ---------------------------------------------------------------------------
+
+def q_hll_distinct_orders(spark, sf_dir):
+    """HLL estimate — approximate, no SQL oracle (pytest tolerance)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sk = agg.sketch_agg(li, [], "l_orderkey", "hll", lg_k=14)
+    est = agg.estimate_udf("hll", lg_k=14)
+    return sk.select(F.round(est("sketch"), 0).alias("approx_orders"))
+
+
+def q_freq_top_event_types(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sk = agg.sketch_agg(ev, [], "event_type", "freqitems", max_map_size=256)
+    top = agg.freq_topk_explode(sk, [], k=5, max_map_size=256)
+    return top.select("item", "est")
+
+
+def q_countmin_event_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sk = agg.sketch_agg(ev, [], "event_type", "countmin",
+                        num_hashes=5, num_buckets=8192)
+    types = ev.select(F.col("event_type").alias("item")).distinct()
+    cm_est = agg.countmin_estimate_udf()
+    return (types.crossJoin(F.broadcast(sk))
+            .select("item", cm_est("item", "sketch").alias("est")))
+
+
+def q_tdigest_price_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sk = agg.sketch_agg(li, [], "l_extendedprice", "tdigest")
+    stats = agg.tdigest_stats_udf()
+    return (sk.select(stats("sketch").alias("s"))
+            .select(F.col("s.min_val").alias("min_price"),
+                    F.col("s.max_val").alias("max_price"),
+                    F.col("s.total_w").alias("n_prices")))
+
+
+def q_tdigest_price_quantiles(spark, sf_dir):
+    """Approximate quantiles — no SQL oracle (pytest tolerance)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sk = agg.sketch_agg(li, [], "l_extendedprice", "tdigest")
+    return sk.select(
+        agg.tdigest_quantile_udf(0.25)("sketch").alias("q25"),
+        agg.tdigest_quantile_udf(0.50)("sketch").alias("q50"),
+        agg.tdigest_quantile_udf(0.95)("sketch").alias("q95"))
+
+
+def q_bloom_semijoin_parts(spark, sf_dir):
+    """Bloom pre-filter + exact semi-join (FP kill) — the reference's
+    'contains' use-case (bloom/sketch.rs:71-78) as a join strategy."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    dim = part.where(F.col("p_size") > 25)
+    sk = agg.sketch_agg(dim, [], "p_partkey", "bloom",
+                        num_bits=1 << 17, num_hashes=7)
+    probe = agg.bloom_contains_udf()
+    filtered = (li.where(F.col("l_returnflag") == "R")
+                .crossJoin(F.broadcast(sk))
+                .where(probe(F.col("l_partkey"), F.col("sketch"))))
+    exact = filtered.join(F.broadcast(dim),
+                          filtered.l_partkey == dim.p_partkey, "left_semi")
+    return exact.select(
+        F.countDistinct("l_partkey").alias("n_parts"))
+
+
+# ---------------------------------------------------------------------------
+# dedup / text analysis (documents)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("text")
+            .agg(F.min("doc_id").alias("canonical_id"),
+                 F.count("*").alias("n_copies"))
+            .select("canonical_id", "n_copies"))
+
+
+def q_minhash_dup_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (dedup_pairs(docs, CFG, "doc_id", "text")
+            .select("id_a", "id_b"))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return cluster_assignments(docs, CFG, "doc_id", "text") \
+        .select("doc_id", "cluster_id")
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Token 3-gram Jaccard >= 0.5 — pure JVM (no Python UDF) dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3))))
+    ex = docs.select("doc_id", F.explode(grams).alias("g"))
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (a.join(b, "g")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"))
+             .agg(F.count("*").alias("c")))
+    sa = sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb")
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .where(F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+                   >= 0.5)
+            .select("id_a", "id_b"))
+
+
+def q_simhash_near_docs(spark, sf_dir):
+    """SimHash hamming<=3 candidate pairs — no SQL oracle (pytest)."""
+    from datasketches_rust_spark.operators.visual import simhash_pairs
+    docs = _t(spark, sf_dir, "documents")
+    sim = simhash_udf(CFG)
+    fps = docs.select("doc_id", sim(F.lower(F.col("text"))).alias("fp"))
+    return simhash_pairs(fps, "doc_id", "fp", max_hamming=CFG.simhash_hamming)
+
+
+def q_lang_id_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    lid = lang_id_udf()
+    return (docs.select(lid(F.col("text")).alias("lang_pred"))
+            .groupBy("lang_pred").agg(F.count("*").alias("n")))
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    cols = quality_cols(F.col("text"))
+    return docs.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       token_count_col(F.col("text")).alias("n_tokens"))
+
+
+def q_doc_fingerprint_md5(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint stats — no SQL oracle (pytest)."""
+    docs = _t(spark, sf_dir, "documents")
+    wf = winnow_fingerprints_udf(CFG)
+    return (docs.select("doc_id", wf(F.lower(F.col("text"))).alias("fps"))
+            .select("doc_id", F.size("fps").alias("n_fps"),
+                    F.array_min("fps").alias("min_fp"),
+                    F.array_max("fps").alias("max_fp")))
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_topk_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    c = emb.where(F.col("vec_id") >= 10)
+    return cosine_topk_bruteforce(q, c, k=3)
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs_bruteforce(emb, threshold=0.45)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN — approximate, no SQL oracle (pytest recall)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return ann_lsh_topk(emb, k=3, nbits=16, num_bands=4)
+
+
+# ---------------------------------------------------------------------------
+# registry + oracle SQL
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
+    "theta_distinct_parts_by_flag": q_theta_distinct_parts_by_flag,
+    "theta_union_custkeys": q_theta_union_custkeys,
+    "theta_intersect_custkeys": q_theta_intersect_custkeys,
+    "theta_anotb_custkeys": q_theta_anotb_custkeys,
+    "hll_distinct_orders": q_hll_distinct_orders,
+    "freq_top_event_types": q_freq_top_event_types,
+    "countmin_event_counts": q_countmin_event_counts,
+    "tdigest_price_stats": q_tdigest_price_stats,
+    "tdigest_price_quantiles": q_tdigest_price_quantiles,
+    "bloom_semijoin_parts": q_bloom_semijoin_parts,
+    "exact_dedup_documents": q_exact_dedup_documents,
+    "minhash_dup_pairs": q_minhash_dup_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_near_docs": q_simhash_near_docs,
+    "lang_id_counts": q_lang_id_counts,
+    "text_quality": q_text_quality,
+    "token_counts": q_token_counts,
+    "doc_fingerprint_md5": q_doc_fingerprint_md5,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+}
+
+_SHINGLE_PAIRS_CTE = """
+WITH RECURSIVE docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+sh_pos AS (
+  SELECT doc_id, t,
+         unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+  FROM docs
+),
+sh AS (
+  SELECT DISTINCT doc_id, substring(t, i, 5) AS g FROM sh_pos
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b USING (g)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+)
+"""
+
+ORACLE_SQL = {
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               avg(l_quantity) AS avg_qty,
+               avg(l_discount) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "top_suppliers_by_revenue": """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                 count(*) AS n_items
+          FROM lineitem GROUP BY l_suppkey)
+        SELECT s_suppkey AS suppkey, s_name AS name, revenue, n_items,
+               row_number() OVER (ORDER BY revenue DESC, s_suppkey) AS rnk
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        QUALIFY rnk <= 10""",
+    "theta_distinct_parts_by_flag": """
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts
+        FROM lineitem GROUP BY l_returnflag""",
+    "theta_union_custkeys": """
+        SELECT count(*) AS distinct_custkeys FROM (
+          SELECT o_custkey AS k FROM orders
+          UNION SELECT c_custkey FROM customer)""",
+    "theta_intersect_custkeys": """
+        SELECT count(*) AS custkeys_in_both FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          INTERSECT
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
+    "theta_anotb_custkeys": """
+        SELECT count(*) AS custkeys_only_o FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          EXCEPT
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
+    "freq_top_event_types": """
+        SELECT event_type AS item, count(*) AS est
+        FROM events GROUP BY event_type
+        ORDER BY est DESC, item LIMIT 5""",
+    "countmin_event_counts": """
+        SELECT event_type AS item, count(*) AS est
+        FROM events GROUP BY event_type""",
+    "tdigest_price_stats": """
+        SELECT min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price,
+               count(l_extendedprice) AS n_prices
+        FROM lineitem""",
+    "bloom_semijoin_parts": """
+        SELECT count(DISTINCT l_partkey) AS n_parts
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 25)""",
+    "exact_dedup_documents": """
+        SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+        FROM documents GROUP BY text""",
+    "minhash_dup_pairs": _SHINGLE_PAIRS_CTE + """
+        SELECT id_a, id_b FROM jpairs""",
+    "dedup_clusters": _SHINGLE_PAIRS_CTE + """,
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM jpairs
+          UNION ALL SELECT id_b, id_a FROM jpairs),
+        reach AS (
+          SELECT doc_id AS src, doc_id AS dst FROM documents
+          UNION
+          SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s)
+        SELECT src AS doc_id, min(dst) AS cluster_id
+        FROM reach GROUP BY src""",
+    "ngram_jaccard_pairs": """
+        WITH docs AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents),
+        gram_pos AS (
+          SELECT doc_id, toks,
+                 unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+          FROM docs),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(toks[i:i+2], ' ') AS g
+          FROM gram_pos),
+        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM grams a JOIN grams b USING (g)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5""",
+    "lang_id_counts": """
+        WITH scored AS (
+          SELECT doc_id,
+            len(list_filter(string_split_regex(lower(text), '\\s+'),
+              w -> list_contains(['der','die','und','das','von','mit','ist','den'], w))) AS h_de,
+            len(list_filter(string_split_regex(lower(text), '\\s+'),
+              w -> list_contains(['the','and','of','to','is','in','that','with'], w))) AS h_en,
+            len(list_filter(string_split_regex(lower(text), '\\s+'),
+              w -> list_contains(['el','la','de','que','y','en','los','por'], w))) AS h_es,
+            len(list_filter(string_split_regex(lower(text), '\\s+'),
+              w -> list_contains(['le','la','de','et','les','des','que','pour'], w))) AS h_fr
+          FROM documents),
+        pred AS (
+          SELECT CASE
+            WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+            WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+            WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+            WHEN h_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+          FROM scored)
+        SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred""",
+    "text_quality": """
+        WITH base AS (
+          SELECT doc_id, trim(text) AS t,
+                 string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents)
+        SELECT doc_id,
+          length(t) AS n_chars,
+          CASE WHEN length(t) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+          length(regexp_replace(t, '\\s+', '', 'g')) * 1.0
+            / greatest(CASE WHEN length(t) = 0 THEN 0 ELSE len(toks) END, 1)
+            AS avg_token_len,
+          (length(t) - length(regexp_replace(t, '[.,!?;:]', '', 'g'))) * 1.0
+            / greatest(length(t), 1) AS punct_ratio,
+          len(list_filter(toks, w -> list_contains(""" + STOPWORDS_SQL + """,
+              lower(w)))) * 1.0
+            / greatest(CASE WHEN length(t) = 0 THEN 0 ELSE len(toks) END, 1)
+            AS stopword_ratio
+        FROM base""",
+    "token_counts": """
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+'))
+               END AS n_tokens
+        FROM documents""",
+    "doc_fingerprint_md5": """
+        SELECT doc_id, md5(text) AS fp FROM documents""",
+    "ann_topk_bruteforce": """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS e
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS e
+              FROM embeddings WHERE vec_id >= 10),
+        sims AS (
+          SELECT query_id, neighbor_id,
+                 list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))) AS sim
+          FROM q CROSS JOIN c)
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims QUALIFY rank <= 3""",
+    "embedding_dup_pairs": """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))) >= 0.45""",
+}
