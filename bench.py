@@ -1,0 +1,96 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Extra env knobs:
+  SPARK_GRAFT_IMAGES_N   synthetic image count for the image-dedup job
+                         (default 60000)
+  SPARK_GRAFT_CPUS       cores (default 32) — the scaling-efficiency
+                         evidence runs this same script at 8 vs 32.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _noop(df) -> int:
+    """Force full execution; return row count."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    images_n = int(os.environ.get("SPARK_GRAFT_IMAGES_N", "60000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
+        if "sf" in sf_dir else -1.0
+
+    from datasketches_rust_spark.config import DedupConfig, spark_session
+    from datasketches_rust_spark import queries as Q
+
+    spark = spark_session("dsrs-bench", cpus=cpus,
+                          shuffle_partitions=max(32, cpus))
+    # warm up JVM + python workers (excluded from timings)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    cfg = DedupConfig()
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.time()
+        counts[name] = fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # 1. text dedup pipeline end-to-end (documents)
+    from datasketches_rust_spark.pipeline import cluster_assignments
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    run("docs_dedup_clusters",
+        lambda: _noop(cluster_assignments(docs, cfg, "doc_id", "text")))
+
+    # 2. image dedup pipeline end-to-end (synthetic, distributed synthesis)
+    from datasketches_rust_spark.pipeline_images import \
+        image_cluster_assignments
+    from datasketches_rust_spark.sources.images import images_spark_df
+    t0 = time.time()
+    imgs, _truth = images_spark_df(spark, images_n, seed=42,
+                                   partitions=max(32, cpus))
+    imgs = imgs.localCheckpoint()  # synthesis timed separately
+    synth_sec = round(time.time() - t0, 3)
+    run("image_dedup_clusters",
+        lambda: _noop(image_cluster_assignments(imgs, cfg)))
+    images_per_sec = round(images_n / timings["image_dedup_clusters"], 1)
+
+    # 3. relational + sketch headline queries on the TPC-H-ish tables
+    for name in ["tpch_q1", "theta_distinct_parts_by_flag",
+                 "freq_top_event_types", "tdigest_price_quantiles",
+                 "ann_topk_bruteforce", "minhash_dup_pairs"]:
+        fn = Q.QUERIES[name]
+        run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "rows": counts,
+        "images_n": images_n,
+        "image_synthesis_sec": synth_sec,
+        "images_per_sec": images_per_sec,
+        "docs_n": n_docs,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

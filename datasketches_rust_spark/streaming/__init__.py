@@ -1,0 +1,22 @@
+"""Structured Streaming integration.
+
+The reference's mergeability (union/merge is commutative+associative,
+SURVEY.md §4) is exactly what makes sketches streaming-friendly: each
+micro-batch reduces to per-key partial sketch blobs appended to a state
+table; reads merge on demand. No giant keyed state in the streaming
+engine, replay-safe, and the same bytes the batch pipeline checkpoints.
+"""
+
+from datasketches_rust_spark.streaming.dedup import (
+    exact_dedup_stream,
+    incremental_dedup_foreach_batch,
+    read_merged_sketches,
+    sketch_stream,
+)
+
+__all__ = [
+    "exact_dedup_stream",
+    "incremental_dedup_foreach_batch",
+    "read_merged_sketches",
+    "sketch_stream",
+]

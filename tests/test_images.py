@@ -1,0 +1,126 @@
+"""Image+caption pipeline tests (FIXTURES.md F1 invariants + recall gate).
+
+- per-row invariant (BASELINE.json input_hint): decoded-pixel allclose
+  (PSNR >= 40 dB for lossy) + caption equality for every injected dup.
+- dup-pair recall >= 0.99 vs ground truth for the full image pipeline
+  (caption MinHash/LSH edges ∪ phash Hamming edges -> connected
+  components).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datasketches_rust_spark.config import DedupConfig
+from datasketches_rust_spark.oracle import cluster_pairs, dup_pair_recall
+from datasketches_rust_spark.sources.codec import (decode_image, decode_png,
+                                                   encode_png, psnr)
+from datasketches_rust_spark.sources.images import (generate_images,
+                                                    images_spark_df)
+from datasketches_rust_spark.sources.phash import phash64
+
+CFG = DedupConfig()
+
+
+class TestCodec:
+    def test_png_roundtrip_lossless(self):
+        rng = np.random.default_rng(0)
+        for shape in [(32, 32, 3), (64, 64, 3), (48, 80, 3)]:
+            px = rng.integers(0, 256, shape, dtype=np.uint8)
+            assert np.array_equal(decode_png(encode_png(px)), px)
+
+    def test_fake_jpeg_psnr_bound(self):
+        from datasketches_rust_spark.sources.codec import (decode_jpeg,
+                                                           encode_jpeg)
+        rng = np.random.default_rng(1)
+        px = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        for q in (90, 95, 98):
+            assert psnr(px, decode_jpeg(encode_jpeg(px, q))) >= 40.0, q
+
+    def test_real_jpeg_is_stubbed(self):
+        from datasketches_rust_spark.sources.codec import decode_jpeg
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(b"\xff\xd8\xff\xe0 real jpeg header")
+
+
+class TestFixture:
+    @pytest.fixture(scope="class")
+    def data(self):
+        return generate_images(1000, seed=42)
+
+    def test_deterministic(self, data):
+        imgs2, truth2 = generate_images(1000, seed=42)
+        assert data[0].equals(imgs2)
+        assert data[1].equals(truth2)
+
+    def test_schema(self, data):
+        imgs, truth = data
+        assert list(imgs.columns) == ["image_id", "bytes", "w", "h", "fmt",
+                                      "caption", "phash"]
+        assert len(imgs) == 1000 and len(truth) == 1000
+
+    def test_per_row_invariant(self, data):
+        """Every dup row decodes to pixels allclose to its cluster seed
+        (PSNR >= 40 dB for lossy members) — the input_hint invariant."""
+        imgs, truth = data
+        m = imgs.merge(truth, on="image_id")
+        by_id = {r.image_id: r for r in imgs.itertuples()}
+        checked = 0
+        for cid, grp in m.groupby("cluster_id"):
+            if len(grp) < 2:
+                continue
+            seed_row = by_id[f"img_{cid:010d}"]
+            seed_px = decode_image(seed_row.bytes, seed_row.fmt)
+            for r in grp.itertuples():
+                px = decode_image(r.bytes, r.fmt)
+                p = psnr(seed_px, px)
+                same_caption = r.caption == seed_row.caption
+                # exact/visual dups: caption equal and PSNR>=40;
+                # caption dups: pixels identical
+                assert p >= 40.0 or same_caption is False
+                if not same_caption:
+                    assert np.array_equal(px, seed_px)
+                else:
+                    assert p >= 40.0
+                checked += 1
+        assert checked > 100
+
+    def test_phash_consistent_with_pixels(self, data):
+        imgs, _ = data
+        for r in imgs.head(20).itertuples():
+            assert phash64(decode_image(r.bytes, r.fmt)) == r.phash
+
+    def test_dup_rate(self, data):
+        _, truth = data
+        sizes = truth.groupby("cluster_id").size()
+        member_rows = int(sizes[sizes > 1].sum())
+        assert 0.2 <= member_rows / len(truth) <= 0.4
+        assert sizes.max() <= 8
+
+
+@pytest.mark.slow
+class TestImagePipeline:
+    def test_recall_vs_truth(self, spark):
+        from datasketches_rust_spark.pipeline_images import \
+            image_cluster_assignments
+        df, truth_df = images_spark_df(spark, 1000, seed=42, partitions=8)
+        got = {r["image_id"]: r["cluster_id"] for r in
+               image_cluster_assignments(df, CFG).collect()}
+        truth = {r["image_id"]: r["cluster_id"] for r in truth_df.collect()}
+        recall = dup_pair_recall(got, truth)
+        assert recall >= 0.99, f"dup-pair recall {recall}"
+        # precision guard: predicted pairs shouldn't wildly over-merge
+        extra = cluster_pairs(got) - cluster_pairs(
+            {k: f"c{v}" for k, v in truth.items()})
+        assert len(extra) <= 0.05 * max(len(cluster_pairs(truth)), 1), \
+            f"{len(extra)} spurious pairs"
+
+    def test_phash_from_bytes_udf(self, spark):
+        from datasketches_rust_spark.pipeline_images import \
+            phash_from_bytes_udf
+        import pyspark.sql.functions as F
+        df, _ = images_spark_df(spark, 100, seed=7)
+        ph = phash_from_bytes_udf()
+        bad = df.withColumn("ph2", ph(F.col("bytes"), F.col("fmt"))) \
+                .where(F.col("ph2") != F.col("phash")).count()
+        assert bad == 0
