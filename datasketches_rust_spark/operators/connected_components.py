@@ -21,20 +21,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def connected_components(edges: DataFrame, vertices: DataFrame,
+def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
                          id_col: str = "id", src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 50) -> DataFrame:
     """DataFrame[id, cluster_id] — cluster_id = min vertex id reachable.
 
-    edges: DataFrame[src, dst]; vertices: DataFrame[id_col] (must cover all
-    edge endpoints; isolated vertices become singleton clusters).
+    edges: DataFrame[src, dst]. If ``vertices`` is None, only edge-touched
+    nodes are labeled — the scale-critical case: singletons (the vast
+    majority at 10^12 rows) never enter the iteration; use
+    ``assign_clusters`` to fold them back in with a single join.
     """
     sym = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
            .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))))
     sym = sym.localCheckpoint()
 
-    labels = vertices.select(F.col(id_col).alias("v"),
-                             F.col(id_col).alias("label"))
+    if vertices is None:
+        labels = sym.select(F.col("s").alias("v")).distinct() \
+            .withColumn("label", F.col("v"))
+    else:
+        labels = vertices.select(F.col(id_col).alias("v"),
+                                 F.col(id_col).alias("label"))
     labels = labels.localCheckpoint()
 
     for _ in range(max_iter):
@@ -54,3 +60,19 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
 
     return labels.select(F.col("v").alias(id_col),
                          F.col("label").alias("cluster_id"))
+
+
+def assign_clusters(vertices: DataFrame, edges: DataFrame,
+                    id_col: str = "id", src: str = "id_a",
+                    dst: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """Cluster ids for EVERY vertex: label propagation runs only on the
+    edge-touched subgraph (dup candidates), then one left join assigns
+    singletons their own id. This keeps the iterative shuffles proportional
+    to the number of duplicate candidates, not the table size."""
+    cc = connected_components(edges, None, id_col=id_col, src=src, dst=dst,
+                              max_iter=max_iter)
+    return (vertices.select(F.col(id_col))
+            .join(cc, id_col, "left")
+            .withColumn("cluster_id",
+                        F.coalesce(F.col("cluster_id"), F.col(id_col)))
+            .select(id_col, "cluster_id"))

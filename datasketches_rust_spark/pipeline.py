@@ -25,7 +25,7 @@ from datasketches_rust_spark.config import DedupConfig
 from datasketches_rust_spark.functions.text import (exact_jaccard_udf,
                                                     minhash_struct_udf)
 from datasketches_rust_spark.operators.connected_components import \
-    connected_components
+    assign_clusters
 from datasketches_rust_spark.operators.lsh import candidate_pairs
 
 
@@ -72,8 +72,7 @@ def cluster_assignments(df: DataFrame, cfg: DedupConfig, id_col: str,
         edges = edges.unionByName(
             extra_edges.select("id_a", "id_b")).distinct()
     vertices = df.select(F.col(id_col))
-    cc = connected_components(edges, vertices, id_col=id_col)
-    return cc
+    return assign_clusters(vertices, edges, id_col=id_col)
 
 
 def dedup_keep_canonical(df: DataFrame, cfg: DedupConfig, id_col: str,

@@ -25,7 +25,7 @@ from pyspark.sql.types import LongType
 
 from datasketches_rust_spark.config import DedupConfig
 from datasketches_rust_spark.operators.connected_components import \
-    connected_components
+    assign_clusters
 from datasketches_rust_spark.operators.visual import simhash_pairs
 from datasketches_rust_spark.pipeline import dedup_pairs
 
@@ -71,8 +71,7 @@ def image_cluster_assignments(images: DataFrame, cfg: DedupConfig,
              .unionByName(visual_edges(images, cfg, id_col))
              .distinct())
     vertices = images.select(F.col(id_col))
-    return connected_components(edges, vertices, id_col=id_col) \
-        .withColumnRenamed("cluster_id", "cluster_id")
+    return assign_clusters(vertices, edges, id_col=id_col)
 
 
 def image_dedup_keep_canonical(images: DataFrame, cfg: DedupConfig,

@@ -12,6 +12,7 @@ sorting columns by name).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from datasketches_rust_spark import agg
@@ -287,10 +288,61 @@ def q_embedding_dup_pairs(spark, sf_dir):
     return cosine_pairs_bruteforce(emb, threshold=0.45)
 
 
+def q_lcs_confirm_pairs(spark, sf_dir):
+    """Suffix-array substring confirm pass (north_star): LSH candidates
+    kept only when a long contiguous byte run is shared. Oracle: none
+    (LCS not SQL-expressible) — pytest checks vs brute-force DP."""
+    from datasketches_rust_spark.operators.suffix import \
+        confirm_pairs_substring
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_pairs(docs, CFG, "doc_id", "text").select("id_a", "id_b")
+    return confirm_pairs_substring(pairs, docs, "doc_id", "text",
+                                   min_ratio=0.3) \
+        .select("id_a", "id_b", "lcs_len")
+
+
+def q_bloom_stats(spark, sf_dir):
+    """Bloom stats surface (bloom/sketch.rs:263-306): bits_used / load /
+    estimated fpp for a filter over part keys. Deterministic given the
+    fixed seed, but not SQL-expressible -> rows-only."""
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    part = _t(spark, sf_dir, "part")
+    sk = agg.sketch_agg(part, [], "p_partkey", "bloom",
+                        num_bits=1 << 15, num_hashes=7)
+    from pyspark.sql.functions import pandas_udf
+
+    schema = StructType([StructField("bits_used", LongType()),
+                         StructField("load_factor", DoubleType()),
+                         StructField("est_fpp", DoubleType())])
+
+    @pandas_udf(schema)
+    def stats(blobs: pd.Series) -> pd.DataFrame:
+        from datasketches_rust_spark.sketches.bloom import BloomFilter
+        rows = []
+        for b in blobs:
+            bf = BloomFilter.deserialize(bytes(b))
+            rows.append((bf.bits_used(), bf.load_factor(),
+                         bf.estimated_fpp()))
+        return pd.DataFrame(rows, columns=["bits_used", "load_factor",
+                                           "est_fpp"])
+
+    return sk.select(stats("sketch").alias("s")).select("s.*")
+
+
+def q_hll_users_by_type(spark, sf_dir):
+    """Grouped HLL (per-event-type distinct users) — rows-only."""
+    ev = _t(spark, sf_dir, "events")
+    sk = agg.sketch_agg(ev, ["event_type"], "user_id", "hll", lg_k=12)
+    est = agg.estimate_udf("hll", lg_k=12)
+    return sk.select("event_type", F.round(est("sketch"), 0).alias(
+        "approx_users"))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN — approximate, no SQL oracle (pytest recall)."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    return ann_lsh_topk(emb, k=3, nbits=16, num_bands=4)
+    return ann_lsh_topk(emb, k=3, nbits=24, num_bands=8)
 
 
 # ---------------------------------------------------------------------------
@@ -323,6 +375,9 @@ QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "lcs_confirm_pairs": q_lcs_confirm_pairs,
+    "bloom_stats": q_bloom_stats,
+    "hll_users_by_type": q_hll_users_by_type,
 }
 
 _SHINGLE_PAIRS_CTE = """

@@ -1,0 +1,133 @@
+"""Streaming dedup + sketch-state operators.
+
+Three patterns, all watermark/replay-safe:
+
+1. ``exact_dedup_stream`` — built-in streaming dropDuplicatesWithinWatermark
+   on a content fingerprint (md5). Pure JVM; the streaming analog of
+   exact-hash dedup.
+
+2. ``incremental_dedup_foreach_batch`` — LSH dedup against an append-only
+   signature store: each micro-batch computes MinHash signatures + band
+   keys, joins its band keys against the store to find candidate pairs
+   vs *all history*, exact-verifies, emits verified pairs, then appends
+   its own signatures to the store. This is the scalable streaming
+   near-dup shape: state lives in a compacted parquet/Iceberg table keyed
+   by band hash, not in executor memory.
+
+3. ``sketch_stream`` — per-key mergeable sketch partials appended per
+   micro-batch; ``read_merged_sketches`` folds them on demand. Correct
+   because sketch merge is commutative+associative+idempotent-ish
+   (register max / k-smallest union), the same property the reference's
+   unions rely on (hll/union.rs, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from datasketches_rust_spark.config import DedupConfig
+from datasketches_rust_spark.functions.text import (exact_jaccard_udf,
+                                                    minhash_struct_udf)
+
+
+def exact_dedup_stream(stream_df: DataFrame, id_col: str, text_col: str,
+                       ts_col: str, watermark: str = "10 minutes"
+                       ) -> DataFrame:
+    """Streaming exact dedup: first row per content fingerprint survives."""
+    fp = F.md5(F.col(text_col))
+    return (stream_df
+            .withColumn("__fp", fp)
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__fp"])
+            .drop("__fp"))
+
+
+def incremental_dedup_foreach_batch(cfg: DedupConfig, id_col: str,
+                                    text_col: str, store_dir: str,
+                                    pairs_dir: str):
+    """foreachBatch body for streaming near-dup detection.
+
+    Returns f(batch_df, batch_id). Signature store layout:
+    (id, text, band_idx, band_key) parquet appended per batch —
+    partition-pruned on read by band join keys via AQE.
+    """
+    sig_path = os.path.join(store_dir, "signatures")
+    jac = exact_jaccard_udf(cfg)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        mh = minhash_struct_udf(cfg)
+        sigs = (batch.select(F.col(id_col), F.lower(F.col(text_col))
+                             .alias("__t"))
+                .withColumn("__mh", mh(F.col("__t")))
+                .select(id_col, "__t",
+                        F.posexplode("__mh.bands")
+                        .alias("band_idx", "band_key")))
+        sigs = sigs.localCheckpoint()
+
+        try:
+            store = spark.read.parquet(sig_path)
+            have_store = True
+        except Exception:
+            have_store = False
+
+        # candidates within the batch itself
+        a, b = sigs.alias("a"), sigs.alias("b")
+        cands = (a.join(b, ["band_idx", "band_key"])
+                 .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                 .select(F.col(f"a.{id_col}").alias("id_a"),
+                         F.col(f"a.__t").alias("ta"),
+                         F.col(f"b.{id_col}").alias("id_b"),
+                         F.col(f"b.__t").alias("tb")))
+        if have_store:
+            s = store.alias("s")
+            hist = (a.join(s, ["band_idx", "band_key"])
+                    .where(F.col(f"a.{id_col}") != F.col(f"s.{id_col}"))
+                    .select(F.least(F.col(f"a.{id_col}"),
+                                    F.col(f"s.{id_col}")).alias("id_a"),
+                            F.col("a.__t").alias("ta"),
+                            F.greatest(F.col(f"a.{id_col}"),
+                                       F.col(f"s.{id_col}")).alias("id_b"),
+                            F.col("s.__t").alias("tb")))
+            cands = cands.unionByName(hist)
+
+        verified = (cands.distinct()
+                    .withColumn("jaccard", jac("ta", "tb"))
+                    .where(F.col("jaccard") >= cfg.jaccard_threshold)
+                    .select("id_a", "id_b", "jaccard")
+                    .withColumn("batch_id", F.lit(batch_id)))
+        verified.write.mode("append").parquet(pairs_dir)
+        sigs.write.mode("append").parquet(sig_path)
+
+    return process
+
+
+def sketch_stream(stream_df: DataFrame, key_cols: list[str], value_col: str,
+                  kind: str, state_dir: str, **sketch_kw):
+    """Start a streaming query that appends per-key sketch partials per
+    micro-batch. Returns the StreamingQuery (caller manages trigger)."""
+    from datasketches_rust_spark import agg
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        partials = agg.sketch_agg(batch, key_cols, value_col, kind,
+                                  **sketch_kw)
+        (partials.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(os.path.join(state_dir, "partials")))
+
+    return (stream_df.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))
+            .trigger(availableNow=True))
+
+
+def read_merged_sketches(spark, state_dir: str, key_cols: list[str],
+                         kind: str, **sketch_kw) -> DataFrame:
+    """Fold all appended partials down to one sketch per key."""
+    from datasketches_rust_spark import agg
+    partials = spark.read.parquet(os.path.join(state_dir, "partials")) \
+        .drop("batch_id")
+    return agg.merge_sketch_col(partials, key_cols, kind, **sketch_kw)

@@ -1,0 +1,73 @@
+"""Similarity-search tests: brute-force correctness vs numpy, LSH-ANN
+recall vs brute force."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_correct_dir):
+    return spark.read.parquet(f"{sf_correct_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(sf_correct_dir):
+    import duckdb
+    con = duckdb.connect()
+    rows = con.execute(
+        f"select vec_id, embedding from "
+        f"'{sf_correct_dir}/embeddings.parquet' order by vec_id").fetchall()
+    ids = np.array([r[0] for r in rows])
+    E = np.array([r[1] for r in rows], dtype=np.float64)
+    return ids, E / np.linalg.norm(E, axis=1, keepdims=True)
+
+
+def test_bruteforce_topk_matches_numpy(spark, emb, emb_np):
+    from datasketches_rust_spark.operators.similarity import \
+        cosine_topk_bruteforce
+    ids, En = emb_np
+    q = emb.where(F.col("vec_id") < 5)
+    c = emb.where(F.col("vec_id") >= 5)
+    got = {}
+    for r in cosine_topk_bruteforce(q, c, k=3).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    S = En[:5] @ En[5:].T
+    for qi in range(5):
+        order = np.argsort(-S[qi], kind="stable")[:3]
+        want = [int(ids[5 + j]) for j in order]
+        assert [n for _, n in sorted(got[qi])] == want
+
+
+def test_ann_lsh_recall(spark, emb):
+    """LSH-ANN top-3 must recover >= 70% of true top-3 neighbors on this
+    small table (24-bit hashes, 8 bands -> measured 0.84 offline). The
+    point is plumbing + a measurable recall floor; production tunes
+    nbits/bands (32/16 reaches ~1.0 here)."""
+    from datasketches_rust_spark.operators.similarity import (
+        ann_lsh_topk, cosine_topk_bruteforce)
+    sub = emb.where(F.col("vec_id") < 200).localCheckpoint()
+    truth = {}
+    for r in cosine_topk_bruteforce(sub, sub, k=4).collect():
+        if r["query_id"] != r["neighbor_id"]:
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    truth = {k: set(list(v)[:3]) for k, v in truth.items()}
+    got = {}
+    for r in ann_lsh_topk(sub, k=3, nbits=24, num_bands=8).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    assert hits / total >= 0.7, f"ANN recall {hits/total:.2f}"
+
+
+def test_embedding_dup_pairs_symmetric(spark, emb, emb_np):
+    from datasketches_rust_spark.operators.similarity import \
+        cosine_pairs_bruteforce
+    ids, En = emb_np
+    S = En @ En.T
+    want = {(int(ids[i]), int(ids[j]))
+            for i in range(len(ids)) for j in range(i + 1, len(ids))
+            if S[i, j] >= 0.45}
+    got = {(r["id_a"], r["id_b"]) for r in
+           cosine_pairs_bruteforce(emb, 0.45).collect()}
+    assert got == want

@@ -1,0 +1,92 @@
+"""Structured Streaming tests: exact dedup within watermark, incremental
+LSH dedup via foreachBatch + signature store, mergeable sketch state."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from datasketches_rust_spark.config import DedupConfig
+from datasketches_rust_spark.streaming import (
+    exact_dedup_stream, incremental_dedup_foreach_batch,
+    read_merged_sketches, sketch_stream)
+
+CFG = DedupConfig()
+
+
+@pytest.fixture()
+def stream_src(spark, sf_correct_dir, tmp_path):
+    """documents as a parquet stream source (one file -> one batch)."""
+    docs = spark.read.parquet(f"{sf_correct_dir}/documents.parquet")
+    src = str(tmp_path / "src")
+    docs.where("doc_id < 250").coalesce(1).write.parquet(src)
+    docs.where("doc_id >= 250").coalesce(1).write.mode("append").parquet(src)
+    return src, docs
+
+
+def test_exact_dedup_stream(spark, tmp_path):
+    import datetime
+    rows = [(i, "same text" if i % 2 == 0 else f"text {i}",
+             datetime.datetime(2026, 1, 1, 0, 0, i)) for i in range(20)]
+    src = str(tmp_path / "exact_src")
+    spark.createDataFrame(rows, "id long, text string, ts timestamp") \
+        .coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema("id long, text string, ts timestamp")
+              .parquet(src))
+    out = exact_dedup_stream(stream, "id", "text", "ts")
+    sink = str(tmp_path / "exact_out")
+    q = (out.writeStream.format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    # 10 distinct odd texts + 1 survivor of "same text"
+    assert got.count() == 11
+    assert got.where(F.col("text") == "same text").count() == 1
+
+
+def test_incremental_lsh_dedup_matches_batch(spark, stream_src, tmp_path):
+    """Streaming (2 micro-batches) finds the same verified pairs as the
+    batch pipeline on the full table."""
+    src, docs = stream_src
+    from datasketches_rust_spark.pipeline import dedup_pairs
+    want = {(r["id_a"], r["id_b"]) for r in
+            dedup_pairs(docs, CFG, "doc_id", "text").collect()}
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    store = str(tmp_path / "store")
+    pairs_dir = str(tmp_path / "pairs")
+    fb = incremental_dedup_foreach_batch(CFG, "doc_id", "text", store,
+                                         pairs_dir)
+    q = (stream.writeStream.foreachBatch(fb)
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {(r["id_a"], r["id_b"]) for r in
+           spark.read.parquet(pairs_dir).select("id_a", "id_b")
+           .distinct().collect()}
+    assert got == want
+    assert len(got) == 25
+
+
+def test_sketch_stream_merge(spark, sf_correct_dir, tmp_path):
+    """Per-batch theta partials merged at read == exact distinct count."""
+    li = spark.read.parquet(f"{sf_correct_dir}/lineitem.parquet")
+    src = str(tmp_path / "li_src")
+    li.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(li.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    state = str(tmp_path / "state")
+    q = sketch_stream(stream, [], "l_partkey", "theta", state,
+                      lg_k=16).start()
+    q.awaitTermination(300)
+
+    from datasketches_rust_spark import agg
+    merged = read_merged_sketches(spark, state, [], "theta", lg_k=16)
+    est = merged.select(agg.estimate_udf("theta", as_long=True, lg_k=16)(
+        "sketch").alias("e")).first()["e"]
+    exact = li.select(F.countDistinct("l_partkey")).first()[0]
+    assert est == exact

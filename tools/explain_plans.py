@@ -1,0 +1,142 @@
+"""Plan hygiene audit: print formatted plans for the hot paths and check
+the properties that matter at 100 TB:
+
+- parquet scans show ReadSchema pruned to the used columns (the `bytes`
+  column must NOT appear in any plan that doesn't decode it)
+- filters are pushed (PushedFilters non-empty where a filter exists)
+- broadcast joins where a side is small (dim tables, hot lists, queries)
+- WholeStageCodegen spans around the JVM-side expressions
+
+Usage: python tools/explain_plans.py [> PLANS.md]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(name: str, df, checks: dict[str, bool],
+          execute: bool = False) -> list[str]:
+    if execute:
+        df.collect()  # execute THIS query so AQE finalizes it
+    plan = plan_of(df)
+    failures = []
+    print(f"\n{'=' * 70}\n## {name}\n{'=' * 70}")
+    print(plan)
+    for desc, ok in checks_eval(plan, checks).items():
+        mark = "OK " if ok else "BAD"
+        print(f"[{mark}] {desc}")
+        if not ok:
+            failures.append(f"{name}: {desc}")
+    return failures
+
+
+def checks_eval(plan: str, checks: dict[str, object]) -> dict[str, bool]:
+    out = {}
+    for desc, pred in checks.items():
+        if callable(pred):
+            out[desc] = bool(pred(plan))
+        else:
+            out[desc] = bool(re.search(pred, plan))
+    return out
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+    from datasketches_rust_spark.config import DedupConfig, spark_session
+    from datasketches_rust_spark import queries as Q
+
+    spark = spark_session("plan-audit", cpus=8, shuffle_partitions=8)
+    cfg = DedupConfig()
+    failures: list[str] = []
+
+    # 1. signatures: bytes column must be pruned out of the image scan
+    from datasketches_rust_spark.pipeline import minhash_signatures
+    from datasketches_rust_spark.sources.images import images_spark_df
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = minhash_signatures(docs, cfg, "doc_id", "text")
+    failures += audit("minhash_signatures (documents)", sigs, {
+        "scan reads only doc_id+text (column pruning)":
+            lambda p: re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", p),
+        "ArrowEvalPython (vectorized UDF, not BatchEval)":
+            r"ArrowEvalPython",
+    })
+
+    # 2. tpch_q1: pure whole-stage-codegen aggregation
+    q1 = Q.q_tpch_q1(spark, SF_DIR)
+    failures += audit("tpch_q1", q1, {
+        "whole-stage codegen spans present": r"\[codegen id : \d+\]",
+        "partial aggregation before exchange":
+            lambda p: p.index("HashAggregate") < p.index("Exchange"),
+        "column pruning (no l_orderkey etc)":
+            lambda p: "l_orderkey" not in p,
+    }, execute=True)
+
+    # 3. filter pushdown check
+    li_filtered = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+                   .where(F.col("l_returnflag") == "R")
+                   .select("l_partkey"))
+    failures += audit("filtered scan", li_filtered, {
+        "PushedFilters contains l_returnflag":
+            r"PushedFilters: \[.*l_returnflag.*\]",
+        "ReadSchema pruned to 2 cols":
+            r"ReadSchema: struct<l_partkey:bigint,l_returnflag:string>",
+    })
+
+    # 4. top_suppliers: broadcast join for the dim side
+    ts = Q.q_top_suppliers_by_revenue(spark, SF_DIR)
+    failures += audit("top_suppliers_by_revenue", ts, {
+        "BroadcastHashJoin used": r"BroadcastHashJoin",
+    })
+
+    # 5. LSH candidate join: equality join on band keys, hot-list broadcast
+    from datasketches_rust_spark.operators.lsh import candidate_pairs
+    cands = candidate_pairs(sigs, cfg, "doc_id")
+    failures += audit("lsh candidate_pairs", cands, {
+        "broadcast anti-join for hot buckets":
+            r"BroadcastHashJoin.*LeftAnti|LeftAnti.*Broadcast",
+        "equality join on band keys (broadcast at small SF, SMJ at scale)":
+            r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+    })
+
+    # 6. image pipeline: bytes never read (phash column suffices)
+    imgs, _ = images_spark_df(spark, 500, seed=1, partitions=4)
+    imgs_parquet = "/tmp/dsrs_plan_audit_images"
+    imgs.write.mode("overwrite").parquet(imgs_parquet)
+    stored = spark.read.parquet(imgs_parquet)
+    from datasketches_rust_spark.pipeline_images import visual_edges
+    ve = visual_edges(stored, cfg)
+    failures += audit("visual_edges (stored images)", ve, {
+        "bytes column pruned out of scan":
+            lambda p: "bytes" not in p,
+        "ReadSchema only image_id+phash":
+            r"ReadSchema: struct<image_id:string,phash:bigint>",
+    })
+
+    print(f"\n{'=' * 70}")
+    if failures:
+        print(f"{len(failures)} PLAN PROBLEMS:")
+        for f in failures:
+            print(" -", f)
+    else:
+        print("ALL PLAN CHECKS PASS")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
