@@ -161,7 +161,9 @@ def sketch_agg(df: DataFrame, key_cols: list[str], value_col: str,
     knd = sketch_kind(kind, **dict(sketch_kw))
     kind_name = kind
 
-    keyed = df.select(*key_cols, F.col(value_col).alias("__v"))
+    from datasketches_rust_spark.pipeline import ensure_parallelism
+    keyed = ensure_parallelism(
+        df.select(*key_cols, F.col(value_col).alias("__v")))
     key_fields = [keyed.schema[c] for c in key_cols]
     partial_schema = StructType(
         list(key_fields) + [StructField(SKETCH_COL, BinaryType(), False)])

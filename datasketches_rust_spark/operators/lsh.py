@@ -49,11 +49,17 @@ def candidate_pairs(df: DataFrame, cfg: DedupConfig, id_col: str,
 
     a = ex.alias("a")
     b = ex.alias("b")
+    min_nb = max(getattr(cfg, "min_band_matches", 1), 1)
     pairs = (a.join(b, ["band_idx", "band_key"])
              .where(F.col("a.__id") < F.col("b.__id"))
              .select(F.col("a.__id").alias("id_a"),
                      F.col("b.__id").alias("id_b"))
-             .distinct())
+             # same shuffle as distinct(), but the count doubles as a
+             # band-collision prefilter: a true pair at the jaccard
+             # threshold co-buckets in many bands, a false candidate in ~1
+             .groupBy("id_a", "id_b").count()
+             .where(F.col("count") >= min_nb)
+             .select("id_a", "id_b"))
     return pairs
 
 

@@ -49,14 +49,19 @@ def oracle_pairs(ids: list, texts: list[str], cfg: DedupConfig
             buckets.setdefault((j, int(bands[i, j])), []).append(i)
 
     shingle_sets = unique_shingle_sets(lowered, cfg.shingle_k, cfg.seed)
-    cand = set()
+    counts: dict[tuple, int] = {}
     for (_, _), members in buckets.items():
         if len(members) > cfg.max_bucket_size:
             continue  # same cap as the Spark path
         for x in range(len(members)):
             for y in range(x + 1, len(members)):
                 a, b = members[x], members[y]
-                cand.add((a, b) if a < b else (b, a))
+                key = (a, b) if a < b else (b, a)
+                counts[key] = counts.get(key, 0) + 1
+
+    # band-collision prefilter, mirroring operators/lsh.py
+    min_nb = max(getattr(cfg, "min_band_matches", 1), 1)
+    cand = {k for k, c in counts.items() if c >= min_nb}
 
     out = set()
     for a, b in cand:

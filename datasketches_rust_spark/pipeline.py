@@ -29,12 +29,27 @@ from datasketches_rust_spark.operators.connected_components import \
 from datasketches_rust_spark.operators.lsh import candidate_pairs
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the scan
+    yields fewer partitions (e.g. one small parquet file locally) — the
+    CPU-heavy signature UDF should use every core. At production scale the
+    scan already has >> defaultParallelism partitions, so this is a no-op
+    (no extra shuffle)."""
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_signatures(df: DataFrame, cfg: DedupConfig, id_col: str,
                        text_col: str) -> DataFrame:
     """DataFrame[id, sig, bands, n_shingles]. Column-pruned: only id + text
     are read from the scan."""
     mh = minhash_struct_udf(cfg)
-    return (df.select(F.col(id_col), F.col(text_col))
+    narrow = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    return (narrow
             .withColumn("__mh", mh(F.lower(F.col(text_col))))
             .select(id_col, F.col("__mh.sig").alias("sig"),
                     F.col("__mh.bands").alias("bands"),
@@ -45,11 +60,24 @@ def dedup_pairs(df: DataFrame, cfg: DedupConfig, id_col: str,
                 text_col: str) -> DataFrame:
     """DataFrame[id_a, id_b, jaccard] — verified near-dup pairs
     (exact shingle Jaccard >= cfg.jaccard_threshold), id_a < id_b."""
-    sigs = minhash_signatures(df, cfg, id_col, text_col)
+    # The signature table is read by the bucket-size guard, both sides of
+    # the LSH self-join, and (indirectly) the verify stage — persist it so
+    # the signature UDF runs exactly once per input row. At 10^12-row scale
+    # this is the per-partition signature table the north_star checkpoints
+    # to Iceberg; MEMORY_AND_DISK spills gracefully.
+    from pyspark.storagelevel import StorageLevel
+    sigs = minhash_signatures(df, cfg, id_col, text_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     cands = candidate_pairs(sigs, cfg, id_col)
 
     texts = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t"))
     jac = exact_jaccard_udf(cfg)
+    # explicit repartition (AQE leaves user-specified counts alone): the
+    # candidate set is small in bytes but the exact-Jaccard verify is
+    # CPU-heavy, so spreading it over all cores matters more than
+    # shuffle-size-driven coalescing
+    cands = cands.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id_a")
     verified = (cands
                 .join(texts.withColumnRenamed(id_col, "id_a")
                       .withColumnRenamed("__t", "__ta"), "id_a")

@@ -231,10 +231,13 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 def q_simhash_near_docs(spark, sf_dir):
     """SimHash hamming<=3 candidate pairs — no SQL oracle (pytest)."""
+    from pyspark.storagelevel import StorageLevel
     from datasketches_rust_spark.operators.visual import simhash_pairs
-    docs = _t(spark, sf_dir, "documents")
+    from datasketches_rust_spark.pipeline import ensure_parallelism
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     sim = simhash_udf(CFG)
-    fps = docs.select("doc_id", sim(F.lower(F.col("text"))).alias("fp"))
+    fps = docs.select("doc_id", sim(F.lower(F.col("text"))).alias("fp")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     return simhash_pairs(fps, "doc_id", "fp", max_hamming=CFG.simhash_hamming)
 
 

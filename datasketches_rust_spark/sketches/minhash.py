@@ -20,7 +20,21 @@ import numpy as np
 from datasketches_rust_spark.hashing import DEFAULT_SEED, murmur3_x64_128
 from datasketches_rust_spark.sketches.util import U64_MAX
 
-_PERM_CHUNK = 16  # bound peak memory: n_shingles x chunk x 8B per slab
+_scratch: dict[str, np.ndarray] = {}
+
+
+def _buf(tag: str, n: int) -> np.ndarray:
+    """Persistent uint64 scratch buffer (grown geometrically, never freed).
+
+    Executor worker processes are long-lived; reusing one buffer across
+    Arrow batches keeps the kernel's pages resident instead of re-faulting
+    a fresh allocation every batch (page faults dominate arithmetic on
+    virtualized kernels by ~1000x)."""
+    arr = _scratch.get(tag)
+    if arr is None or arr.size < n:
+        arr = np.empty(int(n * 1.25) + 16, dtype=np.uint64)
+        _scratch[tag] = arr
+    return arr[:n]
 
 
 def perm_params(num_perm: int, seed: int = DEFAULT_SEED
@@ -58,12 +72,14 @@ def signatures(shingle_hashes: np.ndarray, doc_offsets: np.ndarray,
     starts = offsets[:-1][nonempty]
 
     a, b = perm_params(num_perm, seed)
-    for c0 in range(0, num_perm, _PERM_CHUNK):
-        c1 = min(c0 + _PERM_CHUNK, num_perm)
-        # (total, chunk) slab; uint64 wraparound = mod 2^64
-        slab = h[:, None] * a[c0:c1][None, :] + b[c0:c1][None, :]
-        mins = np.minimum.reduceat(slab, starts, axis=0)
-        out[nonempty, c0:c1] = mins
+    # one in-place pass per permutation over a persistent scratch buffer:
+    # peak extra memory is 8 bytes/shingle regardless of num_perm, and the
+    # buffer is faulted in once per worker, then reused every batch
+    tmp = _buf("sig_tmp", h.size)
+    for p in range(num_perm):
+        np.multiply(h, a[p], out=tmp)   # uint64 wraparound = mod 2^64
+        np.add(tmp, b[p], out=tmp)
+        out[nonempty, p] = np.minimum.reduceat(tmp, starts)
     return out
 
 

@@ -52,49 +52,71 @@ class TDigest:
         new = (np.concatenate(self._buffer) if self._buffer
                else np.empty(0, dtype=np.float64))
         self._buffer = []
-        means = np.concatenate([self.means, new])
-        weights = np.concatenate([self.weights,
-                                  np.ones(new.size, dtype=np.float64)])
+        if new.size:
+            new.sort(kind="stable")
+            self.min_val = min(self.min_val, float(new[0]))
+            self.max_val = max(self.max_val, float(new[-1]))
+            pm, pw = self._bucket_points(new)
+        else:
+            pm = pw = np.empty(0, dtype=np.float64)
+        means = np.concatenate([self.means, pm])
+        weights = np.concatenate([self.weights, pw])
         if means.size == 0:
             return
         order = np.argsort(means, kind="stable")
         means, weights = means[order], weights[order]
-        self.min_val = min(self.min_val, float(means[0]))
-        self.max_val = max(self.max_val, float(means[-1]))
+        if self.means.size == 0 and new.size == 0:
+            return
 
-        total = weights.sum()
-        out_means, out_weights = [], []
-        cur_m, cur_w = float(means[0]), float(weights[0])
-        w_so_far = 0.0
-        limit = total * self._q_limit(0.0)
-        for m, w in zip(means[1:], weights[1:]):
-            if cur_w + w <= limit - w_so_far:
+        # Dunning merge pass over the (small) centroid list: a cluster may
+        # absorb the next centroid only while its cumulative quantile stays
+        # below q_of_k(k_of_q(q0) + 1) — the k1 size invariant that keeps
+        # tail clusters tiny. The list is bounded (~k existing + ~k/2 new
+        # pre-clusters), so the sequential loop is a few hundred steps.
+        total = float(weights.sum())
+        m_list = means.tolist()
+        w_list = weights.tolist()
+        out_m, out_w = [], []
+        cur_m, cur_w = m_list[0], w_list[0]
+        closed = 0.0
+        q_limit = self._q_of_k(self._k_of_q(0.0) + 1.0)
+        for m, w in zip(m_list[1:], w_list[1:]):
+            if closed + cur_w + w <= total * q_limit:
                 cur_m += (m - cur_m) * w / (cur_w + w)
                 cur_w += w
             else:
-                out_means.append(cur_m)
-                out_weights.append(cur_w)
-                w_so_far += cur_w
-                limit = total * self._q_limit(w_so_far / total)
-                cur_m, cur_w = float(m), float(w)
-        out_means.append(cur_m)
-        out_weights.append(cur_w)
-        self.means = np.array(out_means)
-        self.weights = np.array(out_weights)
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                closed += cur_w
+                q_limit = self._q_of_k(self._k_of_q(closed / total) + 1.0)
+                cur_m, cur_w = m, w
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.array(out_m, dtype=np.float64)
+        self.weights = np.array(out_w, dtype=np.float64)
 
-    def _q_limit(self, q0: float) -> float:
-        """k1 scale function: next cluster boundary in q-space —
-        small clusters at the tails, larger mid-range (tdigest/mod.rs:20-21
-        paper semantics)."""
-        k0 = self._k_of_q(q0)
-        return self._q_of_k(k0 + 1.0) - q0
+    def _bucket_points(self, sorted_vals: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized pre-clustering of a sorted batch of weight-1 points:
+        bucket by floor(k1(q_mid)) so each bucket spans <= 1 k-unit. This is
+        the batch-build fast path; the exact merge invariant is enforced by
+        the sequential pass in _compress."""
+        n = sorted_vals.size
+        q_mid = (np.arange(n, dtype=np.float64) + 0.5) / n
+        kk = np.floor(self._k_of_q(q_mid))
+        starts = np.flatnonzero(np.diff(kk, prepend=np.nan) != 0)
+        w = np.add.reduceat(np.ones(n, dtype=np.float64), starts)
+        m = np.add.reduceat(sorted_vals, starts) / w
+        return m, w
 
-    def _k_of_q(self, q: float) -> float:
-        return self.k / (2 * np.pi) * np.arcsin(2 * min(max(q, 0.0), 1.0) - 1)
+    def _k_of_q(self, q):
+        """k1 scale function (tdigest/mod.rs:20-21 paper semantics),
+        vectorized over numpy arrays."""
+        return self.k / (2 * np.pi) * np.arcsin(2 * np.clip(q, 0.0, 1.0) - 1)
 
     def _q_of_k(self, k_: float) -> float:
         x = np.sin(k_ * 2 * np.pi / self.k)
-        return min(max((x + 1) / 2, 0.0), 1.0)
+        return float(min(max((x + 1.0) / 2.0, 0.0), 1.0))
 
     # -- merge / freeze ----------------------------------------------------------
     def merge(self, other: "TDigest") -> "TDigest":
