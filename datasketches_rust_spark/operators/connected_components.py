@@ -31,6 +31,8 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
     majority at 10^12 rows) never enter the iteration; use
     ``assign_clusters`` to fold them back in with a single join.
     """
+    from pyspark.storagelevel import StorageLevel
+
     sym = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
            .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))))
     sym = sym.localCheckpoint()
@@ -43,19 +45,32 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
                                  F.col(id_col).alias("label"))
     labels = labels.localCheckpoint()
 
-    for _ in range(max_iter):
-        # neighbor messages: each edge forwards the source's current label
+    prev = None
+    for it in range(max_iter):
+        # One Spark job per round: the min-label aggregation ALSO carries
+        # each vertex's previous label (tagged union leg), so convergence
+        # ("did any label change?") falls out of the same aggregate that
+        # materializes the persisted next-round labels — no separate
+        # join+count job.
+        own = labels.select("v", "label", F.lit(1).alias("__own"))
         msgs = (sym.join(labels, sym.s == labels.v)
-                .select(F.col("d").alias("v"), "label"))
-        new_labels = (labels.unionByName(msgs)
-                      .groupBy("v").agg(F.min("label").alias("label")))
-        new_labels = new_labels.localCheckpoint()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "v")
-                   .where(F.col("n.label") != F.col("o.label"))
-                   .limit(1).count())
-        labels = new_labels
-        if changed == 0:
+                .select(F.col("d").alias("v"), "label",
+                        F.lit(0).alias("__own")))
+        merged = (own.unionByName(msgs)
+                  .groupBy("v")
+                  .agg(F.min("label").alias("label"),
+                       F.min(F.when(F.col("__own") == 1, F.col("label"))
+                             ).alias("__prev")))
+        merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+        changed = merged.agg(F.sum(
+            (F.col("label") != F.col("__prev")).cast("long"))).first()[0]
+        if prev is not None:
+            prev.unpersist(False)
+        prev = merged
+        labels = merged.select("v", "label")
+        if it % 8 == 7:
+            labels = labels.localCheckpoint()  # bound plan depth
+        if not changed:
             break
 
     return labels.select(F.col("v").alias(id_col),

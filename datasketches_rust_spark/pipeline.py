@@ -97,8 +97,10 @@ def cluster_assignments(df: DataFrame, cfg: DedupConfig, id_col: str,
     (e.g. visual SimHash edges) are unioned in before clustering."""
     edges = dedup_pairs(df, cfg, id_col, text_col).select("id_a", "id_b")
     if extra_edges is not None:
-        edges = edges.unionByName(
-            extra_edges.select("id_a", "id_b")).distinct()
+        # no distinct: min-label propagation is idempotent to duplicate
+        # edges, so a pair found by both the caption and the visual path
+        # just sends one redundant (tiny) message per round
+        edges = edges.unionByName(extra_edges.select("id_a", "id_b"))
     vertices = df.select(F.col(id_col))
     return assign_clusters(vertices, edges, id_col=id_col)
 

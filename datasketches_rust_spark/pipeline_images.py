@@ -68,8 +68,7 @@ def image_cluster_assignments(images: DataFrame, cfg: DedupConfig,
     """DataFrame[image_id, cluster_id(string)] — connected components over
     caption ∪ visual edges; cluster_id = min member image_id."""
     edges = (caption_edges(images, cfg, id_col)
-             .unionByName(visual_edges(images, cfg, id_col))
-             .distinct())
+             .unionByName(visual_edges(images, cfg, id_col)))
     vertices = images.select(F.col(id_col))
     return assign_clusters(vertices, edges, id_col=id_col)
 
