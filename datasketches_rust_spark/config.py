@@ -91,6 +91,10 @@ def spark_session(app: str = "datasketches-rust-spark", cpus: int | None = None,
                 "datasketches_rust_spark.daemon")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # the LSH/SimHash band self-joins dominate CPU as sort-merge joins
+        # (two 10^8-row sorts); hash joins on the equi band key are ~2x
+        # cheaper, and AQE's skew handling still applies
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # large binary image columns through Arrow: bound batch size so a
         # batch of (bytes, caption) rows stays well under worker memory

@@ -37,13 +37,15 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
            .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))))
     sym = sym.localCheckpoint()
 
+    # initial labels stay lazy: they derive from the checkpointed edge set
+    # (or a plain vertex scan), so materializing them separately would only
+    # add a job — on this environment each job costs ~1.6s of fixed overhead
     if vertices is None:
         labels = sym.select(F.col("s").alias("v")).distinct() \
             .withColumn("label", F.col("v"))
     else:
         labels = vertices.select(F.col(id_col).alias("v"),
                                  F.col(id_col).alias("label"))
-    labels = labels.localCheckpoint()
 
     prev = None
     for it in range(max_iter):

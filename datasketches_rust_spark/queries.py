@@ -342,6 +342,20 @@ def q_hll_users_by_type(spark, sf_dir):
         "approx_users"))
 
 
+def q_image_dedup_clusters(spark, sf_dir):
+    """The north_star image+caption dedup pipeline surfaced in the driver
+    contract: deterministic synthetic F1 table (no external data) ->
+    caption MinHash/LSH edges + visual phash SimHash edges -> connected
+    components. Rows-only here; pipeline-vs-numpy-oracle pair parity and
+    the recall >= 0.99 gate are pytest-enforced (tests/test_images.py)."""
+    from datasketches_rust_spark.pipeline_images import \
+        image_cluster_assignments
+    from datasketches_rust_spark.sources.images import images_spark_df
+    imgs, _truth = images_spark_df(spark, 5000, seed=42)
+    return image_cluster_assignments(imgs, CFG) \
+        .select("image_id", "cluster_id")
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN — approximate, no SQL oracle (pytest recall)."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
@@ -379,6 +393,7 @@ QUERIES = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "lcs_confirm_pairs": q_lcs_confirm_pairs,
+    "image_dedup_clusters": q_image_dedup_clusters,
     "bloom_stats": q_bloom_stats,
     "hll_users_by_type": q_hll_users_by_type,
 }

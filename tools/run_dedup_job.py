@@ -34,6 +34,15 @@ def main() -> None:
              .config("spark.sql.adaptive.skewJoin.enabled", "true")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+             # preload numpy/pandas/pyarrow + kernels pre-fork (ships in the
+             # --py-files zip); also applies the malloc retention tuning in
+             # every worker via the package import
+             .config("spark.python.daemon.module",
+                     "datasketches_rust_spark.daemon")
+             .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
+                     str(1 << 30))
+             .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
+                     str(0x7FFFFFFF))
              .getOrCreate())
 
     from datasketches_rust_spark.config import DedupConfig

