@@ -32,12 +32,18 @@ class DedupConfig:
     simhash_bits: int = 64
     simhash_hamming: int = 3    # max Hamming distance for visual near-dup
     phash_ngram: int = 2        # byte n-gram width over phash bytes
-    max_bucket_size: int = 512  # LSH bucket cap (skew guard; counted + logged)
-    # candidate pairs must co-bucket in >= this many bands before the exact
-    # verify. With b=32/r=4 a true pair at j=0.8 matches ~13 bands
-    # (P[<2 matches] ~ 5e-7), while the bulk of false candidates (j~0.4)
-    # match exactly 1 — this prunes the verify stage ~10x at no
-    # measurable recall cost. Set to 1 to restore any-band semantics.
+    # LSH bucket cap: buckets above this degrade to a star topology around
+    # their min-id representative (O(size) edges, component stays
+    # connected) instead of the quadratic self-join — see operators/lsh.py
+    max_bucket_size: int = 512
+    # candidate pairs must co-bucket in >= this many UNCAPPED bands before
+    # the exact verify. With b=32/r=4 a true pair at j=0.8 matches ~13
+    # bands (P[<2 matches] ~ 5e-7), while the bulk of false candidates
+    # (j~0.4) match exactly 1 — this prunes the verify stage ~10x at no
+    # measurable recall cost. Star edges from capped (hot) buckets bypass
+    # the requirement: their collisions were never counted, so demanding
+    # cold-band evidence from them would re-introduce the hot-cluster
+    # recall hole. Set to 1 to restore any-band semantics.
     min_band_matches: int = 2
 
     def __post_init__(self) -> None:

@@ -203,10 +203,58 @@ LANG_LEXICON = {
 }
 
 
+def _lang_hit_count(text_col, lex):
+    """size(filter(split(lower(text)))) — exact whitespace-token match
+    against the lexicon, as a built-in JVM expression."""
+    toks = F.split(F.lower(text_col), r"\s+")
+    # closure: higher-order F.filter binds ALL lambda params to Columns,
+    # so the lexicon must be captured, not passed as a defaulted param
+    return F.size(F.filter(toks, lambda w: w.isin(*lex)))
+
+
+def _lang_argmax(hit_col_of):
+    """CASE expression: argmax over per-language hit columns with
+    deterministic alphabetical tie-break (matches lang_id_udf). Built from
+    the last language backwards so earlier languages take precedence."""
+    langs = sorted(LANG_LEXICON)
+    pred = F.lit("und")
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        cond = hit_col_of(lang) > 0
+        for later in langs[i + 1:]:
+            cond = cond & (hit_col_of(lang) >= hit_col_of(later))
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def lang_id_col(text_col):
+    """Single-Column built-in-expression language ID (no Python). The CASE
+    references each hit count up to 4x, so prefer with_lang_id on the hot
+    path — it materializes the counts once in an intermediate projection
+    (CollapseProject leaves it alone because the counts are non-cheap and
+    multiply referenced)."""
+    hits = {lang: _lang_hit_count(text_col, LANG_LEXICON[lang])
+            for lang in sorted(LANG_LEXICON)}
+    return _lang_argmax(lambda lang: hits[lang])
+
+
+def with_lang_id(df, text_col: str, out: str = "lang_pred"):
+    """df + language-ID column, two-projection form: one pass computes the
+    per-language hit counts, a second the argmax CASE — each split/filter
+    evaluates exactly once per row, all JVM-side."""
+    langs = sorted(LANG_LEXICON)
+    hits = df.select(
+        "*", *[_lang_hit_count(F.col(text_col), LANG_LEXICON[lang])
+               .alias(f"__h_{lang}") for lang in langs])
+    pred = _lang_argmax(lambda lang: F.col(f"__h_{lang}"))
+    return hits.withColumn(out, pred).drop(*[f"__h_{lang}" for lang in langs])
+
+
 def lang_id_udf():
     """pandas UDF: text -> predicted language code by function-word hits;
     'und' (undetermined) when nothing matches. Deterministic tie-break by
-    language code order."""
+    language code order. Retained as the slow-path reference for
+    lang_id_col (tests assert agreement); not used by any query."""
     from pyspark.sql.functions import pandas_udf
 
     langs = sorted(LANG_LEXICON)

@@ -1,19 +1,24 @@
 """Connected components over the candidate-pair edge DataFrame — the
 genuinely iterative piece of the pipeline (SURVEY.md §4 "genuinely hard").
 
-Algorithm: minimum-label propagation. Every vertex starts labeled with its
-own id; each round every vertex takes the min of its label and its
-neighbors' labels; converged when no label changes. Rounds needed = the
-diameter of the largest component — for dedup graphs that is bounded by the
-dup-cluster size (FIXTURES.md: clusters of 2-8, so <= 7 rounds even at
-10^12 rows; near-dup clusters are dense, not chains, so in practice 2-3).
-That bound, not O(log V) alternating star-contraction, is why min-label is
-the right choice here — each round is ONE shuffle (groupBy min) + ONE join,
-and AQE handles the shrinking label frontier.
+Algorithm: minimum-label propagation with pointer-doubling fallback.
+Every vertex starts labeled with its own id; each round every vertex takes
+the min of its label and its neighbors' labels; converged when no label
+changes. Rounds needed = diameter of the largest component — for dedup
+graphs usually 2-3 (near-dup clusters are dense, and the LSH hot-bucket
+star degrade keeps even giant clusters at diameter <= 4). Each round is
+ONE Spark job: the min-label aggregation also carries the previous label,
+so convergence detection falls out of the same aggregate.
 
-Lineage is cut with localCheckpoint() each round (iterative self-joins
-otherwise stack exponentially growing plans); convergence is detected with
-a cheap count on changed labels only.
+Chain-shaped components (pairwise-only similarity a~b~c~..., which do
+occur in crawl dedup) would need diameter-many rounds, so after
+``shortcut_after`` plain rounds every subsequent round also propagates
+label-of-label (pointer doubling / "shortcutting", the same halving step
+as the MapReduce large-star contraction of Kiveris et al.): reach doubles
+per round, giving O(log diameter) convergence without paying the extra
+join on the easy (typical) inputs. If max_iter is exhausted with labels
+still changing, this RAISES instead of silently returning a wrong
+clustering.
 """
 
 from __future__ import annotations
@@ -21,9 +26,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+class ConvergenceError(RuntimeError):
+    """Label propagation exhausted max_iter with labels still changing."""
+
+
 def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
                          id_col: str = "id", src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 50) -> DataFrame:
+                         dst: str = "id_b", max_iter: int = 50,
+                         shortcut_after: int = 6) -> DataFrame:
     """DataFrame[id, cluster_id] — cluster_id = min vertex id reachable.
 
     edges: DataFrame[src, dst]. If ``vertices`` is None, only edge-touched
@@ -32,10 +42,15 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
     ``assign_clusters`` to fold them back in with a single join.
     """
     from pyspark.storagelevel import StorageLevel
+    from datasketches_rust_spark.cache import release_tracked, track
 
     sym = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
            .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))))
     sym = sym.localCheckpoint()
+    # the (eager) checkpoint above materialized everything upstream —
+    # signature/fingerprint caches registered by producers are now
+    # consumable garbage, as is any previous call's label table
+    release_tracked()
 
     # initial labels stay lazy: they derive from the checkpointed edge set
     # (or a plain vertex scan), so materializing them separately would only
@@ -48,6 +63,7 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
                                  F.col(id_col).alias("label"))
 
     prev = None
+    converged = False
     for it in range(max_iter):
         # One Spark job per round: the min-label aggregation ALSO carries
         # each vertex's previous label (tagged union leg), so convergence
@@ -58,8 +74,18 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
         msgs = (sym.join(labels, sym.s == labels.v)
                 .select(F.col("d").alias("v"), "label",
                         F.lit(0).alias("__own")))
-        merged = (own.unionByName(msgs)
-                  .groupBy("v")
+        legs = own.unionByName(msgs)
+        if it >= shortcut_after:
+            # pointer doubling: v also adopts label(label(v)). label values
+            # are themselves vertex ids present in `labels`, so this is a
+            # self-join keyed on the label — reach doubles every round.
+            la, lb = labels.alias("__la"), labels.alias("__lb")
+            jump = (la.join(lb, F.col("__la.label") == F.col("__lb.v"))
+                    .select(F.col("__la.v").alias("v"),
+                            F.col("__lb.label").alias("label"),
+                            F.lit(0).alias("__own")))
+            legs = legs.unionByName(jump)
+        merged = (legs.groupBy("v")
                   .agg(F.min("label").alias("label"),
                        F.min(F.when(F.col("__own") == 1, F.col("label"))
                              ).alias("__prev")))
@@ -73,7 +99,23 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
         if it % 8 == 7:
             labels = labels.localCheckpoint()  # bound plan depth
         if not changed:
+            converged = True
             break
+
+    if not converged:
+        if prev is not None:
+            prev.unpersist(False)
+        raise ConvergenceError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(labels still changing); raise max_iter — with pointer "
+            f"doubling after round {shortcut_after} this takes a graph of "
+            f"diameter > ~2^{max_iter - shortcut_after}")
+    if prev is not None:
+        # the caller consumes `labels` lazily; register the backing cache
+        # for release at the next pipeline/CC invocation instead of
+        # leaking it for the session lifetime
+        from datasketches_rust_spark.cache import register
+        register(prev)
 
     return labels.select(F.col("v").alias(id_col),
                          F.col("label").alias("cluster_id"))

@@ -6,19 +6,27 @@ Plan shape (at 100 TB / 10^12 rows):
   groupBy(band_idx, key)    -- shuffle 1: tiny rows (idx, key, id)
   hot-bucket guard          -- CountMin-style skew detection done exactly
                                here (the counts are already materialized);
-                               buckets over the cap are dropped + counted,
-                               the analog of frequency heavy-hitter-driven
-                               salting decisions (SURVEY.md §2.5)
+                               buckets over the cap DEGRADE to a star
+                               topology instead of the quadratic self-join
   self-join on (idx, key)   -- shuffle 2: both sides partitioned identically
                                by the join key, so AQE plans a co-located
-                               sort-merge; skew-join splitting handles any
+                               join; skew-join splitting handles any
                                surviving hot key
-  distinct pairs            -- shuffle 3 on (id_a, id_b)
+  union star edges, then
+  distinct pairs            -- shuffle 3 on (id_a, id_b); doubles as the
+                               band-collision prefilter
 
-Dropping capped buckets only loses pairs that co-occur in *every* other
-band too — with b=32 bands a true-dup pair has ~32 chances; the cap is a
-bounded-loss guard against quadratic blowup on degenerate buckets (e.g.
-empty-caption clusters), and the dropped-bucket count is reported.
+Hot-bucket degrade (star topology): a bucket larger than
+``max_bucket_size`` would contribute O(size^2) pairs to the self-join —
+and for a near-dup cluster of 10k+ members (boilerplate duplicated across
+a crawl) EVERY band bucket is that cluster, so dropping hot buckets would
+drop the cluster entirely. Instead each hot bucket emits (representative,
+member) edges where representative = min id in the bucket: O(size) pairs
+that keep the component connected through the representative, while the
+downstream exact verify still rejects dissimilar hash collisions. Star
+edges bypass the >= min_band_matches prefilter (a pair whose buckets are
+hot in every band has zero cold collisions to count — the prefilter only
+applies to cold-bucket evidence).
 """
 
 from __future__ import annotations
@@ -37,36 +45,63 @@ def explode_bands(df: DataFrame, id_col: str, bands_col: str) -> DataFrame:
 def candidate_pairs(df: DataFrame, cfg: DedupConfig, id_col: str,
                     bands_col: str = "bands") -> DataFrame:
     """DataFrame[id_a, id_b] — unordered candidate pairs (id_a < id_b),
-    distinct across bands."""
-    ex = explode_bands(df, id_col, bands_col)
+    distinct across bands.
 
+    Cold buckets self-join quadratically; hot buckets (> max_bucket_size
+    members) degrade to star edges around their min-id representative.
+    A pair qualifies with >= cfg.min_band_matches cold-band collisions OR
+    any star edge (see module docstring for why the prefilter must not
+    count capped bands).
+    """
+    ex = explode_bands(df, id_col, bands_col)
+    min_nb = max(getattr(cfg, "min_band_matches", 1), 1)
+
+    star = None
     if cfg.max_bucket_size > 0:
         sizes = ex.groupBy("band_idx", "band_key").count()
+        # hot list is tiny by construction -> broadcast both the anti-join
+        # (cold side) and the rep join (star side)
         hot = sizes.where(F.col("count") > cfg.max_bucket_size) \
                    .select("band_idx", "band_key")
-        # hot list is tiny by construction -> broadcast anti-join
+        hot_members = ex.join(F.broadcast(hot),
+                              ["band_idx", "band_key"], "left_semi")
+        # min-agg is map-side partial, so the skewed hot keys reduce to one
+        # row per bucket before the (tiny) shuffle
+        reps = hot_members.groupBy("band_idx", "band_key") \
+                          .agg(F.min("__id").alias("__rep"))
+        star = (hot_members
+                .join(F.broadcast(reps), ["band_idx", "band_key"])
+                .where(F.col("__id") != F.col("__rep"))
+                .select(F.least("__id", "__rep").alias("id_a"),
+                        F.greatest("__id", "__rep").alias("id_b"),
+                        F.lit(1).alias("__hot")))
         ex = ex.join(F.broadcast(hot), ["band_idx", "band_key"], "left_anti")
 
     a = ex.alias("a")
     b = ex.alias("b")
-    min_nb = max(getattr(cfg, "min_band_matches", 1), 1)
-    pairs = (a.join(b, ["band_idx", "band_key"])
-             .where(F.col("a.__id") < F.col("b.__id"))
-             .select(F.col("a.__id").alias("id_a"),
-                     F.col("b.__id").alias("id_b"))
-             # same shuffle as distinct(), but the count doubles as a
-             # band-collision prefilter: a true pair at the jaccard
-             # threshold co-buckets in many bands, a false candidate in ~1
-             .groupBy("id_a", "id_b").count()
-             .where(F.col("count") >= min_nb)
-             .select("id_a", "id_b"))
-    return pairs
+    events = (a.join(b, ["band_idx", "band_key"])
+              .where(F.col("a.__id") < F.col("b.__id"))
+              .select(F.col("a.__id").alias("id_a"),
+                      F.col("b.__id").alias("id_b"),
+                      F.lit(0).alias("__hot")))
+    if star is not None:
+        events = events.unionByName(star)
+
+    # ONE shuffle dedups pairs AND evaluates the prefilter: a true pair at
+    # the jaccard threshold co-buckets in many cold bands, a false
+    # candidate in ~1; star edges qualify unconditionally.
+    return (events.groupBy("id_a", "id_b")
+            .agg(F.sum(1 - F.col("__hot")).alias("__nb"),
+                 F.max("__hot").alias("__star"))
+            .where((F.col("__star") == 1) | (F.col("__nb") >= min_nb))
+            .select("id_a", "id_b"))
 
 
 def hot_bucket_stats(df: DataFrame, cfg: DedupConfig, id_col: str,
                      bands_col: str = "bands") -> DataFrame:
     """Metrics: per-band bucket-size distribution + number of capped
-    buckets. Feeds the pipeline's lineage/metrics checkpoint."""
+    (star-degraded) buckets. Feeds the pipeline's lineage/metrics
+    checkpoint."""
     ex = explode_bands(df, id_col, bands_col)
     sizes = ex.groupBy("band_idx", "band_key").count()
     return sizes.agg(

@@ -114,30 +114,97 @@ def hyperplane_bands_udf(dim: int, nbits: int, num_bands: int, seed: int):
     return _udf
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Array columns carry no length in the schema, so absent an explicit
+    ``dim`` this costs one tiny driver-side job. Callers on the hot path
+    should pass dim explicitly."""
+    return len(df.select(vec_col).first()[0])
+
+
+def _band_candidates(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                     nbits: int, num_bands: int, seed: int,
+                     min_band_matches: int = 1,
+                     symmetric: bool = False) -> DataFrame:
+    """Id-only LSH candidate generation: the band self-join shuffles ONLY
+    (id, band_key) rows — never the embedding vectors (at 10^9 rows x 768
+    dims, shuffling vectors through the band join would multiply shuffle
+    bytes by ~2 x dim x bands; vectors are re-joined once afterwards by the
+    caller). Dedup + the >=min_band_matches prefilter happen in one
+    groupBy on the id pair."""
+    bands = hyperplane_bands_udf(dim, nbits, num_bands, seed)
+    keyed = df.select(F.col(id_col).alias("__id"),
+                      F.explode(bands(F.col(vec_col))).alias("band_key"))
+    a = keyed.select(F.col("__id").alias("id_a"), "band_key")
+    b = keyed.select(F.col("__id").alias("id_b"), "band_key")
+    cond = (F.col("id_a") != F.col("id_b")) if symmetric \
+        else (F.col("id_a") < F.col("id_b"))
+    return (a.join(b, "band_key").where(cond)
+            .groupBy("id_a", "id_b").count()
+            .where(F.col("count") >= min_band_matches)
+            .select("id_a", "id_b"))
+
+
 def ann_lsh_topk(df: DataFrame, k: int, id_col: str = "vec_id",
                  vec_col: str = "embedding", nbits: int = 32,
-                 num_bands: int = 4, seed: int = 9001) -> DataFrame:
+                 num_bands: int = 4, seed: int = 9001,
+                 dim: int | None = None) -> DataFrame:
     """Approximate top-k neighbors per vector via hyperplane-LSH buckets +
-    exact cosine re-rank. Returns DataFrame[query_id, neighbor_id, rank]."""
-    dim = len(df.select(vec_col).first()[0])
-    bands = hyperplane_bands_udf(dim, nbits, num_bands, seed)
-    keyed = df.select(F.col(id_col), F.col(vec_col),
-                      F.explode(bands(F.col(vec_col))).alias("band_key"))
-    a = keyed.select(F.col(id_col).alias("query_id"),
-                     F.col(vec_col).alias("__qv"), "band_key")
-    b = keyed.select(F.col(id_col).alias("neighbor_id"),
-                     F.col(vec_col).alias("__cv"), "band_key")
-    cands = (a.join(b, "band_key")
-             .where(F.col("query_id") != F.col("neighbor_id"))
-             .select("query_id", "__qv", "neighbor_id", "__cv")
-             .distinct())
-    qn = F.sqrt(_dot(_as_double(F.col("__qv")), _as_double(F.col("__qv"))))
-    cn = F.sqrt(_dot(_as_double(F.col("__cv")), _as_double(F.col("__cv"))))
+    exact cosine re-rank. Returns DataFrame[query_id, neighbor_id, rank].
+
+    The band join carries ids only; vectors re-join once for the re-rank
+    (two broadcast-or-shuffle hash joins on the id key)."""
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    cand = _band_candidates(df, id_col, vec_col, dim, nbits, num_bands,
+                            seed, symmetric=True) \
+        .select(F.col("id_a").alias("query_id"),
+                F.col("id_b").alias("neighbor_id"))
+    vecs = with_norm(df.select(F.col(id_col), F.col(vec_col)),
+                     vec_col, "__n")
+    qv = vecs.select(F.col(id_col).alias("query_id"),
+                     F.col(vec_col).alias("__qv"), F.col("__n").alias("__qn"))
+    cv = vecs.select(F.col(id_col).alias("neighbor_id"),
+                     F.col(vec_col).alias("__cv"), F.col("__n").alias("__cn"))
     sim = (_dot(_as_double(F.col("__qv")), _as_double(F.col("__cv")))
-           / (qn * cn))
+           / (F.col("__qn") * F.col("__cn")))
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"),
                                                F.col("neighbor_id"))
-    return (cands.withColumn("__sim", sim)
+    return (cand.join(qv, "query_id").join(cv, "neighbor_id")
+            .withColumn("__sim", sim)
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank"))
+
+
+def cosine_pairs_lsh(df: DataFrame, threshold: float,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     nbits: int = 96, num_bands: int = 24,
+                     seed: int = 9001, dim: int | None = None) -> DataFrame:
+    """DataFrame[id_a, id_b] — pairs with cosine >= threshold, via
+    hyperplane-LSH candidate generation + exact cosine verify. The scale
+    path replacing cosine_pairs_bruteforce: no cross join anywhere; the
+    band join shuffles (id, band_key) rows only.
+
+    Recall is 1-(1-p^w)^B with p = 1 - theta/pi per bit: selective at
+    near-dup thresholds (>=0.8 -> p>=0.8), inherently weak at low ones —
+    at threshold 0.45 (p=0.65) the default 24 bands x 4 bits give recall
+    ~1-1e-6 for pairs AT the threshold but barely filter the background
+    (the physics of low-threshold angular LSH, not an implementation
+    artifact; validated recall 1.0 vs the brute-force oracle on the
+    sf0.01/sf0.1 fixtures in tests/test_similarity.py)."""
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    cand = _band_candidates(df, id_col, vec_col, dim, nbits, num_bands,
+                            seed, symmetric=False)
+    vecs = with_norm(df.select(F.col(id_col), F.col(vec_col)),
+                     vec_col, "__n")
+    va = vecs.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))
+    vb = vecs.select(F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
+    sim = (_dot(_as_double(F.col("__va")), _as_double(F.col("__vb")))
+           / (F.col("__na") * F.col("__nb")))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("__sim", sim)
+            .where(F.col("__sim") >= threshold)
+            .select("id_a", "id_b"))

@@ -50,18 +50,27 @@ def oracle_pairs(ids: list, texts: list[str], cfg: DedupConfig
 
     shingle_sets = unique_shingle_sets(lowered, cfg.shingle_k, cfg.seed)
     counts: dict[tuple, int] = {}
+    star: set[tuple] = set()
     for (_, _), members in buckets.items():
-        if len(members) > cfg.max_bucket_size:
-            continue  # same cap as the Spark path
+        if 0 < cfg.max_bucket_size < len(members):
+            # hot bucket -> star degrade around the min-id representative,
+            # same as operators/lsh.py (rep chosen by id VALUE, matching
+            # Spark's F.min on the id column)
+            rep = min(members, key=lambda i: ids[i])
+            for m in members:
+                if m != rep:
+                    star.add((rep, m) if rep < m else (m, rep))
+            continue
         for x in range(len(members)):
             for y in range(x + 1, len(members)):
                 a, b = members[x], members[y]
                 key = (a, b) if a < b else (b, a)
                 counts[key] = counts.get(key, 0) + 1
 
-    # band-collision prefilter, mirroring operators/lsh.py
+    # band-collision prefilter, mirroring operators/lsh.py; star edges
+    # bypass it (their collisions were capped, so there is nothing to count)
     min_nb = max(getattr(cfg, "min_band_matches", 1), 1)
-    cand = {k for k, c in counts.items() if c >= min_nb}
+    cand = {k for k, c in counts.items() if c >= min_nb} | star
 
     out = set()
     for a, b in cand:
@@ -116,3 +125,22 @@ def dup_pair_recall(predicted: dict, truth: dict) -> float:
     if not tp:
         return 1.0
     return len(cluster_pairs(predicted) & tp) / len(tp)
+
+
+def assignment_pair_recall(predicted: dict, truth: dict) -> float:
+    """Same metric as dup_pair_recall but computed group-wise in O(n) —
+    usable when a single truth cluster has thousands of members (the
+    materialized pair set would be O(size^2))."""
+    from collections import Counter, defaultdict
+    groups: dict = defaultdict(list)
+    for v, c in truth.items():
+        groups[c].append(v)
+    tp = total = 0
+    for members in groups.values():
+        n = len(members)
+        if n < 2:
+            continue
+        total += n * (n - 1) // 2
+        sub = Counter(predicted[v] for v in members)
+        tp += sum(m * (m - 1) // 2 for m in sub.values())
+    return 1.0 if total == 0 else tp / total

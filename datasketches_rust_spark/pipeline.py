@@ -64,10 +64,11 @@ def dedup_pairs(df: DataFrame, cfg: DedupConfig, id_col: str,
     # the LSH self-join, and (indirectly) the verify stage — persist it so
     # the signature UDF runs exactly once per input row. At 10^12-row scale
     # this is the per-partition signature table the north_star checkpoints
-    # to Iceberg; MEMORY_AND_DISK spills gracefully.
-    from pyspark.storagelevel import StorageLevel
-    sigs = minhash_signatures(df, cfg, id_col, text_col) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # to Iceberg; MEMORY_AND_DISK spills gracefully. Tracked (cache.py):
+    # released at the next CC/pipeline invocation, after consumers have
+    # materialized, instead of leaking for the session lifetime.
+    from datasketches_rust_spark.cache import track
+    sigs = track(minhash_signatures(df, cfg, id_col, text_col))
     cands = candidate_pairs(sigs, cfg, id_col)
 
     texts = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t"))

@@ -17,12 +17,13 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from datasketches_rust_spark import agg
 from datasketches_rust_spark.config import DedupConfig
-from datasketches_rust_spark.functions.text import (lang_id_udf, quality_cols,
-                                                    simhash_udf,
+from datasketches_rust_spark.functions.text import (quality_cols, simhash_udf,
                                                     token_count_col,
-                                                    winnow_fingerprints_udf)
+                                                    winnow_fingerprints_udf,
+                                                    with_lang_id)
 from datasketches_rust_spark.operators.similarity import (
-    ann_lsh_topk, cosine_pairs_bruteforce, cosine_topk_bruteforce)
+    ann_lsh_topk, cosine_pairs_bruteforce, cosine_pairs_lsh,
+    cosine_topk_bruteforce)
 from datasketches_rust_spark.pipeline import (cluster_assignments,
                                               dedup_pairs)
 
@@ -231,20 +232,19 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 def q_simhash_near_docs(spark, sf_dir):
     """SimHash hamming<=3 candidate pairs — no SQL oracle (pytest)."""
-    from pyspark.storagelevel import StorageLevel
+    from datasketches_rust_spark.cache import track
     from datasketches_rust_spark.operators.visual import simhash_pairs
     from datasketches_rust_spark.pipeline import ensure_parallelism
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     sim = simhash_udf(CFG)
-    fps = docs.select("doc_id", sim(F.lower(F.col("text"))).alias("fp")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    fps = track(
+        docs.select("doc_id", sim(F.lower(F.col("text"))).alias("fp")))
     return simhash_pairs(fps, "doc_id", "fp", max_hamming=CFG.simhash_hamming)
 
 
 def q_lang_id_counts(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    lid = lang_id_udf()
-    return (docs.select(lid(F.col("text")).alias("lang_pred"))
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return (with_lang_id(docs, "text").select("lang_pred")
             .groupBy("lang_pred").agg(F.count("*").alias("n")))
 
 
@@ -287,6 +287,18 @@ def q_ann_topk_bruteforce(spark, sf_dir):
 
 
 def q_embedding_dup_pairs(spark, sf_dir):
+    """Scale path: hyperplane-LSH candidates + exact cosine verify — no
+    cross join in the plan. Exact vs the brute-force oracle at fixture
+    scale (recall of the band stage validated at 1.0 on sf0.01/sf0.1 for
+    this nbits/bands/seed; see cosine_pairs_lsh docstring for the
+    low-threshold physics)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs_lsh(emb, threshold=0.45, dim=64)
+
+
+def q_embedding_dup_pairs_bruteforce(spark, sf_dir):
+    """O(n^2) exactness baseline — correctness anchor, never the plan at
+    scale."""
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_pairs_bruteforce(emb, threshold=0.45)
 
@@ -359,7 +371,7 @@ def q_image_dedup_clusters(spark, sf_dir):
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN — approximate, no SQL oracle (pytest recall)."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    return ann_lsh_topk(emb, k=3, nbits=24, num_bands=8)
+    return ann_lsh_topk(emb, k=3, nbits=24, num_bands=8, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -391,6 +403,7 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_dup_pairs_bruteforce": q_embedding_dup_pairs_bruteforce,
     "ann_lsh_topk": q_ann_lsh_topk,
     "lcs_confirm_pairs": q_lcs_confirm_pairs,
     "image_dedup_clusters": q_image_dedup_clusters,
@@ -423,6 +436,14 @@ jpairs AS (
   WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 )
 """
+
+_EMB_PAIRS_SQL = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))) >= 0.45"""
 
 ORACLE_SQL = {
     "tpch_q1": """
@@ -578,11 +599,6 @@ ORACLE_SQL = {
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY sim DESC, neighbor_id) AS rank
         FROM sims QUALIFY rank <= 3""",
-    "embedding_dup_pairs": """
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.e, b.e)
-              / (sqrt(list_dot_product(a.e, a.e))
-                 * sqrt(list_dot_product(b.e, b.e))) >= 0.45""",
+    "embedding_dup_pairs": _EMB_PAIRS_SQL,
+    "embedding_dup_pairs_bruteforce": _EMB_PAIRS_SQL,
 }

@@ -35,6 +35,12 @@ class TDigest:
         if self.means is None:
             self.means = np.empty(0, dtype=np.float64)
             self.weights = np.empty(0, dtype=np.float64)
+        elif self.means.size:
+            # direct construction from centroid arrays: recover min/max
+            # bounds from the extreme centroid means so quantile(0/1)
+            # never returns ±inf
+            self.min_val = min(self.min_val, float(self.means[0]))
+            self.max_val = max(self.max_val, float(self.means[-1]))
 
     # -- update ----------------------------------------------------------------
     def update_values(self, values: np.ndarray) -> "TDigest":
@@ -65,8 +71,6 @@ class TDigest:
             return
         order = np.argsort(means, kind="stable")
         means, weights = means[order], weights[order]
-        if self.means.size == 0 and new.size == 0:
-            return
 
         # Dunning merge pass over the (small) centroid list: a cluster may
         # absorb the next centroid only while its cumulative quantile stays

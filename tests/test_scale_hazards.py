@@ -1,0 +1,173 @@
+"""Tests for the scale hazards fixed in round 2 (VERDICT r1 findings 1-3):
+
+- hot-bucket star degrade: a near-dup cluster LARGER than max_bucket_size
+  must keep recall >= 0.99 (previously every bucket of such a cluster was
+  hot -> dropped -> the cluster silently shattered);
+- connected-components convergence: chain-shaped components longer than
+  the round budget must still converge (pointer doubling) and exhaustion
+  must raise instead of silently returning wrong labels;
+- lang_id_col (built-in expressions) must agree with lang_id_udf;
+- cosine_pairs_lsh must be exact vs brute force on the fixture;
+- TDigest direct construction recovers min/max from centroids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_rust_spark.config import DedupConfig
+from datasketches_rust_spark.oracle import (assignment_pair_recall,
+                                            oracle_clusters)
+from datasketches_rust_spark.pipeline import cluster_assignments
+
+_WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+          "kilo lima mike november oscar papa quebec romeo sierra tango "
+          "uniform victor whiskey xray yankee zulu").split()
+
+
+def _giant_cluster_docs(n_cluster: int, n_background: int, seed: int = 7):
+    """Deterministic fixture: one near-dup cluster of n_cluster members
+    (pairwise shingle-jaccard ~0.9) + unrelated background docs."""
+    rng = np.random.default_rng(seed)
+    base = [
+        _WORDS[i % len(_WORDS)] for i in rng.integers(0, len(_WORDS), 60)]
+    docs = []
+    for i in range(n_cluster):
+        words = list(base)
+        # flip one word per member -> ~8 of ~300 shingles differ
+        words[i % len(words)] = f"var{i % 17}"
+        docs.append((i, " ".join(words)))
+    for j in range(n_background):
+        words = [_WORDS[k % len(_WORDS)]
+                 for k in rng.integers(0, len(_WORDS), 40)]
+        docs.append((n_cluster + j, f"bg{j} " + " ".join(words)))
+    return docs
+
+
+class TestHotBucketStar:
+    def test_candidate_pairs_star_on_hot_bucket(self, spark):
+        """Unit: a bucket over the cap yields star edges around the min id
+        instead of being dropped (and instead of O(size^2) pairs)."""
+        from datasketches_rust_spark.operators.lsh import candidate_pairs
+        cfg = DedupConfig(max_bucket_size=8, min_band_matches=2)
+        n = 40
+        # every doc shares band key 111 in band 0 (hot, size 40 > 8) and
+        # has a unique key elsewhere -> zero cold collisions
+        rows = [(i, [111, 1000 + i] + [2000 + 97 * i + b for b in range(30)])
+                for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, bands array<long>")
+        got = {(r.id_a, r.id_b) for r in
+               candidate_pairs(df, cfg, "id").collect()}
+        want = {(0, i) for i in range(1, n)}  # star around min id 0
+        assert got == want
+
+    def test_giant_cluster_recall(self, spark):
+        """A 5000-member near-dup cluster (every LSH bucket hot at the
+        default cap 512) must cluster together: dup-pair recall >= 0.99
+        vs ground truth AND exact agreement with the numpy oracle."""
+        cfg = DedupConfig()
+        n_cluster, n_bg = 5000, 300
+        docs = _giant_cluster_docs(n_cluster, n_bg)
+        ids = [d[0] for d in docs]
+        texts = [d[1] for d in docs]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r.cluster_id for r in
+               cluster_assignments(df, cfg, "doc_id", "text").collect()}
+        assert len(got) == len(ids)
+        truth = {i: (0 if i < n_cluster else i) for i in ids}
+        rec = assignment_pair_recall(got, truth)
+        assert rec >= 0.99, f"giant-cluster recall {rec:.4f}"
+        # background must not get sucked into the cluster (precision guard)
+        cluster0 = {v for v, c in got.items() if c == got[0]}
+        assert not any(v >= n_cluster for v in cluster0)
+        # and the numpy oracle (same star semantics) must agree exactly
+        want = oracle_clusters(ids, texts, cfg)
+        assert got == want
+
+    def test_capped_band_pairs_survive_min_band_matches(self, spark):
+        """ADVICE r1: a true pair whose co-buckets are capped in all but
+        one band must not be dropped by min_band_matches=2 — the star
+        edges bypass the cold-evidence requirement."""
+        from datasketches_rust_spark.operators.lsh import candidate_pairs
+        cfg = DedupConfig(max_bucket_size=4, min_band_matches=2)
+        # docs 0,1: together in hot band-0 bucket (with 8 fillers) and in
+        # exactly ONE cold band (band 1); fillers unique elsewhere
+        rows = [(0, [50, 60] + [900 + i for i in range(30)]),
+                (1, [50, 60] + [800 + i for i in range(30)])]
+        for f in range(8):
+            rows.append((2 + f,
+                         [50, 70 + f] + [3000 + 41 * f + i
+                                         for i in range(30)]))
+        df = spark.createDataFrame(rows, "id long, bands array<long>")
+        got = {(r.id_a, r.id_b) for r in
+               candidate_pairs(df, cfg, "id").collect()}
+        # star edges from the hot bucket connect everyone to id 0; the
+        # (0,1) pair survives even though its only cold collision count=1
+        assert (0, 1) in got
+
+
+class TestConnectedComponentsConvergence:
+    def test_path_graph_converges(self, spark):
+        """100-node path: diameter 99 >> the old effective budget; pointer
+        doubling after round 6 must converge well inside max_iter=50."""
+        from datasketches_rust_spark.operators.connected_components import \
+            connected_components
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(99)], "id_a long, id_b long")
+        got = {r.id: r.cluster_id for r in
+               connected_components(edges, max_iter=50).collect()}
+        assert got == {i: 0 for i in range(100)}
+
+    def test_exhaustion_raises(self, spark):
+        from datasketches_rust_spark.operators.connected_components import (
+            ConvergenceError, connected_components)
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "id_a long, id_b long")
+        with pytest.raises(ConvergenceError):
+            connected_components(edges, max_iter=3,
+                                 shortcut_after=99).collect()
+
+
+def test_lang_id_col_matches_udf(spark, sf_correct_dir):
+    from datasketches_rust_spark.functions.text import (lang_id_col,
+                                                        lang_id_udf)
+    docs = spark.read.parquet(f"{sf_correct_dir}/documents.parquet")
+    lid = lang_id_udf()
+    rows = docs.select(
+        "doc_id",
+        lang_id_col(F.col("text")).alias("fast"),
+        lid(F.col("text")).alias("slow")).collect()
+    assert rows and all(r.fast == r.slow for r in rows)
+
+
+def test_lang_id_plan_has_no_python(spark, sf_correct_dir):
+    """lang_id must stay in whole-stage codegen — no Python eval node."""
+    import io
+    from contextlib import redirect_stdout
+    from datasketches_rust_spark import queries as Q
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        Q.q_lang_id_counts(spark, sf_correct_dir).explain("formatted")
+    assert "EvalPython" not in buf.getvalue()
+
+
+def test_cosine_pairs_lsh_exact_on_fixture(spark, sf_correct_dir):
+    from datasketches_rust_spark.operators.similarity import (
+        cosine_pairs_bruteforce, cosine_pairs_lsh)
+    emb = spark.read.parquet(f"{sf_correct_dir}/embeddings.parquet")
+    want = {(r.id_a, r.id_b) for r in
+            cosine_pairs_bruteforce(emb, 0.45).collect()}
+    got = {(r.id_a, r.id_b) for r in
+           cosine_pairs_lsh(emb, 0.45, dim=64).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_tdigest_direct_construction_bounds():
+    from datasketches_rust_spark.sketches.tdigest import TDigest
+    td = TDigest(k=100, means=np.array([1.0, 2.0, 5.0]),
+                 weights=np.array([1.0, 2.0, 1.0]))
+    assert td.quantile(0.0) == 1.0
+    assert td.quantile(1.0) == 5.0

@@ -127,6 +127,46 @@ def main() -> None:
             r"ReadSchema: struct<image_id:string,phash:bigint>",
     })
 
+    # 7. ann_lsh_topk: band join must shuffle ids only — the embedding
+    #    vector may never appear in the same node output as band_key
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from datasketches_rust_spark.operators.similarity import (
+        ann_lsh_topk, cosine_pairs_lsh)
+    ann = ann_lsh_topk(emb, k=3, nbits=24, num_bands=8, dim=64)
+
+    def _no_vectors_below_band_join(p: str) -> bool:
+        return not any("band_key" in ln and "embedding" in ln
+                       for ln in p.splitlines())
+    failures += audit("ann_lsh_topk", ann, {
+        "no vector column below the band-join Exchange":
+            _no_vectors_below_band_join,
+        "no cross join":
+            lambda p: "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+    })
+
+    # 8. embedding_dup_pairs: LSH plan — no cross join anywhere
+    edp = Q.q_embedding_dup_pairs(spark, SF_DIR)
+    failures += audit("embedding_dup_pairs (lsh)", edp, {
+        "no cross join":
+            lambda p: "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+        "id-only band join (no vector next to band_key)":
+            _no_vectors_below_band_join,
+    })
+
+    # 9. lang_id: pure built-in expressions, no Python eval node; hit
+    #    counts materialized once (two projections, not 16 split() calls)
+    lid = Q.q_lang_id_counts(spark, SF_DIR)
+    failures += audit("lang_id_counts", lid, {
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+        "whole-stage codegen": r"\[codegen id : \d+\]",
+        "each language's split/filter evaluated once (4 total, not 16)":
+            lambda p: p.split("== Initial Plan ==")[0]
+            .count("split(lower") <= 4,
+    }, execute=True)
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")

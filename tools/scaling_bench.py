@@ -83,7 +83,7 @@ def _run(code: str, *args: str, cpus: str = "32") -> dict:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     if not os.path.exists(os.path.join(INPUT_DIR, "_SUCCESS")) or \
-            _run(_SYNTH_COUNT, INPUT_DIR) != n:
+            _run_count(INPUT_DIR) != n:
         print(f"synthesizing {n} images -> {INPUT_DIR}", file=sys.stderr)
         _run(_SYNTH, str(n), INPUT_DIR)
     r8 = _run(_CHILD, "8", INPUT_DIR, cpus="8")
@@ -105,18 +105,19 @@ def main() -> None:
 
 _SYNTH_COUNT = r"""
 import json, sys
-sys.path.insert(0, "/root/repo")
 try:
-    import pyarrow.parquet as pq
     import pyarrow.dataset as ds
-    print(json.dumps(ds.dataset(sys.argv[1]).count_rows()))
+    print(json.dumps({"rows": ds.dataset(sys.argv[1]).count_rows()}))
 except Exception:
-    print(json.dumps(-1))
+    print(json.dumps({"rows": -1}))
 """
 
 
 def _run_count(path: str) -> int:
-    return _run(_SYNTH_COUNT, path)
+    # _run keeps only stdout lines starting with '{', so the count is
+    # wrapped in an object — a bare integer would be filtered out and
+    # crash every cached-input rerun
+    return _run(_SYNTH_COUNT, path)["rows"]
 
 
 if __name__ == "__main__":
