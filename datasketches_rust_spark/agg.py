@@ -41,6 +41,7 @@ from datasketches_rust_spark.hashing import (DEFAULT_SEED, encode_values,
                                              murmur128_bytes_list)
 from datasketches_rust_spark.sketches.bloom import BloomFilter
 from datasketches_rust_spark.sketches.countmin import CountMinSketch
+from datasketches_rust_spark.sketches.cpc import CpcSketch
 from datasketches_rust_spark.sketches.frequencies import FrequentItemsSketch
 from datasketches_rust_spark.sketches.hll import HllSketch, coupons_from_keys
 from datasketches_rust_spark.sketches.minhash import merge as mh_merge
@@ -67,6 +68,13 @@ def _theta_update(sk: ThetaSketch, values: pd.Series) -> None:
     vals = values.dropna()
     if len(vals):
         sk.update_hashes(hash_bytes_list(encode_values(vals), sk.seed))
+
+
+def _cpc_update(sk: CpcSketch, values: pd.Series) -> None:
+    vals = values.dropna()
+    if len(vals):
+        h1, h2 = murmur128_bytes_list(encode_values(vals), sk.seed)
+        sk.update_hashes(h1, h2)
 
 
 def _hll_update(sk: HllSketch, values: pd.Series) -> None:
@@ -116,6 +124,11 @@ def sketch_kind(kind: str, **kw) -> _Kind:
         return _Kind(lambda: HllSketch(lg_k=lg_k, seed=seed),
                      _hll_update,
                      lambda b: HllSketch.deserialize(b, seed))
+    if kind == "cpc":
+        lg_k = kw.pop("lg_k", 11)
+        return _Kind(lambda: CpcSketch(lg_k=lg_k, seed=seed),
+                     _cpc_update,
+                     lambda b: CpcSketch.deserialize(b, seed))
     if kind == "bloom":
         num_bits = kw.pop("num_bits")
         num_hashes = kw.pop("num_hashes")
@@ -141,7 +154,7 @@ def sketch_kind(kind: str, **kw) -> _Kind:
 
 
 def _merge_two(kind_name: str, a, b):
-    if kind_name in ("theta", "hll", "bloom"):
+    if kind_name in ("theta", "hll", "bloom", "cpc"):
         return a.union(b)
     return a.merge(b)
 
@@ -331,22 +344,20 @@ def bloom_contains_udf(seed: int = DEFAULT_SEED):
     @pandas_udf(BooleanType())
     def _udf(items: pd.Series, blobs: pd.Series) -> pd.Series:
         out = np.zeros(len(items), dtype=bool)
-        cache: dict[bytes, BloomFilter] = {}
         encoded = encode_values(items)
-        blob0 = bytes(blobs.iloc[0]) if len(blobs) else b""
-        uniform = all(bytes(b) == blob0 for b in blobs)
-        if uniform and len(items):
-            bf = BloomFilter.deserialize(blob0, seed)
-            for grp, mat in _grouped_by_length(encoded):
-                out[grp] = bf.contains_keys(mat)
-        else:
-            for i, (enc, blob) in enumerate(zip(encoded, blobs)):
-                blob = bytes(blob)
-                bf = cache.get(blob)
-                if bf is None:
-                    bf = cache[blob] = BloomFilter.deserialize(blob, seed)
-                mat = np.frombuffer(enc, np.uint8).reshape(1, -1)
-                out[i] = bool(bf.contains_keys(mat)[0])
+        # group rows by blob via dict identity (each distinct blob is
+        # hashed once by the dict, not memcmp'd per row); every group is
+        # then probed with ONE deserialize + vectorized contains_keys —
+        # the broadcast-literal case degenerates to a single group
+        groups: dict[bytes, list[int]] = {}
+        for i, b in enumerate(blobs):
+            groups.setdefault(bytes(b), []).append(i)
+        for blob, idxs in groups.items():
+            bf = BloomFilter.deserialize(blob, seed)
+            idx = np.asarray(idxs)
+            sub = [encoded[i] for i in idxs]
+            for grp, mat in _grouped_by_length(sub):
+                out[idx[grp]] = bf.contains_keys(mat)
         return pd.Series(out)
 
     return _udf

@@ -127,6 +127,16 @@ def q_hll_distinct_orders(spark, sf_dir):
     return sk.select(F.round(est("sketch"), 0).alias("approx_orders"))
 
 
+def q_cpc_distinct_orders(spark, sf_dir):
+    """CPC (FM85) estimate — approximate, merged partials use the ICON
+    estimator (sketches/cpc.py; cpc/estimator.rs:91-97), so no SQL
+    oracle; pytest tolerance bands in tests/test_cpc.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    sk = agg.sketch_agg(li, [], "l_orderkey", "cpc", lg_k=12)
+    est = agg.estimate_udf("cpc", lg_k=12)
+    return sk.select(F.round(est("sketch"), 0).alias("approx_orders"))
+
+
 def q_freq_top_event_types(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     sk = agg.sketch_agg(ev, [], "event_type", "freqitems", max_map_size=256)
@@ -386,6 +396,7 @@ QUERIES = {
     "theta_intersect_custkeys": q_theta_intersect_custkeys,
     "theta_anotb_custkeys": q_theta_anotb_custkeys,
     "hll_distinct_orders": q_hll_distinct_orders,
+    "cpc_distinct_orders": q_cpc_distinct_orders,
     "freq_top_event_types": q_freq_top_event_types,
     "countmin_event_counts": q_countmin_event_counts,
     "tdigest_price_stats": q_tdigest_price_stats,

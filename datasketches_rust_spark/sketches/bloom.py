@@ -81,6 +81,22 @@ class BloomFilter:
         set_ = (w >> (bits & np.uint64(63))) & np.uint64(1)
         return set_.all(axis=1)
 
+    def contains_and_insert_keys(self, data: np.ndarray) -> np.ndarray:
+        """(N,) bool — per key, whether it was (probably) present BEFORE
+        this call, then insert it (bloom/sketch.rs:97-102). Sequential
+        one-at-a-time semantics: a duplicate later in the batch reports
+        True because the earlier occurrence inserted it — matching the
+        reference's per-item loop, not a batch snapshot."""
+        bits = self._bit_positions(data)
+        word_idx = (bits >> np.uint64(6)).astype(np.int64)
+        masks = np.uint64(1) << (bits & np.uint64(63))
+        out = np.empty(len(data), dtype=bool)
+        for i in range(len(data)):
+            w = self.words[word_idx[i]]
+            out[i] = bool(np.all(w & masks[i]))
+            np.bitwise_or.at(self.words, word_idx[i], masks[i])
+        return out
+
     def union(self, other: "BloomFilter") -> "BloomFilter":
         self._check_compat(other)
         return BloomFilter(self.num_bits, self.num_hashes, self.seed,

@@ -18,7 +18,6 @@ NO_FALSE_NEGATIVES -> upper_bound > threshold.
 
 from __future__ import annotations
 
-import pickle
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -101,16 +100,64 @@ class FrequentItemsSketch:
         out._maybe_purge()
         return out
 
-    VERSION = 1
+    # v2: versioned binary layout (replaces the v1 pickle payload — this
+    # is shuffle state, and pickle-loading at deserialize was the one
+    # non-versioned-binary sketch format in the engine). Items carry a
+    # type tag the way the reference delegates to an items serde
+    # (ArrayOfItemsSerDe in datasketches-java); str/int/float/bytes cover
+    # every column type the agg layer feeds in.
+    VERSION = 2
+    _TAGS = {str: 1, int: 2, float: 3, bytes: 4}
 
     def serialize(self) -> bytes:
+        import struct
         hdr = serde.pack_header(serde.FAMILY_FREQUENCY, self.VERSION, 1)
-        payload = pickle.dumps((self.max_map_size, self.counts, self.offset,
-                                self.total_weight), protocol=4)
-        return hdr + payload
+        out = [hdr, struct.pack("<IqqI", self.max_map_size, self.offset,
+                                self.total_weight, len(self.counts))]
+        for item, c in self.counts.items():
+            if isinstance(item, np.generic):
+                item = item.item()  # numpy scalars (value_counts index)
+            tag = self._TAGS.get(type(item))
+            if tag is None:
+                raise TypeError(
+                    f"unsupported freq-items item type {type(item)!r}; "
+                    "use str/int/float/bytes")
+            if tag == 1:
+                body = item.encode("utf-8")
+            elif tag == 2:
+                body = struct.pack("<q", item)
+            elif tag == 3:
+                body = struct.pack("<d", item)
+            else:
+                body = item
+            out.append(struct.pack("<BIq", tag, len(body), c))
+            out.append(body)
+        return b"".join(out)
 
     @classmethod
     def deserialize(cls, buf: bytes) -> "FrequentItemsSketch":
+        import struct
         off = serde.unpack_header(buf, serde.FAMILY_FREQUENCY, cls.VERSION, 1)
-        m, counts, offset, tw = pickle.loads(buf[off:])
+        serde.need(buf, off, 24)
+        m, offset, tw, n = struct.unpack_from("<IqqI", buf, off)
+        off += 24
+        counts: dict = {}
+        for _ in range(n):
+            serde.need(buf, off, 13)
+            tag, blen, c = struct.unpack_from("<BIq", buf, off)
+            off += 13
+            serde.need(buf, off, blen)
+            body = buf[off:off + blen]
+            off += blen
+            if tag == 1:
+                item = body.decode("utf-8")
+            elif tag == 2:
+                (item,) = struct.unpack("<q", body)
+            elif tag == 3:
+                (item,) = struct.unpack("<d", body)
+            elif tag == 4:
+                item = bytes(body)
+            else:
+                raise serde.SketchDecodeError(f"unknown item tag {tag}")
+            counts[item] = c
         return cls(m, counts, offset, tw)

@@ -24,6 +24,7 @@ MAGIC = 0xD5
 FAMILY_THETA = 3
 FAMILY_HLL = 7
 FAMILY_FREQUENCY = 10
+FAMILY_CPC = 16
 FAMILY_COUNTMIN = 18
 FAMILY_TDIGEST = 20
 FAMILY_BLOOM = 21

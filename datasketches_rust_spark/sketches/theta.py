@@ -44,13 +44,25 @@ class ThetaSketch:
     seed: int = DEFAULT_SEED
     theta: np.uint64 = MAX_THETA
     entries: np.ndarray = None  # sorted unique uint64, all < theta
+    # up-front sampling probability p (theta/sketch.rs:986-993 builder
+    # knob; hash_table.rs:400-406 starting theta = p * MAX): updates are
+    # screened at p*MAX before the sketch ever fills, trading accuracy
+    # for a hard bound on per-update retention probability
+    sampling_p: float = 1.0
 
     def __post_init__(self) -> None:
         if not (5 <= self.lg_k <= 26):  # theta/sketch.rs:955 bounds
             raise ValueError(f"lg_k {self.lg_k} out of [5, 26]")
+        if not (0.0 < self.sampling_p <= 1.0):
+            raise ValueError(f"sampling_p {self.sampling_p} out of (0, 1]")
         if self.entries is None:
             self.entries = np.empty(0, dtype=np.uint64)
-        self.theta = np.uint64(self.theta)
+        self.theta = np.uint64(min(np.uint64(self.theta), self._start_theta()))
+
+    def _start_theta(self) -> np.uint64:
+        if self.sampling_p >= 1.0:
+            return MAX_THETA
+        return np.uint64(self.sampling_p * float(MAX_THETA))
 
     @property
     def k(self) -> int:
@@ -82,7 +94,7 @@ class ThetaSketch:
         return self
 
     def reset(self) -> "ThetaSketch":
-        self.theta = MAX_THETA
+        self.theta = self._start_theta()  # p survives reset (builder knob)
         self.entries = np.empty(0, dtype=np.uint64)
         return self
 
@@ -95,17 +107,18 @@ class ThetaSketch:
         return self.theta < MAX_THETA
 
     def bounds(self, num_std_dev: int = 2) -> tuple[float, float]:
-        """Gaussian approximation of the binomial bounds
-        (theta/sketch.rs:268-315; exact Blyth-Still tables not ported).
-        Exact when not in estimation mode."""
+        """Exact binomial bounds (theta/sketch.rs:268-315 delegating to
+        common/binomial_bounds.rs) — Blyth-Still equivalence tables at
+        small n, classic continuous bound above 120 samples. Exact when
+        not in estimation mode."""
+        from datasketches_rust_spark.sketches import binomial_bounds as bb
         if not self.is_estimation_mode():
             e = float(self.entries.size)
             return e, e
-        n = self.entries.size
+        n = int(self.entries.size)
         p = float(self.theta) / float(MAX_THETA)
-        est = n / p
-        rel = num_std_dev * np.sqrt((1.0 - p) / n) if n else 0.0
-        return est / (1.0 + rel), est / max(1.0 - rel, 1e-12)
+        return (bb.lower_bound(n, p, num_std_dev),
+                bb.upper_bound(n, p, num_std_dev, no_data_seen=False))
 
     # -- set ops -------------------------------------------------------------
     def union(self, other: "ThetaSketch") -> "ThetaSketch":

@@ -138,7 +138,11 @@ class TestHll:
         b = HllSketch(lg_k=12).update_keys(keys[n // 2:])
         u = a.union(b)
         assert np.array_equal(u.regs, direct.regs)
-        assert u.estimate() == direct.estimate()
+        # r2: direct uses HIP, the union result is out-of-order and uses
+        # the composite estimator (hll/estimator.rs:49-55) — the reference
+        # test asserts drift tolerance, not equality
+        assert u.out_of_order and not direct.out_of_order
+        assert abs(u.estimate() - direct.estimate()) / n < 0.03
 
     def test_union_mixed_lgk_downsample(self):
         # downsample path (hll/union.rs:491-513)
