@@ -71,7 +71,8 @@ def main() -> None:
     # 3. relational + sketch headline queries on the TPC-H-ish tables
     for name in ["tpch_q1", "theta_distinct_parts_by_flag",
                  "freq_top_event_types", "tdigest_price_quantiles",
-                 "ann_topk_bruteforce", "minhash_dup_pairs"]:
+                 "ann_topk_bruteforce", "minhash_dup_pairs",
+                 "cpc_distinct_orders", "embedding_dup_pairs"]:
         fn = Q.QUERIES[name]
         run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
 

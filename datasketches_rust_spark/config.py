@@ -105,7 +105,13 @@ def spark_session(app: str = "datasketches-rust-spark", cpus: int | None = None,
         # large binary image columns through Arrow: bound batch size so a
         # batch of (bytes, caption) rows stays well under worker memory
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # scan-partition size: 128 MB default (the standard cluster value);
+        # override via env when a job wants scan task counts that divide
+        # the core count evenly (wave quantization: a 46-task CPU-heavy UDF
+        # stage on 32 cores wastes ~30% of the last wave)
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                               "134217728"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .getOrCreate()

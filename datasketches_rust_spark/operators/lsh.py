@@ -58,24 +58,23 @@ def candidate_pairs(df: DataFrame, cfg: DedupConfig, id_col: str,
 
     star = None
     if cfg.max_bucket_size > 0:
-        sizes = ex.groupBy("band_idx", "band_key").count()
-        # hot list is tiny by construction -> broadcast both the anti-join
-        # (cold side) and the rep join (star side)
-        hot = sizes.where(F.col("count") > cfg.max_bucket_size) \
-                   .select("band_idx", "band_key")
-        hot_members = ex.join(F.broadcast(hot),
-                              ["band_idx", "band_key"], "left_semi")
-        # min-agg is map-side partial, so the skewed hot keys reduce to one
-        # row per bucket before the (tiny) shuffle
-        reps = hot_members.groupBy("band_idx", "band_key") \
-                          .agg(F.min("__id").alias("__rep"))
-        star = (hot_members
-                .join(F.broadcast(reps), ["band_idx", "band_key"])
+        # ONE aggregation computes bucket size AND representative (min id):
+        # both are map-side partial aggregates, so the skewed hot keys
+        # reduce before the (tiny) shuffle, and the hot list — now carrying
+        # its representative — broadcasts once instead of the former
+        # size-then-rep two-step (every AQE barrier on the critical path is
+        # a full job of fixed overhead)
+        sizes = ex.groupBy("band_idx", "band_key").agg(
+            F.count("*").alias("__n"), F.min("__id").alias("__rep"))
+        hot = sizes.where(F.col("__n") > cfg.max_bucket_size) \
+                   .select("band_idx", "band_key", "__rep")
+        star = (ex.join(F.broadcast(hot), ["band_idx", "band_key"])
                 .where(F.col("__id") != F.col("__rep"))
                 .select(F.least("__id", "__rep").alias("id_a"),
                         F.greatest("__id", "__rep").alias("id_b"),
                         F.lit(1).alias("__hot")))
-        ex = ex.join(F.broadcast(hot), ["band_idx", "band_key"], "left_anti")
+        ex = ex.join(F.broadcast(hot.select("band_idx", "band_key")),
+                     ["band_idx", "band_key"], "left_anti")
 
     a = ex.alias("a")
     b = ex.alias("b")

@@ -47,10 +47,22 @@ def simhash_bands(df: DataFrame, id_col: str, fp_col: str,
 
 
 def simhash_pairs(df: DataFrame, id_col: str, fp_col: str,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  max_bucket_size: int = 4096) -> DataFrame:
     """DataFrame[id_a, id_b, hamming] — all pairs within max_hamming bits.
     Exact recall via pigeonhole banding (num_bands = max_hamming + 1 must
-    divide 64)."""
+    divide 64) for cold buckets.
+
+    Hot buckets (> max_bucket_size members) degrade to a star topology
+    around their min-id representative — the same guard as the text LSH
+    (operators/lsh.py): at crawl scale, exact-duplicate images share an
+    identical fingerprint, so EVERY band bucket is the whole cluster and
+    the self-join would be O(cluster^2). The star keeps such a cluster
+    connected with O(size) verified edges (identical fingerprints have
+    hamming 0 to the representative, so the exact verify keeps them all);
+    only pairwise recall between *distinct* fingerprints that co-bucket
+    exclusively in hot bands degrades. Set max_bucket_size=0 to disable
+    (restores unconditional exact pairwise recall)."""
     num_bands = max_hamming + 1
     if 64 % num_bands:
         # round up to the next divisor of 64 — recall stays 1.0, a few
@@ -58,16 +70,42 @@ def simhash_pairs(df: DataFrame, id_col: str, fp_col: str,
         num_bands = next(b for b in (4, 8, 16, 32, 64)
                          if b >= num_bands)
     ex = simhash_bands(df, id_col, fp_col, num_bands)
+
+    star = None
+    if max_bucket_size > 0:
+        # ONE aggregation computes bucket size, representative (min id), AND
+        # the representative's fingerprint (min_by) — all map-side partial,
+        # so the hot keys reduce before the tiny shuffle and the hot list
+        # broadcasts once (no separate size-then-rep barrier)
+        sizes = ex.groupBy("band_idx", "band_key").agg(
+            F.count("*").alias("__n"), F.min("__id").alias("__rep"),
+            F.min_by(F.col(fp_col), F.col("__id")).alias("__rep_fp"))
+        hot = sizes.where(F.col("__n") > max_bucket_size) \
+                   .select("band_idx", "band_key", "__rep", "__rep_fp")
+        rep_first = F.col("__rep") < F.col("__id")
+        star = (ex.join(F.broadcast(hot), ["band_idx", "band_key"])
+                .where(F.col("__id") != F.col("__rep"))
+                .select(F.least("__id", "__rep").alias("id_a"),
+                        F.greatest("__id", "__rep").alias("id_b"),
+                        F.when(rep_first, F.col("__rep_fp"))
+                        .otherwise(F.col(fp_col)).alias("__fa"),
+                        F.when(rep_first, F.col(fp_col))
+                        .otherwise(F.col("__rep_fp")).alias("__fb")))
+        ex = ex.join(F.broadcast(hot.select("band_idx", "band_key")),
+                     ["band_idx", "band_key"], "left_anti")
+
     a = ex.alias("a")
     b = ex.alias("b")
-    ham = _hamming_udf()
-    return (a.join(b, ["band_idx", "band_key"])
+    cand = (a.join(b, ["band_idx", "band_key"])
             .where(F.col("a.__id") < F.col("b.__id"))
             .select(F.col("a.__id").alias("id_a"),
                     F.col("b.__id").alias("id_b"),
                     F.col(f"a.{fp_col}").alias("__fa"),
-                    F.col(f"b.{fp_col}").alias("__fb"))
-            .distinct()
+                    F.col(f"b.{fp_col}").alias("__fb")))
+    if star is not None:
+        cand = cand.unionByName(star)
+    ham = _hamming_udf()
+    return (cand.distinct()
             .withColumn("hamming", ham("__fa", "__fb"))
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))

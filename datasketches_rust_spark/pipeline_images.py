@@ -31,26 +31,47 @@ from datasketches_rust_spark.pipeline import dedup_pairs
 
 
 def phash_from_bytes_udf():
-    """pandas UDF: (bytes, fmt) -> phash long, decoding in the scan stage.
-    Only needed when the source lacks a phash column; the fixture stores a
-    consistent one (FIXTURES F1)."""
+    """pandas UDF: (bytes, fmt) -> phash long, decoding in the SCAN stage so
+    only the 8-byte fingerprint ever shuffles. Decode is per-row (variable-
+    length compressed buffers have no batch form); the DCT/median/bit-pack
+    run batched over the Arrow batch (sources/phash.phash_batch)."""
     from pyspark.sql.functions import pandas_udf
     from datasketches_rust_spark.sources.codec import decode_image
-    from datasketches_rust_spark.sources.phash import phash64
+    from datasketches_rust_spark.sources.phash import phash_batch
 
     @pandas_udf(LongType())
     def _udf(bufs: pd.Series, fmts: pd.Series) -> pd.Series:
-        return pd.Series([phash64(decode_image(bytes(b), f))
-                          for b, f in zip(bufs, fmts)], dtype="int64")
+        pix = [decode_image(bytes(b), f) for b, f in zip(bufs, fmts)]
+        return pd.Series(phash_batch(pix), dtype="int64")
 
     return _udf
 
 
 def visual_edges(images: DataFrame, cfg: DedupConfig,
                  id_col: str = "image_id",
-                 phash_col: str = "phash") -> DataFrame:
-    """DataFrame[id_a, id_b] — phash Hamming <= cfg.simhash_hamming."""
-    fps = images.select(F.col(id_col), F.col(phash_col))
+                 phash_col: str = "phash",
+                 phash_source: str = "auto") -> DataFrame:
+    """DataFrame[id_a, id_b] — phash Hamming <= cfg.simhash_hamming.
+
+    phash_source:
+      "bytes"  — decode the binary column and compute the DCT phash in the
+                 scan stage (the north_star pipeline: fingerprints are
+                 DERIVED from pixels, not trusted from a column).
+      "stored" — trust the table's phash column (pre-sketched input, e.g.
+                 the checkpointed signature table on re-runs).
+      "auto"   — "bytes" when bytes+fmt columns exist, else "stored".
+    The fixture stores phash64(decoded) (FIXTURES F1), so both paths yield
+    bit-identical fingerprints there — pinned by tests/test_images.py."""
+    if phash_source == "auto":
+        phash_source = ("bytes" if {"bytes", "fmt"} <= set(images.columns)
+                        else "stored")
+    if phash_source == "bytes":
+        ph = phash_from_bytes_udf()
+        fps = images.select(F.col(id_col),
+                            ph(F.col("bytes"), F.col("fmt"))
+                            .alias(phash_col))
+    else:
+        fps = images.select(F.col(id_col), F.col(phash_col))
     return (simhash_pairs(fps, id_col, phash_col,
                           max_hamming=cfg.simhash_hamming)
             .select("id_a", "id_b"))
@@ -64,11 +85,13 @@ def caption_edges(images: DataFrame, cfg: DedupConfig,
 
 
 def image_cluster_assignments(images: DataFrame, cfg: DedupConfig,
-                              id_col: str = "image_id") -> DataFrame:
+                              id_col: str = "image_id",
+                              phash_source: str = "auto") -> DataFrame:
     """DataFrame[image_id, cluster_id(string)] — connected components over
     caption ∪ visual edges; cluster_id = min member image_id."""
     edges = (caption_edges(images, cfg, id_col)
-             .unionByName(visual_edges(images, cfg, id_col)))
+             .unionByName(visual_edges(images, cfg, id_col,
+                                       phash_source=phash_source)))
     vertices = images.select(F.col(id_col))
     return assign_clusters(vertices, edges, id_col=id_col)
 

@@ -124,3 +124,28 @@ class TestImagePipeline:
         bad = df.withColumn("ph2", ph(F.col("bytes"), F.col("fmt"))) \
                 .where(F.col("ph2") != F.col("phash")).count()
         assert bad == 0
+
+    def test_visual_edges_bytes_equals_stored(self, spark):
+        """The north_star mode (phash DERIVED from pixels in the scan
+        stage) must yield the identical edge set as trusting the stored
+        column — the fixture stores phash64(decoded)."""
+        from datasketches_rust_spark.pipeline_images import visual_edges
+        df, _ = images_spark_df(spark, 400, seed=11, partitions=4)
+        from_bytes = {(r.id_a, r.id_b) for r in
+                      visual_edges(df, CFG, phash_source="bytes").collect()}
+        stored = {(r.id_a, r.id_b) for r in
+                  visual_edges(df, CFG, phash_source="stored").collect()}
+        assert from_bytes == stored and stored
+
+
+def test_phash_batch_matches_scalar():
+    """Batched DCT/median/bit-pack is bit-identical to the scalar
+    reference across image shapes (including non-multiples of 32)."""
+    from datasketches_rust_spark.sources.phash import phash_batch
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for h, w in [(32, 32), (64, 64), (48, 40), (100, 70), (33, 65)]
+            for _ in range(3)]
+    want = np.array([phash64(p) for p in imgs], dtype=np.int64)
+    assert np.array_equal(phash_batch(imgs), want)
+    assert phash_batch([]).size == 0

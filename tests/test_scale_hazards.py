@@ -109,6 +109,39 @@ class TestHotBucketStar:
         assert (0, 1) in got
 
 
+class TestSimhashHotBucket:
+    def test_identical_fp_cluster_stars(self, spark):
+        """A cluster of identical fingerprints larger than the cap (the
+        exact-duplicate-image case at crawl scale) must produce O(n) star
+        edges around the min id — not O(n^2) pairs, and not zero."""
+        from datasketches_rust_spark.operators.visual import simhash_pairs
+        n = 40
+        rows = [(i, 0x1234ABCD5678EF01) for i in range(n)]
+        rows += [(1000 + j, (0x7FFF000000000000 ^ (j * 0x333357)) | 1)
+                 for j in range(5)]
+        df = spark.createDataFrame(rows, "id long, fp long")
+        got = {(r.id_a, r.id_b): r.hamming for r in
+               simhash_pairs(df, "id", "fp", max_hamming=3,
+                             max_bucket_size=8).collect()}
+        star = {(0, i) for i in range(1, n)}
+        assert star <= set(got)
+        assert all(got[p] == 0 for p in star)
+        # no quadratic blowup: nothing but star edges among the cluster
+        cluster_pairs = {p for p in got if p[0] < 1000 and p[1] < 1000}
+        assert cluster_pairs == star
+
+    def test_cap_disabled_restores_full_cliques(self, spark):
+        from datasketches_rust_spark.operators.visual import simhash_pairs
+        n = 12
+        rows = [(i, -42) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, fp long")
+        got = {(r.id_a, r.id_b) for r in
+               simhash_pairs(df, "id", "fp", max_hamming=3,
+                             max_bucket_size=0).collect()}
+        want = {(a, b) for a in range(n) for b in range(a + 1, n)}
+        assert got == want
+
+
 class TestConnectedComponentsConvergence:
     def test_path_graph_converges(self, spark):
         """100-node path: diameter 99 >> the old effective budget; pointer

@@ -119,12 +119,30 @@ def main() -> None:
     imgs.write.mode("overwrite").parquet(imgs_parquet)
     stored = spark.read.parquet(imgs_parquet)
     from datasketches_rust_spark.pipeline_images import visual_edges
-    ve = visual_edges(stored, cfg)
-    failures += audit("visual_edges (stored images)", ve, {
+    ve = visual_edges(stored, cfg, phash_source="stored")
+    failures += audit("visual_edges (stored phash)", ve, {
         "bytes column pruned out of scan":
             lambda p: "bytes" not in p,
         "ReadSchema only image_id+phash":
             r"ReadSchema: struct<image_id:string,phash:bigint>",
+    })
+
+    # 6b. north_star mode: phash DERIVED from pixels — bytes may appear in
+    #     the scan + ArrowEvalPython stage but must never reach a shuffle
+    #     (only the 8-byte fingerprint shuffles)
+    veb = visual_edges(stored, cfg, phash_source="bytes")
+
+    def _bytes_never_shuffled(p: str) -> bool:
+        # formatted plans list each Exchange node's Arguments with the
+        # partitioning output; 'bytes' must not appear in any of them
+        return not any("bytes" in ln for ln in p.splitlines()
+                       if "Exchange" in ln or "Arguments: hashpartitioning"
+                       in ln)
+    failures += audit("visual_edges (phash from bytes)", veb, {
+        "decode runs as ArrowEvalPython in the scan stage":
+            r"ArrowEvalPython",
+        "bytes column never reaches an Exchange":
+            _bytes_never_shuffled,
     })
 
     # 7. ann_lsh_topk: band join must shuffle ids only — the embedding

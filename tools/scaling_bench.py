@@ -72,6 +72,10 @@ def _run(code: str, *args: str, cpus: str = "32") -> dict:
         [sys.executable, "-c", code, *args],
         capture_output=True, text=True, timeout=5400,
         env={**os.environ, "SPARK_GRAFT_CPUS": cpus,
+             # 48 MB scan partitions -> the 64 x ~46 MB input files map to
+             # 64 scan tasks: exactly 2 waves at 32 cores / 8 at 8 cores
+             # (identical setting at both levels, so the comparison is fair)
+             "SPARK_GRAFT_MAX_PARTITION_BYTES": "50331648",
              "SPARK_DRIVER_MEMORY": os.environ.get(
                  "SPARK_DRIVER_MEMORY", "24g")})
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
