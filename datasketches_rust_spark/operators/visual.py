@@ -14,23 +14,7 @@ pipeline can feed caption SimHashes (q_simhash_near_docs).
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import IntegerType
-
-
-def _hamming_udf():
-    from pyspark.sql.functions import pandas_udf
-    from datasketches_rust_spark.sketches.util import popcount64
-
-    @pandas_udf(IntegerType())
-    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        xa = a.to_numpy(dtype=np.int64).view(np.uint64)
-        xb = b.to_numpy(dtype=np.int64).view(np.uint64)
-        return pd.Series(popcount64(xa ^ xb).astype(np.int32))
-
-    return _udf
 
 
 def simhash_bands(df: DataFrame, id_col: str, fp_col: str,
@@ -104,8 +88,16 @@ def simhash_pairs(df: DataFrame, id_col: str, fp_col: str,
                     F.col(f"b.{fp_col}").alias("__fb")))
     if star is not None:
         cand = cand.unionByName(star)
-    ham = _hamming_udf()
-    return (cand.distinct()
-            .withColumn("hamming", ham("__fa", "__fb"))
+    # Hamming filter FIRST, distinct second: with w-bit band keys the band
+    # self-join yields ~n^2/2^w birthday collisions (tens of millions at
+    # 10^6 rows), so (a) the popcount must be JVM-side bit_count(xor) in
+    # whole-stage codegen, not a Python UDF, and (b) the distinct shuffle
+    # must run on the tiny post-filter survivor set, not the full
+    # candidate stream. A pair colliding in several bands just evaluates
+    # the cheap popcount that many times.
+    ham = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
+    return (cand
+            .withColumn("hamming", ham)
             .where(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+            .select("id_a", "id_b", "hamming")
+            .distinct())

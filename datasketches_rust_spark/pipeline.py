@@ -69,6 +69,11 @@ def dedup_pairs(df: DataFrame, cfg: DedupConfig, id_col: str,
     # materialized, instead of leaking for the session lifetime.
     from datasketches_rust_spark.cache import track
     sigs = track(minhash_signatures(df, cfg, id_col, text_col))
+    # materialize the cache in ONE full-parallelism job before the LSH
+    # subtrees fan out: concurrent AQE leaf stages first-touching a cold
+    # cache serialize on per-partition locks, with blocked consumer tasks
+    # occupying task slots (observed: every stage at N-1/N, machine idle)
+    sigs.count()
     cands = candidate_pairs(sigs, cfg, id_col)
 
     texts = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t"))

@@ -67,9 +67,21 @@ def visual_edges(images: DataFrame, cfg: DedupConfig,
                         else "stored")
     if phash_source == "bytes":
         ph = phash_from_bytes_udf()
-        fps = images.select(F.col(id_col),
-                            ph(F.col("bytes"), F.col("fmt"))
-                            .alias(phash_col))
+        # the fingerprint table feeds 3 subtrees in simhash_pairs (bucket
+        # sizes, star join, cold self-join) — persist it so the image
+        # decode runs exactly once per row, not once per consumer. Tiny
+        # (id + 8 bytes); released by the next CC/pipeline invocation.
+        # The count() materializes the cache in ONE full-parallelism job:
+        # without it, AQE's concurrent leaf stages first-touch the cached
+        # partitions under per-partition locks, and the blocked consumer
+        # tasks occupy task slots while a handful of lock-holders decode —
+        # observed as every stage stuck at N-1/N tasks with the machine
+        # 80% idle.
+        from datasketches_rust_spark.cache import track
+        fps = track(images.select(F.col(id_col),
+                                  ph(F.col("bytes"), F.col("fmt"))
+                                  .alias(phash_col)))
+        fps.count()
     else:
         fps = images.select(F.col(id_col), F.col(phash_col))
     return (simhash_pairs(fps, id_col, phash_col,

@@ -45,24 +45,51 @@ def phash64(pixels: np.ndarray) -> int:
     return int(fp.view(np.int64))
 
 
+# persistent chunk buffers (CLAUDE.md malloc discipline: on this kernel a
+# fresh 80 MB allocation per 10k-row Arrow batch costs ~0.5 ms/4KiB in
+# first-touch page faults — 3 such temporaries made the decode stage 10x
+# slower than the warm-buffer kernel). ~50 MB resident per worker.
+_CHUNK = 2048
+_BUFS: dict | None = None
+
+
+def _bufs() -> dict:
+    global _BUFS
+    if _BUFS is None:
+        _BUFS = {"g": np.empty((_CHUNK, _N, _N)),
+                 "t1": np.empty((_CHUNK, _N, _N)),
+                 "t2": np.empty((_CHUNK, _N, _N))}
+    return _BUFS
+
+
 def phash_batch(pixel_list: list[np.ndarray]) -> np.ndarray:
     """List of (h, w, 3) uint8 -> (N,) int64 phashes.
 
     Gray/resize is per image (shapes vary); the DCT, median threshold, and
-    bit packing run batched — one einsum over the stacked (B, 32, 32) block
-    instead of B separate GEMMs. Bit-identical to phash64 per row (pinned
-    by tests/test_images.py)."""
-    if not pixel_list:
-        return np.empty(0, dtype=np.int64)
-    g = np.stack([_to_gray32(p) for p in pixel_list])          # (B, 32, 32)
-    d = np.matmul(np.matmul(_DCT, g), _DCT.T)                  # (B, 32, 32)
-    block = d[:, :8, :8].reshape(len(pixel_list), 64)          # (B, 64)
-    med = np.median(block, axis=1, keepdims=True)
-    bits = (block > med).astype(np.uint8)
-    # bit i of the hash = bits[:, i], little-endian across the 8 bytes —
-    # identical layout to phash64's explicit shift loop
-    packed = np.packbits(bits, axis=1, bitorder="little")      # (B, 8)
-    return packed.view(np.int64).ravel()
+    bit packing run batched in fixed-size chunks through persistent
+    buffers. Bit-identical to phash64 per row (pinned by
+    tests/test_images.py)."""
+    n = len(pixel_list)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    b = _bufs()
+    for start in range(0, n, _CHUNK):
+        chunk = pixel_list[start:start + _CHUNK]
+        m = len(chunk)
+        g = b["g"][:m]
+        for i, p in enumerate(chunk):
+            g[i] = _to_gray32(p)
+        np.matmul(_DCT, g, out=b["t1"][:m])
+        np.matmul(b["t1"][:m], _DCT.T, out=b["t2"][:m])
+        block = b["t2"][:m, :8, :8].reshape(m, 64)
+        med = np.median(block, axis=1, keepdims=True)
+        bits = (block > med).astype(np.uint8)
+        # bit i of the hash = bits[:, i], little-endian across the 8
+        # bytes — identical layout to phash64's explicit shift loop
+        out[start:start + m] = np.packbits(
+            bits, axis=1, bitorder="little").view(np.int64).ravel()
+    return out
 
 
 def phash_byte_ngrams(phashes: np.ndarray, n: int = 2) -> list[list[bytes]]:

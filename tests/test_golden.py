@@ -110,3 +110,221 @@ class TestDataSketchesV1Format:
             decode_tdigest(_ds_v1_blob(100, [1.0], [0], 0, 1))  # 0 weight
         with pytest.raises(SketchDecodeError):
             decode_tdigest(struct.pack(">I", 99))  # unknown compat type
+
+
+# ---------------------------------------------------------------------------
+# Compact theta wire formats v1-v4 (theta/sketch.rs:598-891). No committed
+# theta golden binaries exist in-sandbox (tests/serialization_test_data is
+# generator-produced and absent), so the fixtures below are hand-assembled
+# bytes following the published layout — independent of our writer — plus
+# writer/reader round-trips and the reference's corruption rejections.
+
+from datasketches_rust_spark.hashing import compute_seed_hash, hash_u64s
+from datasketches_rust_spark.sketches.compat import (decode_theta,
+                                                     encode_theta_v3,
+                                                     encode_theta_v4)
+from datasketches_rust_spark.sketches.theta import MAX_THETA, ThetaSketch
+
+_SEED_HASH = compute_seed_hash(9001)
+
+
+class TestThetaWire:
+    def _v3_exact_blob(self, entries):
+        # pre_longs=2, ser=3, family=3, unused u16, flags(RO|COMPACT|ORD),
+        # seed_hash, num_entries u32, unused u32, entries u64 LE
+        blob = struct.pack("<BBB", 2, 3, 3) + b"\x00\x00"
+        blob += struct.pack("<BH", 0b11010, _SEED_HASH)
+        blob += struct.pack("<I", len(entries)) + b"\x00" * 4
+        for e in entries:
+            blob += struct.pack("<Q", e)
+        return blob
+
+    def test_v3_exact_hand_assembled(self):
+        entries = [100, 2000, 30000, 400000]
+        d = decode_theta(self._v3_exact_blob(entries))
+        assert list(d.entries) == entries
+        assert d.theta == int(MAX_THETA) and not d.empty and d.ordered
+        assert d.estimate() == 4.0
+
+    def test_v3_estimation_hand_assembled(self):
+        theta = int(MAX_THETA) // 2
+        entries = [7, 11, 13]
+        blob = struct.pack("<BBB", 3, 3, 3) + b"\x00\x00"
+        blob += struct.pack("<BH", 0b11010, _SEED_HASH)
+        blob += struct.pack("<I", len(entries)) + b"\x00" * 4
+        blob += struct.pack("<Q", theta)
+        for e in entries:
+            blob += struct.pack("<Q", e)
+        d = decode_theta(blob)
+        assert d.theta == theta
+        assert d.estimate() == pytest.approx(6.0, rel=1e-9)
+
+    def test_v3_single_prelong1(self):
+        # pre_longs=1 implies exactly one entry (theta/sketch.rs:779-781)
+        blob = struct.pack("<BBB", 1, 3, 3) + b"\x00\x00"
+        blob += struct.pack("<BH", 0b11010, _SEED_HASH)
+        blob += struct.pack("<Q", 424242)
+        d = decode_theta(blob)
+        assert list(d.entries) == [424242] and d.estimate() == 1.0
+
+    def test_v3_empty_flag(self):
+        blob = struct.pack("<BBB", 1, 3, 3) + b"\x00\x00"
+        blob += struct.pack("<BH", 0b11110, 0)  # EMPTY: seed hash unchecked
+        d = decode_theta(blob)
+        assert d.empty and d.estimate() == 0.0
+
+    def test_v1_v2_hand_assembled(self):
+        # v1: pre, ser=1, fam, unused u8, unused u32... layout from
+        # theta/sketch.rs:648-685
+        entries = [5, 17]
+        v1 = struct.pack("<BBBB", 3, 1, 3, 0) + struct.pack("<I", 0)
+        v1 += struct.pack("<II", len(entries), 0)
+        v1 += struct.pack("<Q", int(MAX_THETA))
+        for e in entries:
+            v1 += struct.pack("<Q", e)
+        d = decode_theta(v1)
+        assert list(d.entries) == entries and not d.is_estimation_mode()
+        # v2 estimate-mode: pre_longs=3 (theta/sketch.rs:730-750)
+        theta = int(MAX_THETA) // 4
+        v2 = struct.pack("<BBBB", 3, 2, 3, 0)
+        v2 += struct.pack("<HH", 0, _SEED_HASH)
+        v2 += struct.pack("<II", 1, 0) + struct.pack("<Q", theta)
+        v2 += struct.pack("<Q", 99)
+        d2 = decode_theta(v2)
+        assert list(d2.entries) == [99] and d2.theta == theta
+
+    def test_v4_hand_assembled(self):
+        # entries 1,2,3 -> deltas 1,1,1 -> entry_bits=1, MSB-first stream
+        # 0b111 padded -> byte 0xE0 (theta/sketch.rs:807-891, bit_pack.rs)
+        blob = struct.pack("<BBBBBB", 1, 4, 3, 1, 1, 0b11010)
+        blob += struct.pack("<H", _SEED_HASH)
+        blob += bytes([3])          # num_entries = 3 (1 byte)
+        blob += bytes([0b11100000])
+        d = decode_theta(blob)
+        assert list(d.entries) == [1, 2, 3]
+        assert d.estimate() == 3.0
+
+    def test_round_trip_all_modes(self):
+        import numpy as np
+        sk = ThetaSketch(lg_k=8)
+        sk.update_hashes(hash_u64s(np.arange(10000, dtype=np.uint64)))
+        assert sk.is_estimation_mode()
+        for enc in (encode_theta_v3, encode_theta_v4):
+            d = decode_theta(enc(sk))
+            assert np.array_equal(d.entries, sk.entries)
+            assert d.theta == int(sk.theta)
+            nat = d.to_native(lg_k=8)
+            assert nat.estimate() == pytest.approx(sk.estimate())
+        small = ThetaSketch(lg_k=12)
+        small.update_hashes(hash_u64s(np.arange(7, dtype=np.uint64)))
+        for enc in (encode_theta_v3, encode_theta_v4):
+            assert decode_theta(enc(small)).estimate() == 7.0
+        assert decode_theta(encode_theta_v3(ThetaSketch(lg_k=12))).empty
+
+    def test_v4_matches_v3_content(self):
+        import numpy as np
+        sk = ThetaSketch(lg_k=6)
+        sk.update_hashes(hash_u64s(np.arange(300, dtype=np.uint64)))
+        a, b = decode_theta(encode_theta_v3(sk)), \
+            decode_theta(encode_theta_v4(sk))
+        assert np.array_equal(a.entries, b.entries) and a.theta == b.theta
+        assert len(encode_theta_v4(sk)) < len(encode_theta_v3(sk))
+
+    def test_corruptions_rejected(self):
+        good = self._v3_exact_blob([100, 200])
+        with pytest.raises(SketchDecodeError):
+            decode_theta(good[:-4])                       # truncated
+        with pytest.raises(SketchDecodeError):
+            decode_theta(good[:2] + b"\x14" + good[3:])   # wrong family
+        bad_seed = good[:6] + struct.pack("<H", _SEED_HASH ^ 1) + good[8:]
+        with pytest.raises(SketchDecodeError):
+            decode_theta(bad_seed)
+        with pytest.raises(SketchDecodeError):            # hash 0 invalid
+            decode_theta(self._v3_exact_blob([0, 200]))
+        with pytest.raises(SketchDecodeError):            # bad serial ver
+            decode_theta(good[:1] + b"\x07" + good[2:])
+
+
+# ---------------------------------------------------------------------------
+# HLL reference wire format (hll/serialization.rs, array{4,6,8}/list/set
+# layouts). Hand-assembled fixtures per the published layout + round-trips.
+
+import numpy as np
+
+from datasketches_rust_spark.sketches.compat import decode_hll, encode_hll8
+from datasketches_rust_spark.sketches.hll import HllSketch
+
+
+class TestHllWire:
+    def _keys(self, n):
+        raw = b"".join(f"user{i:06d}".encode().ljust(12) for i in range(n))
+        return np.frombuffer(raw, dtype=np.uint8).reshape(n, 12)
+
+    def test_hll8_round_trip_preserves_hip(self):
+        sk = HllSketch(lg_k=11)
+        sk.update_keys(self._keys(50000))
+        d = decode_hll(encode_hll8(sk))
+        assert np.array_equal(d.regs, sk.regs)
+        assert d.hip_accum == sk.hip_accum and d.kxq0 == sk.kxq0
+        assert d.estimate() == pytest.approx(sk.estimate())
+        # HIP RSE at lg_k=11 is 0.8326/sqrt(2048) = 1.85%; allow ~2 sigma
+        # (the reference's <2% golden band, hll_serialization_test.rs:225,
+        # is at lg_k 14 where the RSE is 3x tighter)
+        assert d.estimate() == pytest.approx(50000, rel=0.04)
+
+    def test_list_mode_hand_assembled(self):
+        slots = np.array([5, 99, 1000])
+        vals = np.array([3, 7, 12], dtype=np.uint8)
+        want = HllSketch(lg_k=10)
+        want.update_coupons(slots, vals)
+        coupons = [(int(v) << 26) | int(s) for s, v in zip(slots, vals)]
+        blob = struct.pack("<BBBBBBBB", 2, 1, 7, 10, 3, 8, 3, 0 | (2 << 2))
+        blob += b"".join(struct.pack("<I", c) for c in coupons)
+        d = decode_hll(blob)
+        assert np.array_equal(d.regs, want.regs)
+        assert d.estimate() == pytest.approx(want.estimate())
+
+    def test_set_mode_non_compact_with_empties(self):
+        coupons = [(7 << 26) | 42, 0, (9 << 26) | 99, 0]  # EMPTY sentinels
+        blob = struct.pack("<BBBBBBBB", 3, 1, 7, 8, 2, 0, 0, 1 | (2 << 2))
+        blob += struct.pack("<I", 2)
+        blob += b"".join(struct.pack("<I", c) for c in coupons)
+        d = decode_hll(blob)
+        assert d.regs[42] == 7 and d.regs[99] == 9
+        assert np.count_nonzero(d.regs) == 2
+
+    def test_hll6_hand_packed(self):
+        rng = np.random.default_rng(5)
+        regs = rng.integers(0, 50, 16, dtype=np.uint8)
+        bits = np.unpackbits(regs[:, None] & np.uint8(0x3F), axis=1,
+                             bitorder="little")[:, :6].ravel()
+        data = np.packbits(bits, bitorder="little").tobytes() + b"\x00" * 3
+        blob = struct.pack("<BBBBBBBB", 10, 1, 7, 4, 0, 0, 0, 2 | (1 << 2))
+        blob += struct.pack("<ddd", 12.5, 3.0, 1.0)
+        blob += struct.pack("<II", 0, 0) + data
+        d = decode_hll(blob)
+        assert np.array_equal(d.regs, regs) and d.hip_accum == 12.5
+
+    def test_hll4_with_aux_map(self):
+        regs = np.array([2, 3, 17, 4] * 4, dtype=np.uint8)
+        cur_min = 2
+        raw = np.minimum(regs - cur_min, 15).astype(np.uint8)
+        nib = (raw[0::2] | (raw[1::2] << 4)).astype(np.uint8)
+        aux = [(int(regs[i]) << 26) | i for i in range(16) if raw[i] == 15]
+        blob = struct.pack("<BBBBBBBB", 10, 1, 7, 4, 0, 0, cur_min, 2)
+        blob += struct.pack("<ddd", 0.0, 1.0, 0.0)
+        blob += struct.pack("<II", 0, len(aux))
+        blob += nib.tobytes() + b"".join(struct.pack("<I", c) for c in aux)
+        d = decode_hll(blob)
+        assert np.array_equal(d.regs, regs)
+
+    def test_corruptions_rejected(self):
+        good = encode_hll8(HllSketch(lg_k=4))
+        with pytest.raises(SketchDecodeError):
+            decode_hll(good[:20])                          # truncated
+        with pytest.raises(SketchDecodeError):
+            decode_hll(good[:2] + b"\x03" + good[3:])      # wrong family
+        with pytest.raises(SketchDecodeError):
+            decode_hll(good[:3] + b"\x16" + good[4:])      # lg_k 22
+        with pytest.raises(SketchDecodeError):
+            decode_hll(good[:1] + b"\x02" + good[2:])      # bad serial
