@@ -85,7 +85,14 @@ def spark_session(app: str = "datasketches-rust-spark", cpus: int | None = None,
         os.environ["PYTHONPATH"] = (repo_root + os.pathsep + existing
                                     if existing else repo_root)
 
-    return (
+    # Shuffle/spill dir: default (/tmp). Measured on this sandbox: tmpfs
+    # is 14x SLOWER than /tmp for fresh writes (shmem page allocation IS
+    # the ~0.5 ms/4KiB fault slow-path; the ext4 page cache recycles hot
+    # pages cheaply), and the kernel grants no huge shmem pages even on a
+    # huge=always mount — so RAM-disk shuffle is a pessimization here.
+    # Override with SPARK_GRAFT_LOCAL_DIR on hosts with NVMe local dirs.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -105,6 +112,13 @@ def spark_session(app: str = "datasketches-rust-spark", cpus: int | None = None,
         # large binary image columns through Arrow: bound batch size so a
         # batch of (bytes, caption) rows stays well under worker memory
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # shuffle WRITE time dominates the band-join stages (taskSummary:
+        # ~9 s of a 10 s median task). Bigger write/compression buffers
+        # mean fewer syscalls and fewer fresh page touches per spill —
+        # the same tuning a real cluster with fast local disks wants
+        .config("spark.shuffle.file.buffer", "1m")
+        .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+        .config("spark.io.compression.lz4.blockSize", "512k")
         # scan-partition size: 128 MB default (the standard cluster value);
         # override via env when a job wants scan task counts that divide
         # the core count evenly (wave quantization: a 46-task CPU-heavy UDF
@@ -113,6 +127,17 @@ def spark_session(app: str = "datasketches-rust-spark", cpus: int | None = None,
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
                                "134217728"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # page faults cost ~0.5 ms/4KiB on this kernel and the fault path
+        # serializes under many-core load (98% sys time at local[32]).
+        # madvise'd transparent huge pages cut heap faults 512x, and
+        # pre-touching at -Xms moves the rest to JVM startup (outside any
+        # warm measurement). numpy already madvises >=4 MB buffers, so the
+        # python side is covered by default.
+        .config("spark.driver.extraJavaOptions",
+                "-Xms" + os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+                + " -XX:+UseTransparentHugePages -XX:+AlwaysPreTouch")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
-        .getOrCreate()
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    return builder.getOrCreate()

@@ -71,6 +71,27 @@ def main() -> None:
     for w, sid, ntask, run, util, name in rows[:30]:
         print(f"  {w:6.1f} {sid:5d} {ntask:5d}  {run:10.1f}  "
               f"{util:9.2f}  {name}")
+
+    # where did the time actually go in the slowest stages? taskSummary
+    # gives quantiles of the per-task breakdown (all ms)
+    print("\n  per-task medians/maxes for the 8 slowest stages (ms):")
+    for w, sid, ntask, run, util, name in rows[:8]:
+        try:
+            summ = get(f"stages/{sid}/0/taskSummary"
+                       "?quantiles=0.5,1.0")
+        except Exception as e:
+            print(f"  stage {sid}: taskSummary unavailable ({e})")
+            continue
+        srm = summ.get("shuffleReadMetrics", {})
+        swm = summ.get("shuffleWriteMetrics", {})
+        def mm(key, obj=summ):
+            v = obj.get(key)
+            return f"{v[0]:.0f}/{v[1]:.0f}" if v else "-"
+        print(f"  stage {sid:4d} wall {w:5.1f}s: run {mm('executorRunTime')}"
+              f" gc {mm('jvmGcTime')} sched {mm('schedulerDelay')}"
+              f" deser {mm('executorDeserializeTime')}"
+              f" fetchWait {mm('fetchWaitTime', srm)}"
+              f" shufWrite {mm('writeTime', swm)}")
     total_stage_wall = sum(r[0] for r in rows)
     total_run = sum(r[3] for r in rows)
     print(f"# stage wall sum {total_stage_wall:.1f}s (overlaps possible), "
