@@ -96,7 +96,15 @@ def spark_session(app: str = "datasketches-rust-spark", cpus: int | None = None,
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        # AQE stays on by default (runtime coalescing + skew-join splits
+        # are part of the 100 TB story). SPARK_GRAFT_AQE=false exists for
+        # local-mode measurement: AQE materializes every query stage as
+        # its own job, and on this sandbox each job carries ~1.6 s fixed
+        # overhead — ~30 sequential stages put ~60-100 s of pure latency
+        # on the critical path that a real cluster never sees. Skew is
+        # independently handled by the explicit hot-bucket star degrade.
+        .config("spark.sql.adaptive.enabled",
+                os.environ.get("SPARK_GRAFT_AQE", "true"))
         # preload numpy/pandas/pyarrow + kernels in the daemon so forked
         # workers inherit resident modules (worker cold-start is seconds to
         # tens of seconds on virtualized kernels otherwise)

@@ -80,6 +80,14 @@ def _run(code: str, *args: str, cpus: str = "32") -> dict:
              # 64 scan tasks: exactly 2 waves at 32 cores / 8 at 8 cores
              # (identical setting at both levels, so the comparison is fair)
              "SPARK_GRAFT_MAX_PARTITION_BYTES": "50331648",
+             # AQE off for the measured job (identical at both levels):
+             # AQE materializes each query stage as its own job, and this
+             # sandbox charges ~1.6 s fixed overhead per job — a constant
+             # ~85 s critical-path tax at ANY core count that a real
+             # cluster never pays (measured: warm 138.7 s -> 55.3 s at 32
+             # cores). Engine default keeps AQE on; skew is independently
+             # handled by the hot-bucket star degrade.
+             "SPARK_GRAFT_AQE": "false",
              "SPARK_DRIVER_MEMORY": os.environ.get(
                  "SPARK_DRIVER_MEMORY", "24g")})
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
