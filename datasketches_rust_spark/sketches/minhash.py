@@ -68,18 +68,39 @@ def signatures(shingle_hashes: np.ndarray, doc_offsets: np.ndarray,
         return out
 
     counts = np.diff(offsets)
-    nonempty = counts > 0
-    starts = offsets[:-1][nonempty]
-
     a, b = perm_params(num_perm, seed)
-    # one in-place pass per permutation over a persistent scratch buffer:
-    # peak extra memory is 8 bytes/shingle regardless of num_perm, and the
-    # buffer is faulted in once per worker, then reused every batch
-    tmp = _buf("sig_tmp", h.size)
-    for p in range(num_perm):
-        np.multiply(h, a[p], out=tmp)   # uint64 wraparound = mod 2^64
-        np.add(tmp, b[p], out=tmp)
-        out[nonempty, p] = np.minimum.reduceat(tmp, starts)
+
+    # Cache-blocked: documents are processed in groups whose shingle span
+    # fits L2 (~256 KB), and ALL num_perm permutations run over one group
+    # before moving on. The naive order (each permutation streaming the
+    # whole batch) reads+writes the full shingle array from DRAM 3x per
+    # permutation — ~3 KB of memory traffic per shingle — which saturates
+    # this box's DRAM bandwidth at ~16 concurrent workers and caps
+    # core-count scaling (tools/hw_scaling_probe.py). Blocked, the group
+    # stays cache-resident across the permutation loop, so DRAM traffic
+    # drops to ~one read per shingle + one write per signature.
+    chunk_elems = 32_768  # u64 span per group: 256 KB, L2-resident
+    tmp = _buf("sig_tmp", min(h.size, chunk_elems))
+    d0 = 0
+    while d0 < n_docs:
+        d1 = d0 + 1
+        while d1 < n_docs and offsets[d1 + 1] - offsets[d0] <= chunk_elems:
+            d1 += 1
+        s, e = int(offsets[d0]), int(offsets[d1])
+        if s == e:  # all-empty group keeps the U64_MAX signature
+            d0 = d1
+            continue
+        hseg = h[s:e]
+        ne = counts[d0:d1] > 0
+        seg_starts = offsets[d0:d1][ne] - s
+        t = tmp[:hseg.size] if hseg.size <= chunk_elems \
+            else _buf("sig_tmp_big", hseg.size)  # one oversized doc
+        o = out[d0:d1]
+        for p in range(num_perm):
+            np.multiply(hseg, a[p], out=t)  # uint64 wraparound = mod 2^64
+            np.add(t, b[p], out=t)
+            o[ne, p] = np.minimum.reduceat(t, seg_starts)
+        d0 = d1
     return out
 
 
