@@ -69,10 +69,13 @@ def main() -> None:
     out = {}
     for label, n_elem, iters in (("streaming", 200_000, 400),
                                  ("cache_resident", 8_000, 8000)):
+        r2 = _run(2, iters, n_elem)
         r8 = _run(8, iters, n_elem)
         r32 = _run(32, iters, n_elem)
         out[label] = {
-            "local8": r8, "local32": r32,
+            "local2": r2, "local8": r8, "local32": r32,
+            "scaling_2_to_8": round(
+                r8["mhash_per_sec"] / r2["mhash_per_sec"], 2),
             "scaling_8_to_32": round(
                 r32["mhash_per_sec"] / r8["mhash_per_sec"], 2)}
     print(json.dumps(out, indent=1))
