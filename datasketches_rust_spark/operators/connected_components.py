@@ -56,8 +56,7 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
     # (or a plain vertex scan), so materializing them separately would only
     # add a job — on this environment each job costs ~1.6s of fixed overhead
     if vertices is None:
-        labels = sym.select(F.col("s").alias("v")).distinct() \
-            .withColumn("label", F.col("v"))
+        labels = None  # identity labels: round 1 reads them off sym directly
     else:
         labels = vertices.select(F.col(id_col).alias("v"),
                                  F.col(id_col).alias("label"))
@@ -70,12 +69,24 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
         # ("did any label change?") falls out of the same aggregate that
         # materializes the persisted next-round labels — no separate
         # join+count job.
-        own = labels.select("v", "label", F.lit(1).alias("__own"))
-        msgs = (sym.join(labels, sym.s == labels.v)
-                .select(F.col("d").alias("v"), "label",
-                        F.lit(0).alias("__own")))
+        if labels is None:
+            # round 1 with identity labels: label(v)=v, so the message a
+            # vertex d receives from neighbor s is just s — no distinct
+            # (the groupBy dedups) and no join: ONE shuffle instead of
+            # three (distinct + join + groupBy)
+            own = sym.select(F.col("s").alias("v"),
+                             F.col("s").alias("label"),
+                             F.lit(1).alias("__own"))
+            msgs = sym.select(F.col("d").alias("v"),
+                              F.col("s").alias("label"),
+                              F.lit(0).alias("__own"))
+        else:
+            own = labels.select("v", "label", F.lit(1).alias("__own"))
+            msgs = (sym.join(labels, sym.s == labels.v)
+                    .select(F.col("d").alias("v"), "label",
+                            F.lit(0).alias("__own")))
         legs = own.unionByName(msgs)
-        if it >= shortcut_after:
+        if it >= shortcut_after and labels is not None:
             # pointer doubling: v also adopts label(label(v)). label values
             # are themselves vertex ids present in `labels`, so this is a
             # self-join keyed on the label — reach doubles every round.

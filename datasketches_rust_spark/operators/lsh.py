@@ -3,12 +3,13 @@ pipeline, so everything here is shaped around shuffle hygiene.
 
 Plan shape (at 100 TB / 10^12 rows):
   explode(bands)            -- narrow, stays in the scan stage
-  groupBy(band_idx, key)    -- shuffle 1: tiny rows (idx, key, id)
+  groupBy(band_key)         -- shuffle 1: tiny rows (key, id); the band
+                               index is mixed into the key by the kernel
   hot-bucket guard          -- CountMin-style skew detection done exactly
                                here (the counts are already materialized);
                                buckets over the cap DEGRADE to a star
                                topology instead of the quadratic self-join
-  self-join on (idx, key)   -- shuffle 2: both sides partitioned identically
+  self-join on band_key     -- shuffle 2: both sides partitioned identically
                                by the join key, so AQE plans a co-located
                                join; skew-join splitting handles any
                                surviving hot key
@@ -37,9 +38,12 @@ from datasketches_rust_spark.config import DedupConfig
 
 
 def explode_bands(df: DataFrame, id_col: str, bands_col: str) -> DataFrame:
+    """(__id, band_key) rows. The band index is already mixed into the key
+    by sketches/minhash.band_hashes, so the single long IS the whole join
+    key — band rows stay 16 bytes of payload through both LSH shuffles."""
     return df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.col(bands_col)).alias("band_idx", "band_key"))
+        F.explode(F.col(bands_col)).alias("band_key"))
 
 
 def candidate_pairs(df: DataFrame, cfg: DedupConfig, id_col: str,
@@ -64,21 +68,21 @@ def candidate_pairs(df: DataFrame, cfg: DedupConfig, id_col: str,
         # its representative — broadcasts once instead of the former
         # size-then-rep two-step (every AQE barrier on the critical path is
         # a full job of fixed overhead)
-        sizes = ex.groupBy("band_idx", "band_key").agg(
+        sizes = ex.groupBy("band_key").agg(
             F.count("*").alias("__n"), F.min("__id").alias("__rep"))
         hot = sizes.where(F.col("__n") > cfg.max_bucket_size) \
-                   .select("band_idx", "band_key", "__rep")
-        star = (ex.join(F.broadcast(hot), ["band_idx", "band_key"])
+                   .select("band_key", "__rep")
+        star = (ex.join(F.broadcast(hot), ["band_key"])
                 .where(F.col("__id") != F.col("__rep"))
                 .select(F.least("__id", "__rep").alias("id_a"),
                         F.greatest("__id", "__rep").alias("id_b"),
                         F.lit(1).alias("__hot")))
-        ex = ex.join(F.broadcast(hot.select("band_idx", "band_key")),
-                     ["band_idx", "band_key"], "left_anti")
+        ex = ex.join(F.broadcast(hot.select("band_key")),
+                     ["band_key"], "left_anti")
 
     a = ex.alias("a")
     b = ex.alias("b")
-    events = (a.join(b, ["band_idx", "band_key"])
+    events = (a.join(b, ["band_key"])
               .where(F.col("a.__id") < F.col("b.__id"))
               .select(F.col("a.__id").alias("id_a"),
                       F.col("b.__id").alias("id_b"),
@@ -102,7 +106,7 @@ def hot_bucket_stats(df: DataFrame, cfg: DedupConfig, id_col: str,
     (star-degraded) buckets. Feeds the pipeline's lineage/metrics
     checkpoint."""
     ex = explode_bands(df, id_col, bands_col)
-    sizes = ex.groupBy("band_idx", "band_key").count()
+    sizes = ex.groupBy("band_key").count()
     return sizes.agg(
         F.count("*").alias("n_buckets"),
         F.max("count").alias("max_bucket"),

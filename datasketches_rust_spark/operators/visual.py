@@ -3,7 +3,7 @@
 SimHash pair detection via pigeonhole Hamming bands: fingerprints within
 ``max_hamming`` bit flips agree exactly on at least one of
 (max_hamming + 1) bands (sketches/simhash.py:hamming_bands), so the
-candidate join is an equality self-join on (band_idx, band_value) — the
+candidate join is an equality self-join on the packed band key — the
 same shuffle shape as the MinHash LSH join — followed by an exact popcount
 verify. Recall is exactly 1.0 by the pigeonhole argument; no probabilistic
 misses.
@@ -19,15 +19,19 @@ from pyspark.sql import DataFrame, functions as F
 
 def simhash_bands(df: DataFrame, id_col: str, fp_col: str,
                   num_bands: int) -> DataFrame:
-    """Explode a 64-bit fingerprint into (band_idx, band_key) rows —
-    JVM-side bit slicing (shiftright + mask), no Python."""
+    """Explode a 64-bit fingerprint into single-long band keys —
+    JVM-side bit slicing (shiftright + mask), no Python. The band index
+    is packed into the key's high bits ((idx << width) | slice, injective
+    since slice < 2^width), so one long is the whole join key and band
+    rows carry 16 bytes of payload through the self-join shuffle."""
     width = 64 // num_bands
     mask = (1 << width) - 1
     bands = F.array(*[
         F.shiftrightunsigned(F.col(fp_col), i * width).bitwiseAND(mask)
+        + F.lit(i << width if num_bands > 1 else 0)
         for i in range(num_bands)])
     return (df.select(F.col(id_col).alias("__id"), F.col(fp_col),
-                      F.posexplode(bands).alias("band_idx", "band_key")))
+                      F.explode(bands).alias("band_key")))
 
 
 def simhash_pairs(df: DataFrame, id_col: str, fp_col: str,
@@ -61,13 +65,13 @@ def simhash_pairs(df: DataFrame, id_col: str, fp_col: str,
         # the representative's fingerprint (min_by) — all map-side partial,
         # so the hot keys reduce before the tiny shuffle and the hot list
         # broadcasts once (no separate size-then-rep barrier)
-        sizes = ex.groupBy("band_idx", "band_key").agg(
+        sizes = ex.groupBy("band_key").agg(
             F.count("*").alias("__n"), F.min("__id").alias("__rep"),
             F.min_by(F.col(fp_col), F.col("__id")).alias("__rep_fp"))
         hot = sizes.where(F.col("__n") > max_bucket_size) \
-                   .select("band_idx", "band_key", "__rep", "__rep_fp")
+                   .select("band_key", "__rep", "__rep_fp")
         rep_first = F.col("__rep") < F.col("__id")
-        star = (ex.join(F.broadcast(hot), ["band_idx", "band_key"])
+        star = (ex.join(F.broadcast(hot), ["band_key"])
                 .where(F.col("__id") != F.col("__rep"))
                 .select(F.least("__id", "__rep").alias("id_a"),
                         F.greatest("__id", "__rep").alias("id_b"),
@@ -75,12 +79,12 @@ def simhash_pairs(df: DataFrame, id_col: str, fp_col: str,
                         .otherwise(F.col(fp_col)).alias("__fa"),
                         F.when(rep_first, F.col(fp_col))
                         .otherwise(F.col("__rep_fp")).alias("__fb")))
-        ex = ex.join(F.broadcast(hot.select("band_idx", "band_key")),
-                     ["band_idx", "band_key"], "left_anti")
+        ex = ex.join(F.broadcast(hot.select("band_key")),
+                     ["band_key"], "left_anti")
 
     a = ex.alias("a")
     b = ex.alias("b")
-    cand = (a.join(b, ["band_idx", "band_key"])
+    cand = (a.join(b, ["band_key"])
             .where(F.col("a.__id") < F.col("b.__id"))
             .select(F.col("a.__id").alias("id_a"),
                     F.col("b.__id").alias("id_b"),

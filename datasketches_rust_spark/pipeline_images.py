@@ -9,8 +9,9 @@ Edge sources, merged before clustering:
                   (sources/phash.py) so JPEG re-encode / bounded noise
                   (PSNR >= 40 dB) keeps Hamming distance ~0-3.
 
-Scale notes: the caption path shuffles (band_idx, band_key, id) triples;
-the visual path shuffles (band_idx, 16-bit band, id) — both tiny rows.
+Scale notes: both the caption and the visual path shuffle (band_key,
+id) pairs — 16 bytes/row, the band index mixed into the key and string
+image ids mapped to xxhash64 longs for the whole internal pipeline.
 The heavy `bytes` column is never shuffled: phash is computed at scan time
 (mapInPandas over the binary column) and only the 8-byte fingerprint
 travels. Cluster ids come from connected components over the merged edges.
@@ -100,7 +101,38 @@ def image_cluster_assignments(images: DataFrame, cfg: DedupConfig,
                               id_col: str = "image_id",
                               phash_source: str = "auto") -> DataFrame:
     """DataFrame[image_id, cluster_id(string)] — connected components over
-    caption ∪ visual edges; cluster_id = min member image_id."""
+    caption ∪ visual edges; cluster_id = min member image_id.
+
+    String ids run the shuffle-heavy middle (band self-joins, pair
+    dedup, verify joins, label propagation) in LONG space: __lid =
+    xxhash64(image_id) is derived once at the scan, every internal row
+    carries 8-byte ids instead of variable-length UTF8, and the string
+    cluster_id (min member image_id) is recovered afterwards with one
+    groupBy + join over only the edge-touched vertices. Measured on this
+    box the string rows inflate shuffle-stage task time ~1.5x at 8 cores
+    (DRAM-bound machinery moving twice the bytes); at 10^12 rows the same
+    bytes dominate the shuffle bill. xxhash64 collisions would need ~2^32
+    ids to matter (birthday bound) — at that scale swap in a 128-bit
+    (two-column) key."""
+    if dict(images.dtypes)[id_col] == "string":
+        limgs = images.withColumn("__lid", F.xxhash64(F.col(id_col)))
+        edges = (caption_edges(limgs, cfg, "__lid")
+                 .unionByName(visual_edges(limgs, cfg, "__lid",
+                                           phash_source=phash_source)))
+        from datasketches_rust_spark.operators.connected_components import \
+            connected_components
+        cc = connected_components(edges, None, id_col="__lid")
+        idmap = images.select(F.col(id_col),
+                              F.xxhash64(F.col(id_col)).alias("__lid"))
+        members = cc.join(idmap, "__lid") \
+            .select(F.col(id_col), F.col("cluster_id").alias("__cl"))
+        reps = members.groupBy("__cl").agg(F.min(id_col).alias("cluster_id"))
+        assigned = members.join(reps, "__cl").select(id_col, "cluster_id")
+        return (images.select(F.col(id_col))
+                .join(assigned, id_col, "left")
+                .withColumn("cluster_id",
+                            F.coalesce(F.col("cluster_id"), F.col(id_col)))
+                .select(id_col, "cluster_id"))
     edges = (caption_edges(images, cfg, id_col)
              .unionByName(visual_edges(images, cfg, id_col,
                                        phash_source=phash_source)))

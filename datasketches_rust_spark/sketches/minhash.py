@@ -131,7 +131,10 @@ def band_hashes(sigs: np.ndarray, bands: int, rows: int,
     """LSH band keys: (n_docs, bands) int64. Band j's key summarizes
     signature columns [j*rows, (j+1)*rows) — equal keys <=> (w.h.p.) equal
     band slices. Uses an order-dependent affine fold so that permuted
-    slices don't collide."""
+    slices don't collide, and mixes the band INDEX into the key so keys
+    from different bands never (w.h.p.) collide: the LSH join can then
+    use the single long key as the whole join key, halving the join-key
+    bytes every band row carries through the two big shuffles."""
     n, p = sigs.shape
     if bands * rows != p:
         raise ValueError(f"bands*rows {bands}*{rows} != num_perm {p}")
@@ -139,5 +142,9 @@ def band_hashes(sigs: np.ndarray, bands: int, rows: int,
     view = sigs.reshape(n, bands, rows)
     folded = (view * a[None, None, :] + b[None, None, :]).sum(axis=2,
                                                               dtype=np.uint64)
+    # distinct per-band offsets (splitmix golden-ratio steps)
+    idx_mix = ((np.arange(1, bands + 1, dtype=np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)) ^ np.uint64(seed))
+    folded ^= idx_mix[None, :]
     # make it a positive int63 so Spark LongType holds it comfortably
     return (folded >> np.uint64(1)).astype(np.int64)
