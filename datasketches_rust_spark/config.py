@@ -141,9 +141,16 @@ def spark_session(app: str = "datasketches-rust-spark", cpus: int | None = None,
         # pre-touching at -Xms moves the rest to JVM startup (outside any
         # warm measurement). numpy already madvises >=4 MB buffers, so the
         # python side is covered by default.
+        # GC/JIT thread counts follow the core allotment, like a real
+        # executor JVM sized by spark.executor.cores — without this a
+        # local[2] session on a 32-core box gets ~25 GC threads serving 2
+        # mutators, a free speedup no 2-core executor ever sees (skews any
+        # cross-core-count comparison)
         .config("spark.driver.extraJavaOptions",
                 "-Xms" + os.environ.get("SPARK_DRIVER_MEMORY", "8g")
-                + " -XX:+UseTransparentHugePages -XX:+AlwaysPreTouch")
+                + " -XX:+UseTransparentHugePages -XX:+AlwaysPreTouch"
+                + f" -XX:ParallelGCThreads={max(2, cpus)}"
+                + f" -XX:ConcGCThreads={max(1, cpus // 4)}")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     if local_dir:

@@ -57,23 +57,39 @@ def minhash_signatures(df: DataFrame, cfg: DedupConfig, id_col: str,
 
 
 def dedup_pairs(df: DataFrame, cfg: DedupConfig, id_col: str,
-                text_col: str) -> DataFrame:
+                text_col: str, sigs: DataFrame | None = None) -> DataFrame:
     """DataFrame[id_a, id_b, jaccard] — verified near-dup pairs
-    (exact shingle Jaccard >= cfg.jaccard_threshold), id_a < id_b."""
-    # The signature table is read by the bucket-size guard, both sides of
-    # the LSH self-join, and (indirectly) the verify stage — persist it so
-    # the signature UDF runs exactly once per input row. At 10^12-row scale
-    # this is the per-partition signature table the north_star checkpoints
-    # to Iceberg; MEMORY_AND_DISK spills gracefully. Tracked (cache.py):
-    # released at the next CC/pipeline invocation, after consumers have
-    # materialized, instead of leaking for the session lifetime.
-    from datasketches_rust_spark.cache import track
-    sigs = track(minhash_signatures(df, cfg, id_col, text_col))
-    # materialize the cache in ONE full-parallelism job before the LSH
-    # subtrees fan out: concurrent AQE leaf stages first-touching a cold
-    # cache serialize on per-partition locks, with blocked consumer tasks
-    # occupying task slots (observed: every stage at N-1/N, machine idle)
-    sigs.count()
+    (exact shingle Jaccard >= cfg.jaccard_threshold), id_a < id_b.
+
+    ``sigs``: optional pre-materialized signature table [id, bands]
+    (e.g. the image pipeline's fused one-scan sketch table, or a
+    checkpointed Iceberg signature table on re-runs). When omitted it is
+    built here and cached.
+    """
+    if sigs is None:
+        # The signature table is read by the bucket-size guard and both
+        # sides of the LSH self-join — persist it so the signature UDF
+        # runs exactly once per input row. At 10^12-row scale this is the
+        # per-partition signature table the north_star checkpoints to
+        # Iceberg; MEMORY_AND_DISK spills gracefully. Tracked (cache.py):
+        # released at the next CC/pipeline invocation, after consumers
+        # have materialized, instead of leaking for the session lifetime.
+        # Only (id, bands) is cached: candidate generation joins on the
+        # band keys alone, and the verify stage recomputes shingle sets
+        # from the raw text — caching the 128-long sig array would put
+        # ~1 KB/row of never-read payload through the cache write AND
+        # through every subtree scan that re-reads this table. Callers
+        # that need sig (checkpointing, sketch queries) call
+        # minhash_signatures directly.
+        from datasketches_rust_spark.cache import track
+        sigs = track(minhash_signatures(df, cfg, id_col, text_col)
+                     .select(id_col, "bands"))
+        # materialize the cache in ONE full-parallelism job before the
+        # LSH subtrees fan out: concurrent AQE leaf stages first-touching
+        # a cold cache serialize on per-partition locks, with blocked
+        # consumer tasks occupying task slots (observed: every stage at
+        # N-1/N, machine idle)
+        sigs.count()
     cands = candidate_pairs(sigs, cfg, id_col)
 
     texts = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t"))

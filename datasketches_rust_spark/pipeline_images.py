@@ -48,6 +48,46 @@ def phash_from_bytes_udf():
     return _udf
 
 
+def image_sketch_table(images: DataFrame, cfg: DedupConfig,
+                       id_col: str = "image_id",
+                       phash_source: str = "auto") -> DataFrame:
+    """ONE scan computes every per-row sketch the dedup pipeline needs —
+    DataFrame[id, bands array<long>, phash long], cached and materialized.
+
+    The caption MinHash/LSH path and the visual phash path each need a
+    full pass over the table; fusing them means the parquet row groups
+    decompress once, the heavy `bytes` column is read once, and both
+    pandas UDFs ride the same Arrow batch through one python-worker
+    round-trip (Spark evaluates independent pandas UDFs in a projection
+    as a single ArrowEvalPython node). At 100 TB this halves the scan
+    bill; the cached result is the per-partition signature table the
+    north_star checkpoints to Iceberg."""
+    from datasketches_rust_spark.cache import track
+    from datasketches_rust_spark.functions.text import minhash_struct_udf
+    from datasketches_rust_spark.pipeline import ensure_parallelism
+
+    if phash_source == "auto":
+        phash_source = ("bytes" if {"bytes", "fmt"} <= set(images.columns)
+                        else "stored")
+    mh = minhash_struct_udf(cfg)
+    in_cols = [id_col, "caption"] + (["bytes", "fmt"]
+                                     if phash_source == "bytes"
+                                     else ["phash"])
+    narrow = ensure_parallelism(images.select(*in_cols))
+    cols = [F.col(id_col),
+            mh(F.lower(F.col("caption"))).getField("bands").alias("bands")]
+    if phash_source == "bytes":
+        ph = phash_from_bytes_udf()
+        cols.append(ph(F.col("bytes"), F.col("fmt")).alias("phash"))
+    else:
+        cols.append(F.col("phash"))
+    sk = track(narrow.select(*cols))
+    # one full-parallelism job materializes the cache before consumers
+    # fan out (per-partition cache-lock hazard, see pipeline.dedup_pairs)
+    sk.count()
+    return sk
+
+
 def visual_edges(images: DataFrame, cfg: DedupConfig,
                  id_col: str = "image_id",
                  phash_col: str = "phash",
@@ -116,9 +156,16 @@ def image_cluster_assignments(images: DataFrame, cfg: DedupConfig,
     (two-column) key."""
     if dict(images.dtypes)[id_col] == "string":
         limgs = images.withColumn("__lid", F.xxhash64(F.col(id_col)))
-        edges = (caption_edges(limgs, cfg, "__lid")
-                 .unionByName(visual_edges(limgs, cfg, "__lid",
-                                           phash_source=phash_source)))
+        sk = image_sketch_table(limgs, cfg, "__lid",
+                                phash_source=phash_source)
+        edges = (dedup_pairs(limgs, cfg, "__lid", "caption",
+                             sigs=sk.select("__lid", "bands"))
+                 .select("id_a", "id_b")
+                 .unionByName(
+                     simhash_pairs(sk.select("__lid", "phash"), "__lid",
+                                   "phash",
+                                   max_hamming=cfg.simhash_hamming)
+                     .select("id_a", "id_b")))
         from datasketches_rust_spark.operators.connected_components import \
             connected_components
         cc = connected_components(edges, None, id_col="__lid")
@@ -133,9 +180,14 @@ def image_cluster_assignments(images: DataFrame, cfg: DedupConfig,
                 .withColumn("cluster_id",
                             F.coalesce(F.col("cluster_id"), F.col(id_col)))
                 .select(id_col, "cluster_id"))
-    edges = (caption_edges(images, cfg, id_col)
-             .unionByName(visual_edges(images, cfg, id_col,
-                                       phash_source=phash_source)))
+    sk = image_sketch_table(images, cfg, id_col, phash_source=phash_source)
+    edges = (dedup_pairs(images, cfg, id_col, "caption",
+                         sigs=sk.select(id_col, "bands"))
+             .select("id_a", "id_b")
+             .unionByName(
+                 simhash_pairs(sk.select(id_col, "phash"), id_col, "phash",
+                               max_hamming=cfg.simhash_hamming)
+                 .select("id_a", "id_b")))
     vertices = images.select(F.col(id_col))
     return assign_clusters(vertices, edges, id_col=id_col)
 
