@@ -46,7 +46,14 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
 
     sym = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
            .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))))
-    sym = sym.localCheckpoint()
+    # serialized storage (pyspark's MEMORY_AND_DISK is the serialized
+    # variant; the JVM localCheckpoint default is the DESER one): the
+    # checkpoint is re-read 1-2x per round (own + msgs legs), and
+    # deserialized UnsafeRow caching costs ~80 bytes/row vs ~25 serialized
+    # — on a DRAM-bound box the re-reads are the label-propagation
+    # bottleneck, so trade decode CPU for bytes
+    sym = sym.localCheckpoint(
+        storageLevel=StorageLevel.MEMORY_AND_DISK)
     # the (eager) checkpoint above materialized everything upstream —
     # signature/fingerprint caches registered by producers are now
     # consumable garbage, as is any previous call's label table
@@ -108,7 +115,8 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
         prev = merged
         labels = merged.select("v", "label")
         if it % 8 == 7:
-            labels = labels.localCheckpoint()  # bound plan depth
+            labels = labels.localCheckpoint(  # bound plan depth
+                storageLevel=StorageLevel.MEMORY_AND_DISK)
         if not changed:
             converged = True
             break

@@ -1,38 +1,46 @@
 """LSH candidate-pair generation — the one big shuffle of the dedup
 pipeline, so everything here is shaped around shuffle hygiene.
 
-Plan shape (at 100 TB / 10^12 rows):
+TWO formulations, chosen by band-keyspace size:
+
+candidate_pairs (MinHash bands, ~2^64 keyspace — bucket keys near-unique):
   explode(bands)            -- narrow, stays in the scan stage
-  groupBy(band_key)         -- shuffle 1: tiny rows (key, id); the band
-                               index is mixed into the key by the kernel
-  hot-bucket guard          -- CountMin-style skew detection done exactly
-                               here (the counts are already materialized);
-                               buckets over the cap DEGRADE to a star
-                               topology instead of the quadratic self-join
-  self-join on band_key     -- shuffle 2: both sides partitioned identically
-                               by the join key, so AQE plans a co-located
-                               join; skew-join splitting handles any
-                               surviving hot key
+  groupBy(band_key) sizes   -- map-side partial combine works (each key
+                               appears on few tasks); hot list broadcasts
+  anti-join hot keys        -- broadcast, map-side
+  self-join on band_key     -- ONE exchange written, read by both sides
+                               (ReuseExchange); hash join on the equi key
   union star edges, then
-  distinct pairs            -- shuffle 3 on (id_a, id_b); doubles as the
-                               band-collision prefilter
+  groupBy (id_a, id_b)      -- dedups pairs across bands AND evaluates the
+                               >= min_band_matches prefilter
+  A co-located sizes join (bucketed_pair_events) is WRONG here: with
+  near-unique keys the sizes table is as large as the band data, and the
+  build side spills data-sized hash maps (measured 7.4 GB at 2M images).
+
+bucketed_pair_events (small keyspaces, e.g. SimHash pigeonhole bands with
+2^16 x bands keys — see operators/visual.py): one repartition(band_key)
+exchange feeds sizes (exchange-free aggregate, tiny result), a co-located
+sizes join (build side = keyspace-sized, a few MB), row-level star-edge
+emission for hot rows (streaming, no member list ever materialized), and
+a bounded collect_list + JVM higher-order pair expression for cold rows.
+A plain groupBy-sizes here would emit up to |keyspace| map-side partial
+rows PER TASK — measured 470 MB of partials for 79 MB of band data.
 
 Hot-bucket degrade (star topology): a bucket larger than
-``max_bucket_size`` would contribute O(size^2) pairs to the self-join —
-and for a near-dup cluster of 10k+ members (boilerplate duplicated across
-a crawl) EVERY band bucket is that cluster, so dropping hot buckets would
-drop the cluster entirely. Instead each hot bucket emits (representative,
-member) edges where representative = min id in the bucket: O(size) pairs
-that keep the component connected through the representative, while the
-downstream exact verify still rejects dissimilar hash collisions. Star
-edges bypass the >= min_band_matches prefilter (a pair whose buckets are
-hot in every band has zero cold collisions to count — the prefilter only
-applies to cold-bucket evidence).
+``max_bucket_size`` would contribute O(size^2) pairs — and for a near-dup
+cluster of 10k+ members (boilerplate duplicated across a crawl) EVERY band
+bucket is that cluster, so dropping hot buckets would drop the cluster
+entirely. Star edges keep the component connected through the
+representative with O(size) pairs, while the downstream exact verify still
+rejects dissimilar hash collisions. Star edges bypass the
+>= min_band_matches prefilter (a pair whose buckets are hot in every band
+has zero cold collisions to count — the prefilter only applies to
+cold-bucket evidence).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from datasketches_rust_spark.config import DedupConfig
 
@@ -46,13 +54,80 @@ def explode_bands(df: DataFrame, id_col: str, bands_col: str) -> DataFrame:
         F.explode(F.col(bands_col)).alias("band_key"))
 
 
+def _pairs_expr(members_col: str, fields: list[str]) -> Column:
+    """All ordered pairs (i < j) from a SORTED array<struct> column, as an
+    array of named structs — pure JVM higher-order functions, no Python.
+    Struct order = first field = id, so id_a < id_b holds by
+    construction."""
+    names = [n for f in fields for n in (f"'{f}_a', x.{f}",)] + \
+            [n for f in fields for n in (f"'{f}_b', y.{f}",)]
+    return F.expr(
+        f"flatten(transform({members_col}, (x, i) -> "
+        f"transform(slice({members_col}, i + 2, "
+        f"size({members_col}) - i - 1), "
+        f"y -> named_struct({', '.join(names)}))))")
+
+
+def bucketed_pair_events(ex: DataFrame, max_bucket_size: int,
+                         payload: str | None = None) -> DataFrame:
+    """Shared single-exchange candidate generation over (__id, band_key
+    [, payload]) rows — see module docstring for the plan shape.
+
+    Returns [id_a, id_b, __hot (, payload_a, payload_b)] — one row per
+    band collision (NOT deduped across bands; callers aggregate), with
+    hot buckets degraded to star edges around their min-id member.
+    """
+    cols = ["__id"] + ([payload] if payload else [])
+    exr = ex.repartition("band_key")
+
+    star = None
+    if max_bucket_size > 0:
+        agg = [F.count("*").alias("__n"), F.min("__id").alias("__rep")]
+        if payload:
+            agg.append(F.min_by(F.col(payload), F.col("__id"))
+                       .alias("__rep_p"))
+        sizes = exr.groupBy("band_key").agg(*agg)
+        j = exr.join(sizes, "band_key")
+
+        rep_first = F.col("__rep") < F.col("__id")
+        star_cols = [F.least("__id", "__rep").alias("id_a"),
+                     F.greatest("__id", "__rep").alias("id_b"),
+                     F.lit(1).alias("__hot")]
+        if payload:
+            star_cols += [
+                F.when(rep_first, F.col("__rep_p"))
+                .otherwise(F.col(payload)).alias(f"{payload}_a"),
+                F.when(rep_first, F.col(payload))
+                .otherwise(F.col("__rep_p")).alias(f"{payload}_b")]
+        star = (j.where((F.col("__n") > max_bucket_size)
+                        & (F.col("__id") != F.col("__rep")))
+                .select(*star_cols))
+        cold = j.where(F.col("__n") <= max_bucket_size)
+    else:
+        cold = exr  # cap disabled: no sizes pass at all
+    members = (cold.groupBy("band_key")
+               .agg(F.array_sort(F.collect_list(F.struct(*cols)))
+                    .alias("__m")))
+    pair_cols = [F.col("__p.__id_a").alias("id_a"),
+                 F.col("__p.__id_b").alias("id_b"),
+                 F.lit(0).alias("__hot")]
+    if payload:
+        pair_cols += [F.col(f"__p.{payload}_a"), F.col(f"__p.{payload}_b")]
+    pairs = (members
+             .where(F.size("__m") >= 2)  # most buckets are singletons —
+             # drop them before the higher-order pair expression evaluates
+             .select(F.explode(_pairs_expr("__m", cols)).alias("__p"))
+             .select(*pair_cols))
+    return pairs.unionByName(star) if star is not None else pairs
+
+
 def candidate_pairs(df: DataFrame, cfg: DedupConfig, id_col: str,
                     bands_col: str = "bands") -> DataFrame:
     """DataFrame[id_a, id_b] — unordered candidate pairs (id_a < id_b),
     distinct across bands.
 
-    Cold buckets self-join quadratically; hot buckets (> max_bucket_size
-    members) degrade to star edges around their min-id representative.
+    Cold buckets pair quadratically (bounded by max_bucket_size); hot
+    buckets degrade to star edges around their min-id representative.
     A pair qualifies with >= cfg.min_band_matches cold-band collisions OR
     any star edge (see module docstring for why the prefilter must not
     count capped bands).
@@ -60,14 +135,20 @@ def candidate_pairs(df: DataFrame, cfg: DedupConfig, id_col: str,
     ex = explode_bands(df, id_col, bands_col)
     min_nb = max(getattr(cfg, "min_band_matches", 1), 1)
 
+    # MinHash band keys live in a ~2^64 keyspace, so bucket keys are
+    # near-unique: the sizes table is as large as the band data itself and
+    # bucketed_pair_events' co-located sizes join would build (and spill)
+    # data-sized hash maps — measured 7.4 GB of spill at 2M images. The
+    # broadcast-hot-list formulation keeps the sizes aggregate map-side
+    # combining and ships only the (tiny) hot list; bucketed_pair_events
+    # remains the right shape for SMALL keyspaces (SimHash pigeonhole
+    # bands, operators/visual.py).
     star = None
     if cfg.max_bucket_size > 0:
         # ONE aggregation computes bucket size AND representative (min id):
         # both are map-side partial aggregates, so the skewed hot keys
-        # reduce before the (tiny) shuffle, and the hot list — now carrying
-        # its representative — broadcasts once instead of the former
-        # size-then-rep two-step (every AQE barrier on the critical path is
-        # a full job of fixed overhead)
+        # reduce before the shuffle, and the hot list — carrying its
+        # representative — broadcasts once (no size-then-rep two-step)
         sizes = ex.groupBy("band_key").agg(
             F.count("*").alias("__n"), F.min("__id").alias("__rep"))
         hot = sizes.where(F.col("__n") > cfg.max_bucket_size) \

@@ -51,55 +51,32 @@ def simhash_pairs(df: DataFrame, id_col: str, fp_col: str,
     only pairwise recall between *distinct* fingerprints that co-bucket
     exclusively in hot bands degrades. Set max_bucket_size=0 to disable
     (restores unconditional exact pairwise recall)."""
+    from datasketches_rust_spark.operators.lsh import bucketed_pair_events
+
     num_bands = max_hamming + 1
     if 64 % num_bands:
         # round up to the next divisor of 64 — recall stays 1.0, a few
         # more candidates get verified
         num_bands = next(b for b in (4, 8, 16, 32, 64)
                          if b >= num_bands)
+    # Single-exchange bucketed candidate generation shared with the text
+    # LSH (operators/lsh.bucketed_pair_events). This matters doubly here:
+    # the band keyspace is only 2^(64/num_bands) x num_bands keys (262144
+    # at 4 bands), so the former groupBy-sizes hot guard emitted up to
+    # |keyspace| MAP-SIDE partial rows PER TASK — measured 470 MB of
+    # partials for 79 MB of raw band rows at 1M images x 64 tasks. Now the
+    # one exchange carries the raw 24-byte rows and sizes/star/pair-gen
+    # all run co-located on it.
     ex = simhash_bands(df, id_col, fp_col, num_bands)
-
-    star = None
-    if max_bucket_size > 0:
-        # ONE aggregation computes bucket size, representative (min id), AND
-        # the representative's fingerprint (min_by) — all map-side partial,
-        # so the hot keys reduce before the tiny shuffle and the hot list
-        # broadcasts once (no separate size-then-rep barrier)
-        sizes = ex.groupBy("band_key").agg(
-            F.count("*").alias("__n"), F.min("__id").alias("__rep"),
-            F.min_by(F.col(fp_col), F.col("__id")).alias("__rep_fp"))
-        hot = sizes.where(F.col("__n") > max_bucket_size) \
-                   .select("band_key", "__rep", "__rep_fp")
-        rep_first = F.col("__rep") < F.col("__id")
-        star = (ex.join(F.broadcast(hot), ["band_key"])
-                .where(F.col("__id") != F.col("__rep"))
-                .select(F.least("__id", "__rep").alias("id_a"),
-                        F.greatest("__id", "__rep").alias("id_b"),
-                        F.when(rep_first, F.col("__rep_fp"))
-                        .otherwise(F.col(fp_col)).alias("__fa"),
-                        F.when(rep_first, F.col(fp_col))
-                        .otherwise(F.col("__rep_fp")).alias("__fb")))
-        ex = ex.join(F.broadcast(hot.select("band_key")),
-                     ["band_key"], "left_anti")
-
-    a = ex.alias("a")
-    b = ex.alias("b")
-    cand = (a.join(b, ["band_key"])
-            .where(F.col("a.__id") < F.col("b.__id"))
-            .select(F.col("a.__id").alias("id_a"),
-                    F.col("b.__id").alias("id_b"),
-                    F.col(f"a.{fp_col}").alias("__fa"),
-                    F.col(f"b.{fp_col}").alias("__fb")))
-    if star is not None:
-        cand = cand.unionByName(star)
+    cand = bucketed_pair_events(ex, max_bucket_size, payload=fp_col)
     # Hamming filter FIRST, distinct second: with w-bit band keys the band
-    # self-join yields ~n^2/2^w birthday collisions (tens of millions at
+    # buckets yield ~n^2/2^w birthday collisions (tens of millions at
     # 10^6 rows), so (a) the popcount must be JVM-side bit_count(xor) in
     # whole-stage codegen, not a Python UDF, and (b) the distinct shuffle
     # must run on the tiny post-filter survivor set, not the full
     # candidate stream. A pair colliding in several bands just evaluates
     # the cheap popcount that many times.
-    ham = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
+    ham = F.bit_count(F.col(f"{fp_col}_a").bitwiseXOR(F.col(f"{fp_col}_b")))
     return (cand
             .withColumn("hamming", ham)
             .where(F.col("hamming") <= max_hamming)

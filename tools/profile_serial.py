@@ -87,6 +87,7 @@ def parse_eventlog(path: str, lo: float, hi: float, cores: int) -> None:
     stages = {}
     task_cpu = {}
     task_max = {}
+    task_bytes = {}   # sid -> [shuf_write, shuf_read, input, spill, py_cpu]
     for line in _event_lines(path):
         try:
             ev = json.loads(line)
@@ -101,6 +102,17 @@ def parse_eventlog(path: str, lo: float, hi: float, cores: int) -> None:
             d = (ti["Finish Time"] - ti["Launch Time"]) / 1000.0
             task_cpu[sid] = task_cpu.get(sid, 0.0) + d
             task_max[sid] = max(task_max.get(sid, 0.0), d)
+            tm = ev.get("Task Metrics") or {}
+            b = task_bytes.setdefault(sid, [0, 0, 0, 0])
+            sw = tm.get("Shuffle Write Metrics") or {}
+            b[0] += sw.get("Shuffle Bytes Written", 0)
+            sr = tm.get("Shuffle Read Metrics") or {}
+            b[1] += (sr.get("Remote Bytes Read", 0)
+                     + sr.get("Local Bytes Read", 0))
+            im = tm.get("Input Metrics") or {}
+            b[2] += im.get("Bytes Read", 0)
+            b[3] += (tm.get("Memory Bytes Spilled", 0)
+                     + tm.get("Disk Bytes Spilled", 0))
         elif e == "SparkListenerStageCompleted":
             si = ev["Stage Info"]
             sub, com = si.get("Submission Time"), si.get("Completion Time")
@@ -116,17 +128,27 @@ def parse_eventlog(path: str, lo: float, hi: float, cores: int) -> None:
           f"task-cpu {total_cpu:.1f}s; "
           f"occupancy {total_cpu / (total_wall * cores):.2f}")
     print(f"{'sid':>4} {'nt':>4} {'wall':>7} {'cpu_s':>8} {'ideal':>6} "
-          f"{'maxtask':>7}  name")
+          f"{'maxtask':>7} {'swMB':>7} {'srMB':>7} {'inMB':>7} "
+          f"{'splMB':>6}  name")
+    mb = 1024 * 1024
     for sid in sorted(stages):
         s = stages[sid]
         wall = (s["com"] - s["sub"]) / 1000.0
         cpu = task_cpu.get(sid, 0.0)
+        b = task_bytes.get(sid, [0, 0, 0, 0])
         print(f"{sid:>4} {s['tasks']:>4} {wall:>7.2f} {cpu:>8.1f} "
-              f"{cpu / cores:>6.2f} {task_max.get(sid, 0.0):>7.2f}  "
-              f"{s['name']}")
+              f"{cpu / cores:>6.2f} {task_max.get(sid, 0.0):>7.2f} "
+              f"{b[0] / mb:>7.1f} {b[1] / mb:>7.1f} {b[2] / mb:>7.1f} "
+              f"{b[3] / mb:>6.1f}  {s['name']}")
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--parse":
+        # offline re-parse of an existing event log (whole app window):
+        # python tools/profile_serial.py --parse <appdir-or-file> <cores>
+        parse_eventlog(sys.argv[2], float("-inf"), float("inf"),
+                       int(sys.argv[3]))
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     os.makedirs(EVDIR, exist_ok=True)

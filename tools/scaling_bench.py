@@ -41,7 +41,8 @@ import os
 import subprocess
 import sys
 
-INPUT_DIR = "/tmp/dsrs_scaling_input"
+INPUT_DIR = os.environ.get("SPARK_GRAFT_SCALING_INPUT",
+                           "/tmp/dsrs_scaling_input")
 LEVELS = (2, 8, 32)
 PAIRS = ((2, 8), (8, 32))
 PRIMARY_PAIR = (2, 8)
