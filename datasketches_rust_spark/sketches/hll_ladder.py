@@ -310,6 +310,123 @@ class Hll4Array:
 
 
 # ---------------------------------------------------------------------------
+# HLL6 array — 6-bit packing, no offset/exceptions (register max 62 fits)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Hll6Array:
+    """6-bit packed register file (array6.rs:18-120): value i lives at
+    bits [6i, 6i+6) little-endian; no cur_min offset and no aux map
+    because the maximum register value (62, from min(clz, 62) + 1 on a
+    38-bit hi-hash budget) fits the field directly. Same HIP estimator
+    discipline as Hll4Array/HllSketch, so estimates are identical for
+    the same coupon stream. Storage: ~3k/4 bytes (hll/mod.rs:143-145)."""
+
+    lg_k: int
+    seed: int = DEFAULT_SEED
+    packed: np.ndarray = None           # (((k*3)>>2)+1,) uint8
+    hip_accum: float = 0.0
+    kxq0: float = None
+    kxq1: float = 0.0
+    out_of_order: bool = False
+
+    def __post_init__(self) -> None:
+        if not (4 <= self.lg_k <= 21):
+            raise ValueError(f"lg_k {self.lg_k} out of [4, 21]")
+        k = 1 << self.lg_k
+        if self.packed is None:
+            self.packed = np.zeros(((k * 3) >> 2) + 1, dtype=np.uint8)
+        if self.kxq0 is None:
+            self.kxq0 = float(k)
+
+    @property
+    def k(self) -> int:
+        return 1 << self.lg_k
+
+    def get_value(self, slot: int) -> int:
+        bit = slot * 6
+        i, sh = bit >> 3, bit & 7
+        two = int(self.packed[i]) | (int(self.packed[i + 1]) << 8)
+        return (two >> sh) & 0x3F
+
+    def _put_value(self, slot: int, value: int) -> None:
+        bit = slot * 6
+        i, sh = bit >> 3, bit & 7
+        two = int(self.packed[i]) | (int(self.packed[i + 1]) << 8)
+        two = (two & ~(0x3F << sh)) | ((value & 0x3F) << sh)
+        self.packed[i] = two & 0xFF
+        self.packed[i + 1] = two >> 8
+
+    def _hip_update(self, old: int, new: int) -> None:
+        if not self.out_of_order:
+            self.hip_accum += self.k / (self.kxq0 + self.kxq1)
+        for v, sign in ((old, -1.0), (new, 1.0)):
+            w = sign * (1.0 if v == 0 else 2.0 ** (-float(v)))
+            if v < 32:
+                self.kxq0 += w
+            else:
+                self.kxq1 += w
+
+    def update_coupons(self, coupons: np.ndarray) -> "Hll6Array":
+        """Vectorized screen + scalar per-raise loop (register raises are
+        O(k log n) over a sketch's lifetime, so the loop is bounded)."""
+        slots, values = coupon_slot_value(np.asarray(coupons), self.lg_k)
+        cur = self.registers()
+        cand = np.nonzero(values > cur[slots])[0]
+        for s, v in zip(slots[cand].tolist(), values[cand].tolist()):
+            old = self.get_value(s)
+            if v <= old:                 # duplicate slot within the batch
+                continue
+            self._hip_update(old, v)
+            self._put_value(s, v)
+        return self
+
+    def registers(self) -> np.ndarray:
+        """Expand to flat uint8 values (the dense representation)."""
+        k = self.k
+        bits = np.unpackbits(self.packed, bitorder="little")[: 6 * k]
+        weights = (np.uint8(1) << np.arange(6, dtype=np.uint8))
+        return (bits.reshape(k, 6) * weights).sum(axis=1).astype(np.uint8)
+
+    @classmethod
+    def from_registers(cls, lg_k: int, regs: np.ndarray,
+                       **state) -> "Hll6Array":
+        k = 1 << lg_k
+        bits = ((regs.astype(np.uint8)[:, None]
+                 >> np.arange(6, dtype=np.uint8)) & 1).ravel()
+        packed = np.packbits(bits, bitorder="little")
+        full = np.zeros(((k * 3) >> 2) + 1, dtype=np.uint8)
+        full[:packed.size] = packed
+        return cls(lg_k=lg_k, packed=full, **state)
+
+    def to_hll8(self) -> HllSketch:
+        return HllSketch(lg_k=self.lg_k, seed=self.seed,
+                         regs=self.registers(), hip_accum=self.hip_accum,
+                         kxq0=self.kxq0, kxq1=self.kxq1,
+                         out_of_order=self.out_of_order)
+
+    def estimate(self) -> float:
+        return self.to_hll8().estimate()
+
+    def bounds(self, num_std_dev: int = 2) -> tuple[float, float]:
+        return self.to_hll8().bounds(num_std_dev)
+
+    # -- reference wire format (array6.rs:270-300) ---------------------------
+
+    def serialize(self) -> bytes:
+        out = bytearray()
+        flags = 16 if self.out_of_order else 0     # OUT_OF_ORDER mask
+        mode_byte = 2 | (1 << 2)                   # CUR_MODE_HLL, TGT_HLL6
+        out += struct.pack("<BBBBBBBB", 10, 1, 7, self.lg_k, 0, flags,
+                           0, mode_byte)
+        out += struct.pack("<ddd", self.hip_accum, self.kxq0, self.kxq1)
+        num_zeros = int(np.count_nonzero(self.registers() == 0))
+        out += struct.pack("<II", num_zeros, 0)
+        out += self.packed.tobytes()
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # The mode ladder
 # ---------------------------------------------------------------------------
 
@@ -318,9 +435,8 @@ class HllLadder:
     """List -> Set -> Array mode machine (hll/sketch.rs:209-238).
 
     ``tgt`` picks the array-mode register packing: 'hll8' (dense
-    HllSketch) or 'hll4' (Hll4Array). Coupon stages are identical for
-    both. HLL6 is representable via compat._unpack6 but adds no new
-    semantics, so the native ladder carries the two ends."""
+    HllSketch), 'hll6' (Hll6Array) or 'hll4' (Hll4Array). Coupon stages
+    are identical for all three."""
 
     lg_k: int
     seed: int = DEFAULT_SEED
@@ -333,8 +449,8 @@ class HllLadder:
     def __post_init__(self) -> None:
         if not (4 <= self.lg_k <= 21):
             raise ValueError(f"lg_k {self.lg_k} out of [4, 21]")
-        if self.tgt not in ("hll4", "hll8"):
-            raise ValueError(f"tgt must be hll4|hll8, got {self.tgt}")
+        if self.tgt not in ("hll4", "hll6", "hll8"):
+            raise ValueError(f"tgt must be hll4|hll6|hll8, got {self.tgt}")
 
     @property
     def num_coupons(self) -> int:
@@ -364,7 +480,7 @@ class HllLadder:
         return self
 
     def _array_update(self, coupons: np.ndarray) -> None:
-        if isinstance(self.array, Hll4Array):
+        if isinstance(self.array, (Hll4Array, Hll6Array)):
             self.array.update_coupons(coupons)
         else:
             self.array.update_coupons(
@@ -387,8 +503,8 @@ class HllLadder:
                     self.lg_cur_size += 1          # grow_set
 
     def _promote_to_array(self) -> None:
-        arr = (Hll4Array(self.lg_k, self.seed) if self.tgt == "hll4"
-               else HllSketch(self.lg_k, self.seed))
+        arr = {"hll4": Hll4Array, "hll6": Hll6Array,
+               "hll8": HllSketch}[self.tgt](self.lg_k, self.seed)
         cs = np.fromiter(self.coupons, dtype=np.uint32,
                          count=len(self.coupons))
         if isinstance(arr, HllSketch):
@@ -416,7 +532,8 @@ class HllLadder:
         """Dense HllSketch view (promotes a copy; self is unchanged)."""
         if self.mode == "array":
             arr = self.array
-            return arr.to_hll8() if isinstance(arr, Hll4Array) else arr
+            return (arr.to_hll8()
+                    if isinstance(arr, (Hll4Array, Hll6Array)) else arr)
         sk = HllSketch(self.lg_k, self.seed)
         if self.coupons:
             cs = np.fromiter(self.coupons, dtype=np.uint32,

@@ -11,8 +11,8 @@ from datasketches_rust_spark.hashing import hash_u64s
 from datasketches_rust_spark.sketches.compat import decode_hll
 from datasketches_rust_spark.sketches.hll import HllSketch
 from datasketches_rust_spark.sketches.hll_ladder import (
-    AUX_TOKEN, Hll4Array, HllLadder, coupon_bounds, coupon_estimate,
-    coupon_slot_value, coupons_from_keys26)
+    AUX_TOKEN, Hll4Array, Hll6Array, HllLadder, coupon_bounds,
+    coupon_estimate, coupon_slot_value, coupons_from_keys26)
 
 
 def _keys(n, start=0):
@@ -175,6 +175,59 @@ class TestHll4Array:
         np.testing.assert_array_equal(back.regs, a4.registers())
         assert back.hip_accum == pytest.approx(a4.hip_accum)
         assert back.estimate() == pytest.approx(a4.estimate(), rel=1e-9)
+
+
+class TestHll6Array:
+    def test_matches_dense_exactly(self):
+        """Same coupons, same order -> identical registers AND identical
+        HIP estimator state (6 bits hold the max register value 62, so
+        the packing is lossless with no offset/aux machinery)."""
+        keys = _keys(20_000)
+        cs = coupons_from_keys26(keys)
+        a6 = Hll6Array(lg_k=7).update_coupons(cs)
+        dense = HllSketch(lg_k=7)
+        dense.update_coupons(*coupon_slot_value(cs, 7))
+        np.testing.assert_array_equal(a6.registers(), dense.regs)
+        assert a6.hip_accum == pytest.approx(dense.hip_accum, rel=1e-12)
+        assert a6.kxq0 == pytest.approx(dense.kxq0, rel=1e-12)
+        assert a6.kxq1 == pytest.approx(dense.kxq1, rel=1e-12)
+        assert a6.estimate() == pytest.approx(dense.estimate(), rel=1e-12)
+
+    def test_packing_is_three_quarters_of_dense(self):
+        a6 = Hll6Array(lg_k=12)
+        assert a6.packed.nbytes == ((1 << 12) * 3 // 4) + 1
+
+    def test_get_put_cross_byte_boundaries(self):
+        """6-bit fields straddle byte boundaries at every slot % 4 != 0;
+        exercise all four alignments including the max value 62."""
+        a6 = Hll6Array(lg_k=4)
+        for slot, v in [(0, 62), (1, 1), (2, 33), (3, 7), (15, 62)]:
+            a6._put_value(slot, v)
+        for slot, v in [(0, 62), (1, 1), (2, 33), (3, 7), (15, 62)]:
+            assert a6.get_value(slot) == v
+        regs = a6.registers()
+        assert regs[0] == 62 and regs[2] == 33 and regs[15] == 62
+
+    def test_from_registers_roundtrip(self):
+        cs = coupons_from_keys26(_keys(5_000))
+        dense = HllSketch(lg_k=8)
+        dense.update_coupons(*coupon_slot_value(cs, 8))
+        a6 = Hll6Array.from_registers(8, dense.regs)
+        np.testing.assert_array_equal(a6.registers(), dense.regs)
+
+    def test_serialize_roundtrip_via_compat(self):
+        cs = coupons_from_keys26(_keys(50_000))
+        a6 = Hll6Array(lg_k=6).update_coupons(cs)
+        back = decode_hll(a6.serialize())
+        np.testing.assert_array_equal(back.regs, a6.registers())
+        assert back.hip_accum == pytest.approx(a6.hip_accum)
+        assert back.estimate() == pytest.approx(a6.estimate(), rel=1e-9)
+
+    def test_ladder_with_hll6_target(self):
+        lad = HllLadder(lg_k=7, tgt="hll6").update_keys(_keys(30_000))
+        assert lad.mode == "array" and isinstance(lad.array, Hll6Array)
+        dense = _dense(7, _keys(30_000))
+        np.testing.assert_array_equal(lad.to_dense().regs, dense.regs)
 
 
 class TestLadderSerde:
