@@ -144,21 +144,11 @@ def _band_candidates(df: DataFrame, id_col: str, vec_col: str, dim: int,
             .select("id_a", "id_b"))
 
 
-def ann_lsh_topk(df: DataFrame, k: int, id_col: str = "vec_id",
-                 vec_col: str = "embedding", nbits: int = 32,
-                 num_bands: int = 4, seed: int = 9001,
-                 dim: int | None = None) -> DataFrame:
-    """Approximate top-k neighbors per vector via hyperplane-LSH buckets +
-    exact cosine re-rank. Returns DataFrame[query_id, neighbor_id, rank].
-
-    The band join carries ids only; vectors re-join once for the re-rank
-    (two broadcast-or-shuffle hash joins on the id key)."""
-    if dim is None:
-        dim = _infer_dim(df, vec_col)
-    cand = _band_candidates(df, id_col, vec_col, dim, nbits, num_bands,
-                            seed, symmetric=True) \
-        .select(F.col("id_a").alias("query_id"),
-                F.col("id_b").alias("neighbor_id"))
+def _exact_rerank_topk(cand: DataFrame, df: DataFrame, k: int,
+                       id_col: str, vec_col: str) -> DataFrame:
+    """Exact cosine re-rank of id-only candidate pairs: vectors re-join
+    once (two broadcast-or-shuffle hash joins on the id key), so the
+    candidate-generation shuffles never carry embedding payloads."""
     vecs = with_norm(df.select(F.col(id_col), F.col(vec_col)),
                      vec_col, "__n")
     qv = vecs.select(F.col(id_col).alias("query_id"),
@@ -174,6 +164,100 @@ def ann_lsh_topk(df: DataFrame, k: int, id_col: str = "vec_id",
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank"))
+
+
+def ann_lsh_topk(df: DataFrame, k: int, id_col: str = "vec_id",
+                 vec_col: str = "embedding", nbits: int = 32,
+                 num_bands: int = 4, seed: int = 9001,
+                 dim: int | None = None) -> DataFrame:
+    """Approximate top-k neighbors per vector via hyperplane-LSH buckets +
+    exact cosine re-rank. Returns DataFrame[query_id, neighbor_id, rank].
+
+    The band join carries ids only; vectors re-join once for the re-rank
+    (two broadcast-or-shuffle hash joins on the id key)."""
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    cand = _band_candidates(df, id_col, vec_col, dim, nbits, num_bands,
+                            seed, symmetric=True) \
+        .select(F.col("id_a").alias("query_id"),
+                F.col("id_b").alias("neighbor_id"))
+    return _exact_rerank_topk(cand, df, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — KMeans coarse quantizer + cell-bucketed join
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(df: DataFrame, nlist: int,
+                        vec_col: str = "embedding", seed: int = 9001,
+                        max_iter: int = 20) -> np.ndarray:
+    """(nlist, dim) float64 coarse-quantizer centroids via distributed
+    KMeans (pyspark.ml, k-means|| init, fixed seed). At 10^9+ rows train
+    on a sample — the quantizer only needs the coarse density shape:
+    ``df.sample(fraction).limit(...)`` upstream of this call."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    tr = df.select(array_to_vector(_as_double(F.col(vec_col)))
+                   .alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(tr)
+    return np.array([np.asarray(c) for c in model.clusterCenters()],
+                    dtype=np.float64)
+
+
+def ivf_cells_udf(centroids: np.ndarray, nprobe: int):
+    """pandas UDF: embedding -> array<long> of the nprobe nearest cell
+    ids by cosine (one numpy matmul per Arrow batch; the centroid matrix
+    rides the closure exactly like a broadcast variable)."""
+    from pyspark.sql.functions import pandas_udf
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _udf(vecs: pd.Series) -> pd.Series:
+        mat = np.array(list(vecs), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cn.T                            # (batch, nlist)
+        if nprobe == 1:
+            top = np.argmax(sims, axis=1)[:, None]
+        else:
+            p = min(nprobe, sims.shape[1])
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            order = np.take_along_axis(sims, top, axis=1).argsort(axis=1)
+            top = np.take_along_axis(top, order[:, ::-1], axis=1)
+        return pd.Series([row.tolist() for row in top])
+
+    return _udf
+
+
+def ann_ivf_topk(df: DataFrame, k: int, id_col: str = "vec_id",
+                 vec_col: str = "embedding", nlist: int = 16,
+                 nprobe: int = 4, seed: int = 9001,
+                 centroids: np.ndarray | None = None) -> DataFrame:
+    """Approximate top-k neighbors per vector via an IVF (inverted-file)
+    index: a KMeans coarse quantizer assigns every vector to its home
+    cell; each query probes its ``nprobe`` nearest cells; candidates are
+    the cell co-residents, re-ranked by exact cosine. Returns
+    DataFrame[query_id, neighbor_id, rank].
+
+    Scale shape: the candidate join is an equi-join on the cell id
+    carrying ids only — rows per query = nprobe * n / nlist, tuned by
+    nlist ~ sqrt(n) at 10^9 rows. A candidate's home cell is unique, so
+    (query, candidate) pairs are already distinct: no dedup shuffle
+    (unlike banded LSH). ``centroids`` may be passed in (e.g. trained
+    once on a sample and reused / checkpointed); otherwise trained here.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(df, nlist, vec_col, seed)
+    probe = ivf_cells_udf(centroids, nprobe)
+    home = ivf_cells_udf(centroids, 1)
+    q = df.select(F.col(id_col).alias("query_id"),
+                  F.explode(probe(F.col(vec_col))).alias("__cell"))
+    c = df.select(F.col(id_col).alias("neighbor_id"),
+                  F.explode(home(F.col(vec_col))).alias("__cell"))
+    cand = (q.join(c, "__cell")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id"))
+    return _exact_rerank_topk(cand, df, k, id_col, vec_col)
 
 
 def cosine_pairs_lsh(df: DataFrame, threshold: float,

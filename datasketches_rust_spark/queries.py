@@ -22,7 +22,7 @@ from datasketches_rust_spark.functions.text import (quality_cols, simhash_udf,
                                                     winnow_fingerprints_udf,
                                                     with_lang_id)
 from datasketches_rust_spark.operators.similarity import (
-    ann_lsh_topk, cosine_pairs_bruteforce, cosine_pairs_lsh,
+    ann_ivf_topk, ann_lsh_topk, cosine_pairs_bruteforce, cosine_pairs_lsh,
     cosine_topk_bruteforce)
 from datasketches_rust_spark.pipeline import (cluster_assignments,
                                               dedup_pairs)
@@ -384,6 +384,14 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_lsh_topk(emb, k=3, nbits=24, num_bands=8, dim=64)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (KMeans coarse quantizer + cell-bucketed join +
+    exact cosine re-rank) — approximate, no SQL oracle (pytest recall
+    vs the brute-force top-k in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return ann_ivf_topk(emb, k=3, nlist=8, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -416,6 +424,7 @@ QUERIES = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_bruteforce": q_embedding_dup_pairs_bruteforce,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "lcs_confirm_pairs": q_lcs_confirm_pairs,
     "image_dedup_clusters": q_image_dedup_clusters,
     "bloom_stats": q_bloom_stats,

@@ -60,6 +60,44 @@ def test_ann_lsh_recall(spark, emb):
     assert hits / total >= 0.7, f"ANN recall {hits/total:.2f}"
 
 
+def test_ann_ivf_recall(spark, emb):
+    """IVF-ANN top-3 (KMeans coarse quantizer, nlist=8, nprobe=3) must
+    recover >= 70% of true top-3 neighbors on this small table. Probing
+    3/8 cells bounds the candidate set to ~3n/8 per query while keeping
+    near-neighbors (which cluster into the same or adjacent cells) —
+    production scales nlist ~ sqrt(n) and tunes nprobe for the
+    recall/cost point."""
+    from datasketches_rust_spark.operators.similarity import (
+        ann_ivf_topk, cosine_topk_bruteforce)
+    sub = emb.where(F.col("vec_id") < 200).localCheckpoint()
+    truth = {}
+    for r in cosine_topk_bruteforce(sub, sub, k=4).collect():
+        if r["query_id"] != r["neighbor_id"]:
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    truth = {k: set(list(v)[:3]) for k, v in truth.items()}
+    got = {}
+    for r in ann_ivf_topk(sub, k=3, nlist=8, nprobe=3).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    assert hits / total >= 0.7, f"IVF recall {hits/total:.2f}"
+
+
+def test_ann_ivf_no_self_and_ranked(spark, emb):
+    """Ranks are 1..k, dense per query, and a vector never returns
+    itself."""
+    from datasketches_rust_spark.operators.similarity import ann_ivf_topk
+    sub = emb.where(F.col("vec_id") < 60).localCheckpoint()
+    rows = ann_ivf_topk(sub, k=2, nlist=4, nprobe=2).collect()
+    assert rows, "empty IVF result"
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_embedding_dup_pairs_symmetric(spark, emb, emb_np):
     from datasketches_rust_spark.operators.similarity import \
         cosine_pairs_bruteforce
