@@ -12,6 +12,7 @@ from datasketches_rust_spark.streaming.dedup import (
     incremental_dedup_foreach_batch,
     read_merged_sketches,
     sketch_stream,
+    stateful_sketch_estimates,
 )
 
 __all__ = [
@@ -19,4 +20,5 @@ __all__ = [
     "incremental_dedup_foreach_batch",
     "read_merged_sketches",
     "sketch_stream",
+    "stateful_sketch_estimates",
 ]

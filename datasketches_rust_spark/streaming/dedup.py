@@ -131,3 +131,66 @@ def read_merged_sketches(spark, state_dir: str, key_cols: list[str],
     partials = spark.read.parquet(os.path.join(state_dir, "partials")) \
         .drop("batch_id")
     return agg.merge_sketch_col(partials, key_cols, kind, **sketch_kw)
+
+
+def stateful_sketch_estimates(stream_df: DataFrame, key_cols: list[str],
+                              value_col: str, kind: str = "hll",
+                              emit_sketch: bool = False,
+                              **sketch_kw) -> DataFrame:
+    """Running per-key distinct-count estimates as a CUSTOM STATEFUL
+    streaming operator (``applyInPandasWithState``): the group state is
+    ONE serialized sketch per key (the same versioned binary the batch
+    UDAF layer shuffles, agg.sketch_kind), updated in place every
+    micro-batch; each update emits (key..., estimate, rows_seen
+    [, sketch]).
+
+    This is the 4th streaming pattern, complementing ``sketch_stream``:
+    that one appends per-batch partials to a table and merges on read
+    (no engine-managed state, best at huge key cardinality);
+    this one keeps live engine-managed state keyed by group and emits a
+    running estimate immediately — the shape for dashboards/monitors
+    over bounded key sets. State size = one sketch per key (e.g. HLL
+    lg_k=12 -> ~4 KB), checkpointed by Structured Streaming and restored
+    on restart, so estimates survive failures without replay.
+
+    ``kind``: theta | hll | cpc (the estimate-capable kinds).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (BinaryType, DoubleType, LongType,
+                                   StructField, StructType)
+    from datasketches_rust_spark import agg
+
+    if kind not in ("theta", "hll", "cpc"):
+        raise ValueError(f"kind {kind!r} has no running estimate")
+    kd = agg.sketch_kind(kind, **sketch_kw)
+    key_fields = [stream_df.schema[k] for k in key_cols]
+    out_fields = key_fields + [StructField("estimate", DoubleType()),
+                               StructField("rows_seen", LongType())]
+    if emit_sketch:
+        out_fields.append(StructField("sketch", BinaryType()))
+    out_schema = StructType(out_fields)
+    state_schema = StructType([StructField("sketch", BinaryType()),
+                               StructField("rows_seen", LongType())])
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            blob, rows_seen = state.get
+            sk = kd.deserialize(bytes(blob))
+        else:
+            sk, rows_seen = kd.build(), 0
+        for pdf in pdfs:
+            kd.update(sk, pdf[value_col])
+            rows_seen += len(pdf)
+        blob = bytearray(sk.serialize())
+        state.update((blob, rows_seen))
+        row = dict(zip(key_cols, key))
+        row["estimate"] = float(sk.estimate())
+        row["rows_seen"] = rows_seen
+        if emit_sketch:
+            row["sketch"] = blob
+        yield pd.DataFrame([row])
+
+    return (stream_df.groupBy(*key_cols)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "Update", GroupStateTimeout.NoTimeout))

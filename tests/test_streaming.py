@@ -90,3 +90,48 @@ def test_sketch_stream_merge(spark, sf_correct_dir, tmp_path):
         "sketch").alias("e")).first()["e"]
     exact = li.select(F.countDistinct("l_partkey")).first()[0]
     assert est == exact
+
+
+def test_stateful_sketch_estimates(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: per-key HLL state
+    updated across TWO micro-batches. The second batch's emitted
+    rows_seen must include the first batch's rows (state persisted), and
+    the final estimate must be within the HLL error band of the exact
+    per-key distinct count over BOTH batches."""
+    from datasketches_rust_spark.streaming import stateful_sketch_estimates
+
+    rows = [(("a" if i % 2 == 0 else "b"), f"user{i % 400}", i)
+            for i in range(1200)]
+    src = str(tmp_path / "state_src")
+    df = spark.createDataFrame(rows, "grp string, user string, seq long")
+    df.where("seq < 600").coalesce(1).write.parquet(src)
+    df.where("seq >= 600").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("grp string, user string, seq long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stateful_sketch_estimates(stream, ["grp"], "user",
+                                    kind="hll", lg_k=12)
+    sink = str(tmp_path / "state_out")
+
+    def emit(batch, _bid):  # parquet sink rejects Update mode
+        batch.write.mode("append").parquet(sink)
+
+    q = (out.writeStream.outputMode("update").foreachBatch(emit)
+         .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(sink).collect()
+    # one emitted row per (key, micro-batch): 2 keys x 2 batches
+    assert len(got) == 4
+    final = {}
+    for r in got:
+        cur = final.get(r["grp"])
+        if cur is None or r["rows_seen"] > cur["rows_seen"]:
+            final[r["grp"]] = r
+    # state persisted across batches: all 600 rows per key seen at the end
+    assert final["a"]["rows_seen"] == 600
+    assert final["b"]["rows_seen"] == 600
+    # exact distinct users per key: 200 even / 200 odd of user{0..399}
+    for grp in ("a", "b"):
+        assert abs(final[grp]["estimate"] - 200) / 200 < 0.05
