@@ -201,6 +201,34 @@ def _check_entries(entries: np.ndarray, theta: int) -> None:
         raise SketchDecodeError("corrupted: invalid retained hash value")
 
 
+def encode_tdigest(td) -> bytes:
+    """Serialize a repo-native TDigest to the reference's f64 wire format
+    (tdigest/sketch.rs:423-470) — readable by the Rust implementation and
+    round-trippable through decode_tdigest. Compresses first (the
+    reference never serializes a buffer; the second u32 our decoder reads
+    as num_buffered is the reference's unused field, written 0)."""
+    td._compress()
+    total_w = int(td.weights.sum()) if td.weights.size else 0
+    empty = total_w == 0
+    single = total_w == 1
+    flags = (_FLAG_EMPTY if empty else 0) | (_FLAG_SINGLE if single else 0)
+    out = bytearray(struct.pack(
+        "<BBBHBH", 1 if (empty or single) else 2, _SERIAL_VERSION,
+        _FAMILY_TDIGEST, td.k, flags, 0))
+    if empty:
+        return bytes(out)
+    if single:
+        out += struct.pack("<d", td.min_val)
+        return bytes(out)
+    out += struct.pack("<II", td.means.size, 0)
+    out += struct.pack("<dd", td.min_val, td.max_val)
+    pairs = np.empty(td.means.size, dtype=[("m", "<f8"), ("w", "<u8")])
+    pairs["m"] = td.means
+    pairs["w"] = td.weights.astype(np.uint64)
+    out += pairs.tobytes()
+    return bytes(out)
+
+
 def decode_theta(buf: bytes, expected_seed: int = 9001) -> CompactTheta:
     """Decode reference compact theta bytes, serial versions 1-4
     (theta/sketch.rs:603-630 dispatch)."""

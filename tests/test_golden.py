@@ -328,3 +328,53 @@ class TestHllWire:
             decode_hll(good[:3] + b"\x16" + good[4:])      # lg_k 22
         with pytest.raises(SketchDecodeError):
             decode_hll(good[:1] + b"\x02" + good[2:])      # bad serial
+
+
+def test_encode_tdigest_roundtrip_native():
+    """Native digest -> reference wire bytes -> decode: identical
+    centroids, bounds and quantiles."""
+    import numpy as np
+    from datasketches_rust_spark.sketches.compat import (decode_tdigest,
+                                                         encode_tdigest)
+    from datasketches_rust_spark.sketches.tdigest import TDigest
+    rng = np.random.default_rng(7)
+    td = TDigest(k=100).update_values(rng.standard_normal(50_000))
+    back = decode_tdigest(encode_tdigest(td))
+    td._compress()
+    np.testing.assert_allclose(back.means, td.means)
+    np.testing.assert_allclose(back.weights, td.weights)
+    assert back.min_val == td.min_val and back.max_val == td.max_val
+    for q in (0.0, 0.01, 0.5, 0.99, 1.0):
+        assert back.quantile(q) == pytest.approx(td.quantile(q))
+
+
+def test_encode_tdigest_empty_and_single():
+    from datasketches_rust_spark.sketches.compat import (decode_tdigest,
+                                                         encode_tdigest)
+    from datasketches_rust_spark.sketches.tdigest import TDigest
+    import numpy as np
+    empty = decode_tdigest(encode_tdigest(TDigest(k=100)))
+    assert empty.means.size == 0 and empty._buffer == []
+    single = decode_tdigest(encode_tdigest(
+        TDigest(k=100).update_values(np.array([3.25]))))
+    assert single.quantile(0.5) == 3.25
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(GOLDEN_DIR), reason="reference golden corpus absent")
+def test_encode_tdigest_roundtrips_reference_golden():
+    """Reference-committed golden bytes -> our decode -> our encode ->
+    decode: the reference corpus survives a write round-trip."""
+    import glob as _glob
+    import numpy as np
+    from datasketches_rust_spark.sketches.compat import (decode_tdigest,
+                                                         encode_tdigest)
+    files = sorted(_glob.glob(os.path.join(GOLDEN_DIR, "*double*.sk")))
+    assert files
+    for f in files:
+        with open(f, "rb") as fh:
+            golden = decode_tdigest(fh.read())
+        back = decode_tdigest(encode_tdigest(golden))
+        golden._compress()
+        np.testing.assert_allclose(back.means, golden.means)
+        np.testing.assert_allclose(back.weights, golden.weights)
