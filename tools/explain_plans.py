@@ -163,6 +163,26 @@ def main() -> None:
             and "BroadcastNestedLoopJoin" not in p,
     })
 
+    # 7b. ann_ivf_topk: cell join must shuffle ids only, no cross join
+    #     (the KMeans quantizer runs before this plan; candidates are an
+    #     equi-join on the cell id)
+    from datasketches_rust_spark.operators.similarity import (
+        ann_ivf_topk, train_ivf_centroids)
+    cents = train_ivf_centroids(emb.limit(200), nlist=4)
+    ivf = ann_ivf_topk(emb.limit(200), k=3, nlist=4, nprobe=2,
+                       centroids=cents)
+
+    def _no_vectors_below_cell_join(p: str) -> bool:
+        return not any("__cell" in ln and "embedding" in ln
+                       for ln in p.splitlines())
+    failures += audit("ann_ivf_topk", ivf, {
+        "no vector column below the cell-join Exchange":
+            _no_vectors_below_cell_join,
+        "no cross join":
+            lambda p: "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+    })
+
     # 8. embedding_dup_pairs: LSH plan — no cross join anywhere
     edp = Q.q_embedding_dup_pairs(spark, SF_DIR)
     failures += audit("embedding_dup_pairs (lsh)", edp, {
