@@ -54,13 +54,17 @@ def main() -> None:
         from datasketches_rust_spark.sources.images import images_spark_df
         images, _ = images_spark_df(spark, args.synthetic, seed=args.seed)
     else:
-        images = spark.read.parquet(args.input)
+        # table refs: "iceberg:<catalog.db.table>" or a parquet path
+        from datasketches_rust_spark.sources.tables import read_table
+        images = read_table(spark, args.input)
 
     t0 = time.time()
     clusters, stages = checkpointed_cluster_assignments(
         spark, images, cfg, args.checkpoint)
-    clusters.write.mode("overwrite").parquet(args.output)
-    n = spark.read.parquet(args.output).count()
+    from datasketches_rust_spark.sources.tables import (read_table,
+                                                         write_table)
+    write_table(clusters, args.output)
+    n = read_table(spark, args.output).count()
     dt = time.time() - t0
     print(json.dumps({"rows": n, "sec": round(dt, 2),
                       "rows_per_sec": round(n / dt, 1), "stages": stages,
