@@ -168,6 +168,22 @@ def token_count_col(text_col):
         F.size(F.split(t, r"\s+")))
 
 
+# GPT-2-style pretokenizer pattern, lookahead-free so the identical
+# pattern runs under Java regex (Spark) and RE2 (DuckDB oracle) with the
+# same leftmost-first alternation semantics: contraction suffixes, then
+# space-prefixed letter / digit / symbol runs, then whitespace runs.
+BPE_PRETOKEN_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+                   r"| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_token_count_col(text_col):
+    """BPE-ish token count: the number of GPT-2-pretokenizer chunks (the
+    unit an actual BPE vocabulary would split further). Whole-match
+    regexp_extract_all, JVM-side."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_PRETOKEN_RE),
+                                       F.lit(0)))
+
+
 _PUNCT_CLASS = r"[.,!?;:]"
 STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
 

@@ -265,9 +265,15 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_token_counts(spark, sf_dir):
+    """Whitespace tokens + GPT-2-pretokenizer (BPE-ish) chunks, both
+    as built-in JVM expressions over one scan."""
+    from datasketches_rust_spark.functions.text import \
+        bpe_token_count_col
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id",
-                       token_count_col(F.col("text")).alias("n_tokens"))
+                       token_count_col(F.col("text")).alias("n_tokens"),
+                       bpe_token_count_col(F.col("text"))
+                       .alias("n_bpe_tokens"))
 
 
 def q_doc_fingerprint_md5(spark, sf_dir):
@@ -600,7 +606,9 @@ ORACLE_SQL = {
         SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE len(string_split_regex(trim(text), '\\s+'))
-               END AS n_tokens
+               END AS n_tokens,
+               len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+', 0)) AS n_bpe_tokens
         FROM documents""",
     "doc_fingerprint_md5": """
         SELECT doc_id, md5(text) AS fp FROM documents""",
