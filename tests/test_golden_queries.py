@@ -80,3 +80,14 @@ def test_cpc_distinct_orders_tolerance(spark, sf_correct_dir):
         f"select count(distinct o_orderkey) from "
         f"'{sf_correct_dir}/orders.parquet'").fetchone()[0]
     assert got == pytest.approx(truth, rel=0.04), (got, truth)
+
+
+def test_simhash_near_docs_matches_golden(spark, sf_correct_dir):
+    """Pigeonhole banding has recall exactly 1.0, so the distributed
+    simhash query must EQUAL the kernel-computed all-pairs golden."""
+    from datasketches_rust_spark import queries as Q
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in Q.q_simhash_near_docs(spark, sf_correct_dir).collect()}
+    want = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in _load("simhash_near_docs_sf0.01.json")}
+    assert got == want and len(want) > 0

@@ -82,11 +82,33 @@ def lcs_golden(ids, texts):
     return rows
 
 
+def simhash_golden(ids, texts):
+    """Mirror of q_simhash_near_docs: simhash over lowered texts (same
+    shingle kernel), exact all-pairs Hamming <= cfg.simhash_hamming —
+    the pigeonhole banding in the Spark plan has recall exactly 1.0, so
+    the distributed output must equal this O(n^2) kernel computation."""
+    from datasketches_rust_spark.sketches.simhash import hamming, simhash
+    lowered = pd.Series([(t or "").lower() for t in texts])
+    flat, offsets = shingle_hashes_batch(lowered, CFG.shingle_k, CFG.seed)
+    fp = simhash(flat, offsets)
+    n = len(ids)
+    rows = []
+    for i in range(n):
+        d = hamming(np.repeat(fp[i], n - i - 1), fp[i + 1:])
+        for j in np.nonzero(d <= CFG.simhash_hamming)[0]:
+            a, b = ids[i], ids[i + 1 + j]
+            rows.append({"id_a": int(min(a, b)), "id_b": int(max(a, b)),
+                         "hamming": int(d[j])})
+    return rows
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     ids, texts = _docs()
     for name, rows in [("winnow_fingerprints_sf0.01", winnow_golden(ids, texts)),
-                       ("lcs_confirm_pairs_sf0.01", lcs_golden(ids, texts))]:
+                       ("lcs_confirm_pairs_sf0.01", lcs_golden(ids, texts)),
+                       ("simhash_near_docs_sf0.01",
+                        simhash_golden(ids, texts))]:
         path = os.path.join(OUT_DIR, f"{name}.json")
         with open(path, "w") as f:
             json.dump(rows, f, indent=0, sort_keys=True)
