@@ -399,6 +399,93 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# training-data curation: representative selection, decontamination,
+# cross-source lineage, semi-structured metadata (all pure JVM)
+# ---------------------------------------------------------------------------
+
+def q_dedup_representatives(spark, sf_dir):
+    """Quality-based representative per near-dup cluster: the member with
+    the most characters (min doc_id on ties) — the 'keep the best copy'
+    curation step that follows clustering in a training pipeline
+    (dedup_keep_canonical keeps min-id instead). One extra groupBy on
+    cluster_id over the cluster assignment; the struct-max aggregate is
+    partial-agg friendly (map-side combine), so the only added shuffle
+    carries one (cluster_id, best, size) row per cluster."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = cluster_assignments(docs, CFG, "doc_id", "text")
+    sized = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    # lexicographic struct max == (max n_chars, then min doc_id)
+    best = F.max(F.struct(F.col("n_chars").alias("nc"),
+                          (-F.col("doc_id")).alias("neg_id"))).alias("best")
+    return (sized.groupBy("cluster_id")
+            .agg(F.count("*").alias("cluster_size"), best)
+            .where(F.col("cluster_size") >= 2)
+            .select("cluster_id",
+                    (-F.col("best.neg_id")).cast("long").alias("rep_id"),
+                    F.col("best.nc").alias("rep_n_chars"),
+                    "cluster_size"))
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any token
+    4-gram with the held-out eval split (doc_id % 10 == 0), with the
+    count of distinct contaminated grams. Scale shape: the eval-gram dim
+    is bounded by benchmark-suite size, so it broadcasts; the corpus side
+    streams through a broadcast hash join with no shuffle of the exploded
+    grams. At 100 TB the same plan holds — only the corpus:eval ratio
+    grows. (A bloom prefilter would cut the explode volume further; the
+    exact broadcast join IS the verify step.)"""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 3, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 4))))
+    ex = docs.select("doc_id", F.explode(grams).alias("g"))
+    eval_grams = (ex.where(F.col("doc_id") % 10 == 0)
+                  .select("g").distinct())
+    return (ex.where(F.col("doc_id") % 10 != 0)
+            .join(F.broadcast(eval_grams), "g")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("g").alias("n_contaminated")))
+
+
+def q_cross_source_dup_pairs(spark, sf_dir):
+    """Dataset-lineage analysis: verified near-dup pairs counted per
+    unordered source pair — 'which ingestion sources duplicate each
+    other'. Reuses the MinHash->LSH->exact-Jaccard pair spine; the two
+    source lookups join on doc_id (AQE broadcasts the small pair side at
+    this scale; at 10^12 rows both sides are pre-bucketed on doc_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_pairs(docs, CFG, "doc_id", "text").select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    sa = src.withColumnRenamed("doc_id", "id_a") \
+            .withColumnRenamed("source", "sa")
+    sb = src.withColumnRenamed("doc_id", "id_b") \
+            .withColumnRenamed("source", "sb")
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .groupBy(F.least("sa", "sb").alias("source_a"),
+                     F.greatest("sa", "sb").alias("source_b"))
+            .agg(F.count("*").alias("n_pairs")))
+
+
+def q_props_json_stats(spark, sf_dir):
+    """Semi-structured metadata filtering: extract a JSON field from the
+    events props column and aggregate per event type. All JVM-side:
+    GetJsonObject is a CodegenFallback expression (interpreted projection,
+    no whole-stage codegen span) but the aggregate still does map-side
+    partial combine and the scan prunes to (event_type, props). For a
+    hot path where codegen matters, a regexp_extract over a known-shape
+    field compiles; the JSON-path form is the general one."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.avg("k").alias("avg_k"),
+                 F.max("k").alias("max_k")))
+
+
+# ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -435,6 +522,10 @@ QUERIES = {
     "image_dedup_clusters": q_image_dedup_clusters,
     "bloom_stats": q_bloom_stats,
     "hll_users_by_type": q_hll_users_by_type,
+    "dedup_representatives": q_dedup_representatives,
+    "contamination_check": q_contamination_check,
+    "cross_source_dup_pairs": q_cross_source_dup_pairs,
+    "props_json_stats": q_props_json_stats,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -629,4 +720,58 @@ ORACLE_SQL = {
         FROM sims QUALIFY rank <= 3""",
     "embedding_dup_pairs": _EMB_PAIRS_SQL,
     "embedding_dup_pairs_bruteforce": _EMB_PAIRS_SQL,
+    "dedup_representatives": _SHINGLE_PAIRS_CTE + """,
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM jpairs
+          UNION ALL SELECT id_b, id_a FROM jpairs),
+        reach AS (
+          SELECT doc_id AS src, doc_id AS dst FROM documents
+          UNION
+          SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s),
+        clusters AS (
+          SELECT src AS doc_id, min(dst) AS cluster_id
+          FROM reach GROUP BY src),
+        ranked AS (
+          SELECT c.cluster_id, d.doc_id, d.n_chars,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY d.n_chars DESC,
+                                             d.doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+          FROM clusters c JOIN documents d USING (doc_id))
+        SELECT cluster_id, doc_id AS rep_id, n_chars AS rep_n_chars,
+               cluster_size
+        FROM ranked WHERE rn = 1 AND cluster_size >= 2""",
+    "contamination_check": """
+        WITH docs AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents),
+        gram_pos AS (
+          SELECT doc_id, toks,
+                 unnest(range(1, greatest(len(toks) - 3, 1) + 1)) AS i
+          FROM docs),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(toks[i:i+3], ' ') AS g
+          FROM gram_pos),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+        SELECT doc_id, count(DISTINCT g) AS n_contaminated
+        FROM grams JOIN ev USING (g)
+        WHERE doc_id % 10 <> 0
+        GROUP BY doc_id""",
+    "cross_source_dup_pairs": _SHINGLE_PAIRS_CTE + """
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*) AS n_pairs
+        FROM jpairs
+        JOIN documents da ON da.doc_id = id_a
+        JOIN documents db ON db.doc_id = id_b
+        GROUP BY 1, 2""",
+    "props_json_stats": """
+        SELECT event_type, count(*) AS n,
+               avg(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS avg_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS max_k
+        FROM events GROUP BY event_type""",
 }

@@ -205,6 +205,37 @@ def main() -> None:
             .count("split(lower") <= 4,
     }, execute=True)
 
+    # 10. contamination_check: the eval-gram dim must broadcast (no
+    #     shuffle of the exploded corpus grams for the join) and the
+    #     whole query stays JVM-side
+    cc = Q.q_contamination_check(spark, SF_DIR)
+    failures += audit("contamination_check", cc, {
+        "eval grams broadcast (BroadcastHashJoin)": r"BroadcastHashJoin",
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    # 11. props_json_stats: JSON extraction is JVM-side (GetJsonObject is
+    #     CodegenFallback — no codegen span, by Spark design) with partial
+    #     aggregation before the exchange and a pruned scan
+    pj = Q.q_props_json_stats(spark, SF_DIR)
+    failures += audit("props_json_stats", pj, {
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+        "partial aggregation before exchange":
+            lambda p: p.index("HashAggregate") < p.index("Exchange"),
+        "scan pruned to event_type+props":
+            r"ReadSchema: struct<event_type:string,props:string>",
+    })
+
+    # 12. dedup_representatives: the rep-selection aggregate is a plain
+    #     hash aggregate over cluster_id (no window sort of all members)
+    dr = Q.q_dedup_representatives(spark, SF_DIR)
+    failures += audit("dedup_representatives", dr, {
+        "struct-max rep selection is a HashAggregate (no Window node)":
+            lambda p: "Window" not in p,
+    })
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")
