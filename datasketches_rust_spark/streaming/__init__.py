@@ -13,6 +13,7 @@ from datasketches_rust_spark.streaming.dedup import (
     read_merged_sketches,
     sketch_stream,
     stateful_sketch_estimates,
+    windowed_sketch_estimates,
 )
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "read_merged_sketches",
     "sketch_stream",
     "stateful_sketch_estimates",
+    "windowed_sketch_estimates",
 ]

@@ -194,3 +194,98 @@ def stateful_sketch_estimates(stream_df: DataFrame, key_cols: list[str],
     return (stream_df.groupBy(*key_cols)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "Update", GroupStateTimeout.NoTimeout))
+
+
+def windowed_sketch_estimates(stream_df: DataFrame, key_cols: list[str],
+                              ts_col: str, value_col: str,
+                              window_duration: str = "1 hour",
+                              watermark: str = "10 minutes",
+                              kind: str = "hll",
+                              **sketch_kw) -> DataFrame:
+    """Event-time WINDOWED sketch estimates with watermark-driven
+    finalization: one sketch of engine-managed state per (window, key),
+    updated every micro-batch; while a window is open each update emits a
+    running row (``final=false``), and when the event-time watermark
+    passes the window end the state times out, the closing row
+    (``final=true``) is emitted, and the state is evicted.
+
+    This is the 5th streaming pattern: the late-data story. Rows later
+    than ``watermark`` past the newest event are dropped by the engine
+    before grouping; rows late-but-inside-the-watermark still land in
+    their (already open) window because the state keyed by window start
+    is only removed at timeout. State size is bounded by
+    (#keys x #open windows) sketches — eviction, not accumulation.
+
+    Uses ``applyInPandasWithState`` with ``EventTimeTimeout`` rather than
+    the built-in windowed agg because sketch partials are custom state
+    (the built-in agg can't carry a mergeable binary accumulator).
+    Output: window_start, window_end, key..., estimate, rows_seen, final.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (BinaryType, BooleanType, DoubleType,
+                                   LongType, StructField, StructType,
+                                   TimestampType)
+    from datasketches_rust_spark import agg
+
+    if kind not in ("theta", "hll", "cpc"):
+        raise ValueError(f"kind {kind!r} has no running estimate")
+    kd = agg.sketch_kind(kind, **sketch_kw)
+    key_fields = [stream_df.schema[k] for k in key_cols]
+    out_schema = StructType(
+        [StructField("window_start", TimestampType()),
+         StructField("window_end", TimestampType())]
+        + key_fields
+        + [StructField("estimate", DoubleType()),
+           StructField("rows_seen", LongType()),
+           StructField("final", BooleanType())])
+    state_schema = StructType([StructField("sketch", BinaryType()),
+                               StructField("rows_seen", LongType())])
+
+    def fn(key, pdfs, state):
+        # the struct group key arrives as a mapping with the window fields
+        win = key[0]
+        start, end = win["start"], win["end"]
+        if state.hasTimedOut:
+            # watermark passed window end: emit the closing row, evict
+            blob, rows_seen = state.get
+            sk = kd.deserialize(bytes(blob))
+            row = dict(zip(key_cols, key[1:]))
+            row.update(window_start=start, window_end=end,
+                       estimate=float(sk.estimate()),
+                       rows_seen=rows_seen, final=True)
+            state.remove()
+            yield pd.DataFrame([row])
+            return
+        if state.exists:
+            blob, rows_seen = state.get
+            sk = kd.deserialize(bytes(blob))
+        else:
+            sk, rows_seen = kd.build(), 0
+        for pdf in pdfs:
+            kd.update(sk, pdf[value_col])
+            rows_seen += len(pdf)
+        state.update((bytearray(sk.serialize()), rows_seen))
+        # the window closes when the event-time watermark passes its end
+        state.setTimeoutTimestamp(int(end.timestamp() * 1000))
+        row = dict(zip(key_cols, key[1:]))
+        row.update(window_start=start, window_end=end,
+                   estimate=float(sk.estimate()),
+                   rows_seen=rows_seen, final=False)
+        yield pd.DataFrame([row])
+
+    # applyInPandasWithState groups on resolved columns, not the window()
+    # grouping expression — materialize the (tumbling) window struct as a
+    # projection column first. (Sliding windows would need the groupBy
+    # rewrite that fans a row into its covering windows; tumbling is the
+    # 1-row-1-window case and projects directly.)
+    # project the window BEFORE tagging the watermark: a column derived
+    # from an already-watermarked timestamp inherits the event-time tag
+    # and Spark rejects streams with two event-time columns
+    wdf = (stream_df
+           .withColumn("__win", F.window(F.col(ts_col), window_duration))
+           .withWatermark(ts_col, watermark))
+    return (wdf.groupBy("__win", *[F.col(k) for k in key_cols])
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "Update",
+                                    GroupStateTimeout.EventTimeTimeout))

@@ -135,3 +135,60 @@ def test_stateful_sketch_estimates(spark, tmp_path):
     # exact distinct users per key: 200 even / 200 odd of user{0..399}
     for grp in ("a", "b"):
         assert abs(final[grp]["estimate"] - 200) / 200 < 0.05
+
+
+def test_windowed_sketch_estimates(spark, tmp_path):
+    """Event-time windowed HLL with watermark finalization: three
+    time-ordered micro-batches; when the watermark (5 s) passes a 10 s
+    window's end the operator must emit its final=true row and evict the
+    state, while the newest window stays open (running rows only)."""
+    import datetime
+    from datasketches_rust_spark.streaming import windowed_sketch_estimates
+
+    def batch(ts0, n, off):
+        base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+        return [(base + datetime.timedelta(seconds=ts0 + i % 10),
+                 f"user{off + i}") for i in range(n)]
+
+    src = str(tmp_path / "win_src")
+    schema = "ts timestamp, user string"
+    # window [0,10) -> 40 users, window [20,30) -> 30, window [60,70) -> 20
+    for rows in (batch(0, 40, 0), batch(20, 30, 1000), batch(60, 20, 2000)):
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = windowed_sketch_estimates(stream, [], "ts", "user",
+                                    window_duration="10 seconds",
+                                    watermark="5 seconds",
+                                    kind="hll", lg_k=12)
+    sink = str(tmp_path / "win_out")
+
+    def emit(b, _bid):  # parquet sink rejects Update mode
+        b.write.mode("append").parquet(sink)
+
+    q = (out.writeStream.outputMode("update").foreachBatch(emit)
+         .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(sink).collect()
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    by_win = {}
+    for r in got:
+        off = int((r["window_start"] - base).total_seconds())
+        by_win.setdefault(off, []).append(r)
+
+    # batch order advances the watermark: after batch 2 (max ts 29 s) the
+    # watermark is 24 s > window[0,10).end -> that window must have been
+    # finalized and evicted; the last window (60 s) never closes.
+    finals = {s: [r for r in rs if r["final"]] for s, rs in by_win.items()}
+    assert len(finals[0]) == 1 and finals[0][0]["rows_seen"] == 40
+    assert not finals[60]
+    # running rows exist for every window, and estimates are near-exact
+    # at these cardinalities (HLL lg_k=12 on <=40 distinct values)
+    for sec, n in ((0, 40), (20, 30), (60, 20)):
+        last = max(by_win[sec], key=lambda r: r["rows_seen"])
+        assert last["rows_seen"] == n
+        assert abs(last["estimate"] - n) / n < 0.05
