@@ -1,6 +1,10 @@
 """Streaming dedup + sketch-state operators.
 
-Three patterns, all watermark/replay-safe:
+Five patterns, all watermark/replay-safe (4 and 5 are the custom
+stateful operators — ``applyInPandasWithState`` with engine-managed
+per-group sketch state: ``stateful_sketch_estimates`` for running
+per-key estimates, ``windowed_sketch_estimates`` for event-time windows
+finalized and evicted by the watermark):
 
 1. ``exact_dedup_stream`` — built-in streaming dropDuplicatesWithinWatermark
    on a content fingerprint (md5). Pure JVM; the streaming analog of
