@@ -485,6 +485,41 @@ def q_props_json_stats(spark, sf_dir):
                  F.max("k").alias("max_k")))
 
 
+def q_streaming_exact_dedup(spark, sf_dir):
+    """Runs a REAL Structured Streaming job — availableNow over the
+    parquet dir through exact_dedup_stream (watermarked
+    dropDuplicatesWithinWatermark on the content fingerprint) into a
+    memory sink — and returns the surviving rows' distinct content
+    fingerprints. Which row of a duplicate set survives is
+    arrival-order-dependent, but the set of fingerprints is
+    deterministic, so the result hash-matches the SQL oracle. Puts the
+    streaming path under the driver's correctness gate."""
+    import os
+    import tempfile
+    import uuid
+    from datasketches_rust_spark.streaming import exact_dedup_stream
+    docs_path = f"{sf_dir}/documents.parquet"
+    # the streaming file source lists a DIRECTORY for arriving files; the
+    # fixture tables are single files, so expose the file through a temp
+    # dir symlink (no data copy)
+    src_dir = tempfile.mkdtemp(prefix="dsrs_sed_src_")
+    os.symlink(os.path.abspath(docs_path),
+               os.path.join(src_dir, "documents.parquet"))
+    schema = spark.read.parquet(docs_path).schema
+    stream = (spark.readStream.schema(schema).parquet(src_dir)
+              .withColumn("__ts",
+                          F.to_timestamp(F.lit("2026-01-01 00:00:00"))))
+    out = (exact_dedup_stream(stream, "doc_id", "text", "__ts")
+           .select(F.md5("text").alias("fp")))
+    name = "dsrs_sed_" + uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="dsrs_sed_ck_")
+    q = (out.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -526,6 +561,7 @@ QUERIES = {
     "contamination_check": q_contamination_check,
     "cross_source_dup_pairs": q_cross_source_dup_pairs,
     "props_json_stats": q_props_json_stats,
+    "streaming_exact_dedup": q_streaming_exact_dedup,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -767,6 +803,8 @@ ORACLE_SQL = {
         JOIN documents da ON da.doc_id = id_a
         JOIN documents db ON db.doc_id = id_b
         GROUP BY 1, 2""",
+    "streaming_exact_dedup": """
+        SELECT DISTINCT md5(text) AS fp FROM documents""",
     "props_json_stats": """
         SELECT event_type, count(*) AS n,
                avg(CAST(json_extract_string(props, '$.k') AS BIGINT))
