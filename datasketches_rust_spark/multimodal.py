@@ -3,11 +3,12 @@ opaque ``binary`` columns + typed metadata; decode / feature-extract /
 resize / frame-sample as Arrow-batched ``mapInPandas`` stages).
 
 What is REAL here: schemas, partitioning, UDF signatures, batch shapes,
-and the PNG/fake-JPEG decode path (sources/codec.py). What is STUBBED
-(clearly marked): real JPEG/audio/video codecs — the sandbox has no
-imaging libraries; each stub raises NotImplementedError or applies a
-deterministic fake, and the surrounding Spark plumbing is tested either
-way.
+the PNG decode path (sources/codec.py), and the WAV/RIFF PCM audio codec
+(decode_wav/encode_wav/resample_audio — pure numpy, no codec library
+needed). What is STUBBED (clearly marked): JPEG and compressed
+audio/video codecs — the sandbox has no imaging/ffmpeg libraries; each
+stub raises NotImplementedError or applies a deterministic fake, and the
+surrounding Spark plumbing is tested either way.
 
 Batch-shape discipline for large binaries: callers should set
 spark.sql.execution.arrow.maxRecordsPerBatch so that
@@ -80,33 +81,115 @@ def resize_images(images: DataFrame, out_size: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# audio / video — plumbing real, codecs stubbed
+# audio — REAL WAV (RIFF/PCM) codec, pure numpy; video — codec stubbed
 # ---------------------------------------------------------------------------
 
 AUDIO_FEATURES_SCHEMA = ("clip_id string, sample_rate int, n_samples long, "
                          "rms double")
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """REAL WAV decoder (RIFF little-endian, PCM16/PCM8/float32; mono or
+    multichannel mixed down to mono float64 in [-1, 1]). Pure numpy —
+    WAV is a trivial chunked container, no codec library needed. Raises
+    ValueError on malformed input.
+
+    Returns (samples: float64 (n,), sample_rate).
+    """
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        ln = int(np.frombuffer(buf, "<u4", 1, pos + 4)[0])
+        body = buf[pos + 8:pos + 8 + ln]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, channels = np.frombuffer(body, "<u2", 2, 0)
+            sample_rate = int(np.frombuffer(body, "<u4", 1, 4)[0])
+            bits = int(np.frombuffer(body, "<u2", 1, 14)[0])
+            fmt = (int(audio_fmt), int(channels), sample_rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_fmt, channels, sample_rate, bits = fmt
+    if channels < 1:
+        raise ValueError("zero channels")
+    if audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data[:len(data) // 2 * 2], "<i2") \
+            .astype(np.float64) / 32768.0
+    elif audio_fmt == 1 and bits == 8:  # PCM8 is unsigned, 128-centered
+        x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data[:len(data) // 4 * 4], "<f4") \
+            .astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAV format {audio_fmt}/{bits}-bit")
+    n = len(x) // channels * channels
+    return x[:n].reshape(-1, channels).mean(axis=1), sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """REAL WAV encoder: mono float in [-1, 1] -> PCM16 RIFF bytes."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = np.round(pcm * 32767.0).astype("<i2")
+    data = pcm.tobytes()
+    hdr = (b"RIFF"
+           + np.uint32(36 + len(data)).astype("<u4").tobytes()
+           + b"WAVEfmt "
+           + np.uint32(16).astype("<u4").tobytes()
+           + np.array([1, 1], "<u2").tobytes()          # PCM, mono
+           + np.uint32(sample_rate).astype("<u4").tobytes()
+           + np.uint32(sample_rate * 2).astype("<u4").tobytes()
+           + np.array([2, 16], "<u2").tobytes()          # block, bits
+           + b"data"
+           + np.uint32(len(data)).astype("<u4").tobytes())
+    return hdr + data
+
+
+def resample_audio(samples: np.ndarray, sr_in: int, sr_out: int
+                   ) -> np.ndarray:
+    """Linear-interpolation resample (the feature-extraction-grade
+    resampler; swap for polyphase in a real deployment)."""
+    if sr_in == sr_out or samples.size == 0:
+        return np.asarray(samples, dtype=np.float64)
+    n_out = max(int(round(samples.size * sr_out / sr_in)), 1)
+    xp = np.arange(samples.size, dtype=np.float64)
+    xq = np.linspace(0.0, samples.size - 1.0, n_out)
+    return np.interp(xq, xp, np.asarray(samples, dtype=np.float64))
 FRAME_SAMPLE_SCHEMA = ("video_id string, frame_idx int, bytes binary, "
                        "w int, h int, fmt string")
 
 
 def _decode_audio_stub(buf: bytes) -> tuple[np.ndarray, int]:
-    """STUB: no audio codec in-sandbox. Deterministic fake: interpret the
-    byte payload as int16 PCM at 16 kHz. Swap for soundfile/ffmpeg in a
-    real deployment."""
+    """Fallback for headerless payloads: interpret the bytes as raw int16
+    PCM at 16 kHz (deterministic; compressed formats like mp3/ogg would
+    need ffmpeg — not in this sandbox)."""
     n = (len(buf) // 2) * 2
     pcm = np.frombuffer(buf[:n], dtype="<i2").astype(np.float64) / 32768.0
     return pcm, 16000
 
 
+def _decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE payloads go through the REAL decoder; anything else
+    falls back to the raw-PCM interpretation."""
+    if buf[:4] == b"RIFF":
+        return decode_wav(buf)
+    return _decode_audio_stub(buf)
+
+
 def audio_features(clips: DataFrame, id_col: str = "clip_id",
                    bytes_col: str = "bytes") -> DataFrame:
-    """Arrow-batched audio feature extraction over the stub decoder."""
+    """Arrow-batched audio feature extraction (real WAV decode)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                pcm, sr = _decode_audio_stub(bytes(getattr(r, bytes_col)))
+                pcm, sr = _decode_audio(bytes(getattr(r, bytes_col)))
                 rms = float(np.sqrt(np.mean(pcm ** 2))) if pcm.size else 0.0
                 rows.append((getattr(r, id_col), sr, len(pcm), rms))
             yield pd.DataFrame(rows, columns=["clip_id", "sample_rate",
