@@ -200,14 +200,31 @@ def stateful_sketch_estimates(stream_df: DataFrame, key_cols: list[str],
                                     "Update", GroupStateTimeout.NoTimeout))
 
 
+_DUR_US = {"microsecond": 1, "millisecond": 1000, "second": 10**6,
+           "minute": 60 * 10**6, "hour": 3600 * 10**6,
+           "day": 86400 * 10**6}
+
+
+def _duration_us(s: str) -> int:
+    """'10 seconds' / '1 hour' -> microseconds (Spark interval words)."""
+    n, unit = s.strip().split()
+    unit = unit.rstrip("s")
+    if unit not in _DUR_US:
+        raise ValueError(f"unsupported duration unit {unit!r} in {s!r}")
+    return int(n) * _DUR_US[unit]
+
+
 def windowed_sketch_estimates(stream_df: DataFrame, key_cols: list[str],
                               ts_col: str, value_col: str,
                               window_duration: str = "1 hour",
                               watermark: str = "10 minutes",
                               kind: str = "hll",
+                              slide: str | None = None,
                               **sketch_kw) -> DataFrame:
     """Event-time WINDOWED sketch estimates with watermark-driven
-    finalization: one sketch of engine-managed state per (window, key),
+    finalization — tumbling by default, sliding when ``slide`` is given
+    (each row then feeds its ceil(W/S) covering windows): one sketch of
+    engine-managed state per (window, key),
     updated every micro-batch; while a window is open each update emits a
     running row (``final=false``), and when the event-time watermark
     passes the window end the state times out, the closing row
@@ -279,16 +296,35 @@ def windowed_sketch_estimates(stream_df: DataFrame, key_cols: list[str],
         yield pd.DataFrame([row])
 
     # applyInPandasWithState groups on resolved columns, not the window()
-    # grouping expression — materialize the (tumbling) window struct as a
-    # projection column first. (Sliding windows would need the groupBy
-    # rewrite that fans a row into its covering windows; tumbling is the
-    # 1-row-1-window case and projects directly.)
-    # project the window BEFORE tagging the watermark: a column derived
-    # from an already-watermarked timestamp inherits the event-time tag
-    # and Spark rejects streams with two event-time columns
-    wdf = (stream_df
-           .withColumn("__win", F.window(F.col(ts_col), window_duration))
-           .withWatermark(ts_col, watermark))
+    # grouping expression — materialize the window struct as a projection
+    # column first. Tumbling (slide=None) is the 1-row-1-window case and
+    # projects directly; sliding fans each row into its ceil(W/S) covering
+    # windows with an integer-exact epoch-aligned explode (each row then
+    # updates that many window states — the inherent sliding-window cost).
+    # Either way, project the window BEFORE tagging the watermark: a
+    # column derived from an already-watermarked timestamp inherits the
+    # event-time tag and Spark rejects streams with two event-time columns.
+    if slide is None:
+        windowed = stream_df.withColumn(
+            "__win", F.window(F.col(ts_col), window_duration))
+    else:
+        w_us, s_us = _duration_us(window_duration), _duration_us(slide)
+        ts_us = F.unix_micros(F.col(ts_col))
+        # epoch-aligned starts with start <= ts < start + W, all-integer
+        # arithmetic (double division drifts at 2^53 microseconds):
+        # first = smallest multiple of S strictly greater than ts - W
+        first = (ts_us - F.lit(w_us)
+                 - F.pmod(ts_us - F.lit(w_us), F.lit(s_us)) + F.lit(s_us))
+        last = ts_us - F.pmod(ts_us, F.lit(s_us))
+        windowed = (stream_df
+                    .withColumn("__s", F.explode(
+                        F.sequence(first, last, F.lit(s_us))))
+                    .withColumn("__win", F.struct(
+                        F.timestamp_micros(F.col("__s")).alias("start"),
+                        F.timestamp_micros(F.col("__s") + F.lit(w_us))
+                        .alias("end")))
+                    .drop("__s"))
+    wdf = windowed.withWatermark(ts_col, watermark)
     return (wdf.groupBy("__win", *[F.col(k) for k in key_cols])
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "Update",

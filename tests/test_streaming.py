@@ -192,3 +192,65 @@ def test_windowed_sketch_estimates(spark, tmp_path):
         last = max(by_win[sec], key=lambda r: r["rows_seen"])
         assert last["rows_seen"] == n
         assert abs(last["estimate"] - n) / n < 0.05
+
+
+def test_windowed_sketch_estimates_sliding(spark, tmp_path):
+    """Sliding windows (W=20s, S=10s): every row feeds exactly two
+    covering windows; the watermark finalizes the two earliest windows
+    after the third micro-batch."""
+    import datetime
+    from datasketches_rust_spark.streaming import windowed_sketch_estimates
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def batch(ts0, n, off):
+        return [(base + datetime.timedelta(seconds=ts0 + i % 10),
+                 f"user{off + i}") for i in range(n)]
+
+    src = str(tmp_path / "slide_src")
+    schema = "ts timestamp, user string"
+    # rows at [0,10) -> windows starting -10 and 0;
+    # rows at [20,30) -> windows 10 and 20; rows at [60,70) -> 50 and 60
+    for rows in (batch(0, 40, 0), batch(20, 30, 1000), batch(60, 20, 2000)):
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = windowed_sketch_estimates(stream, [], "ts", "user",
+                                    window_duration="20 seconds",
+                                    slide="10 seconds",
+                                    watermark="5 seconds",
+                                    kind="hll", lg_k=12)
+    sink = str(tmp_path / "slide_out")
+
+    def emit(b, _bid):
+        b.write.mode("append").parquet(sink)
+
+    q = (out.writeStream.outputMode("update").foreachBatch(emit)
+         .option("checkpointLocation", str(tmp_path / "slide_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(sink).collect()
+    by_win = {}
+    for r in got:
+        off = int((r["window_start"] - base).total_seconds())
+        by_win.setdefault(off, []).append(r)
+
+    # each batch lands in exactly its two covering windows
+    assert set(by_win) == {-10, 0, 10, 20, 50, 60}
+    expect = {-10: 40, 0: 40, 10: 30, 20: 30, 50: 20, 60: 20}
+    for off, n in expect.items():
+        last = max(by_win[off], key=lambda r: r["rows_seen"])
+        assert last["rows_seen"] == n
+        assert abs(last["estimate"] - n) / n < 0.05
+        # window width is W, start aligned to S
+        assert int((last["window_end"]
+                    - last["window_start"]).total_seconds()) == 20
+    # the final watermark is 69-5 = 64s (availableNow processes timeouts
+    # in a trailing no-data batch): every window ending <= 64s must have
+    # finalized — (-10,10], [0,20), [10,30), [20,40) — while the newest
+    # two ([50,70), [60,80)) must still be open
+    finals = {o for o, rs in by_win.items() if any(r["final"] for r in rs)}
+    assert finals == {-10, 0, 10, 20}
