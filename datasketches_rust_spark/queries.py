@@ -485,6 +485,37 @@ def q_props_json_stats(spark, sf_dir):
                  F.max("k").alias("max_k")))
 
 
+def q_curation_summary(spark, sf_dir):
+    """End-to-end training-data curation funnel in ONE verified query:
+    quality gate (char + token floors, JVM expressions) -> near-dup
+    clustering of the survivors (MinHash -> LSH -> exact-Jaccard verify
+    -> connected components) -> canonical min-id keep per cluster ->
+    per-source funnel counts (ingested / passed quality / kept after
+    dedup). The composition a 100 TB curation run actually executes; the
+    DuckDB oracle recomputes the whole funnel (recursive-CTE reachability
+    for the clusters) and the driver hash-compares. Scale shape: the
+    gate pushes into the scan; everything downstream operates on the
+    filtered subset only; the three per-source aggregates are partial-agg
+    shuffles on a low-cardinality key."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.where((F.col("n_chars") >= 200)
+                      & (token_count_col(F.col("text")) >= 30))
+    clusters = cluster_assignments(kept, CFG, "doc_id", "text")
+    canon = clusters.groupBy("cluster_id") \
+        .agg(F.min("doc_id").alias("doc_id"))
+    src = kept.select("doc_id", "source")
+    n_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    n_q = src.groupBy("source").agg(F.count("*").alias("n_quality"))
+    n_k = (canon.join(src, "doc_id")
+           .groupBy("source").agg(F.count("*").alias("n_kept")))
+    return (n_docs.join(n_q, "source", "left").join(n_k, "source", "left")
+            .select("source", "n_docs",
+                    F.coalesce(F.col("n_quality"), F.lit(0))
+                    .cast("long").alias("n_quality"),
+                    F.coalesce(F.col("n_kept"), F.lit(0))
+                    .cast("long").alias("n_kept")))
+
+
 def q_streaming_exact_dedup(spark, sf_dir):
     """Runs a REAL Structured Streaming job — availableNow over the
     parquet dir through exact_dedup_stream (watermarked
@@ -562,6 +593,7 @@ QUERIES = {
     "cross_source_dup_pairs": q_cross_source_dup_pairs,
     "props_json_stats": q_props_json_stats,
     "streaming_exact_dedup": q_streaming_exact_dedup,
+    "curation_summary": q_curation_summary,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -805,6 +837,49 @@ ORACLE_SQL = {
         GROUP BY 1, 2""",
     "streaming_exact_dedup": """
         SELECT DISTINCT md5(text) AS fp FROM documents""",
+    "curation_summary": """
+        WITH RECURSIVE fdocs AS (
+          SELECT doc_id, lower(text) AS t, source
+          FROM documents
+          WHERE n_chars >= 200
+            AND (CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                >= 30),
+        sh_pos AS (
+          SELECT doc_id, t,
+                 unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+          FROM fdocs),
+        sh AS (SELECT DISTINCT doc_id, substring(t, i, 5) AS g FROM sh_pos),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b USING (g)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        jpairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+        edges AS (SELECT id_a AS s, id_b AS d FROM jpairs
+                  UNION ALL SELECT id_b, id_a FROM jpairs),
+        reach AS (
+          SELECT doc_id AS src, doc_id AS dst FROM fdocs
+          UNION
+          SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s),
+        clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                     FROM reach GROUP BY src),
+        canon AS (SELECT cluster_id, min(doc_id) AS doc_id
+                  FROM clusters GROUP BY cluster_id),
+        nd AS (SELECT source, count(*) AS n_docs
+               FROM documents GROUP BY source),
+        nq AS (SELECT source, count(*) AS n_quality FROM fdocs
+               GROUP BY source),
+        nk AS (SELECT f.source, count(*) AS n_kept
+               FROM canon JOIN fdocs f USING (doc_id) GROUP BY f.source)
+        SELECT nd.source, n_docs,
+               coalesce(n_quality, 0) AS n_quality,
+               coalesce(n_kept, 0) AS n_kept
+        FROM nd LEFT JOIN nq USING (source) LEFT JOIN nk USING (source)""",
     "props_json_stats": """
         SELECT event_type, count(*) AS n,
                avg(CAST(json_extract_string(props, '$.k') AS BIGINT))
