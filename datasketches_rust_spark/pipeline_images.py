@@ -199,3 +199,32 @@ def image_dedup_keep_canonical(images: DataFrame, cfg: DedupConfig,
             .agg(F.min(id_col).alias(id_col),
                  F.count("*").alias("cluster_size")))
     return images.join(keep, id_col, "inner")
+
+
+def image_dedup_keep_best(images: DataFrame, cfg: DedupConfig,
+                          id_col: str = "image_id") -> DataFrame:
+    """Quality-based representative per dup cluster: the SHARPEST member
+    (max grayscale std over the decoded pixels — a detail/compression
+    proxy), min-id on ties — image curation's 'keep the best copy',
+    vs image_dedup_keep_canonical's arbitrary min-id.
+
+    Output: DataFrame[cluster_id, rep_id, rep_sharpness, cluster_size].
+
+    Selection runs as two cluster-keyed aggregates (max sharpness, then
+    min id among the argmax members) instead of a member sort — both are
+    partial-agg shuffles, and float ties (bit-identical copies are
+    common in crawl data) stay deterministic."""
+    from datasketches_rust_spark.multimodal import image_features
+    clusters = image_cluster_assignments(images, cfg, id_col)
+    feats = image_features(images).select(
+        F.col("image_id").alias(id_col), "std_gray")
+    members = clusters.join(feats, id_col)
+    best = (members.groupBy("cluster_id")
+            .agg(F.max("std_gray").alias("rep_sharpness"),
+                 F.count("*").alias("cluster_size")))
+    return (members.join(best, "cluster_id")
+            .where(F.col("std_gray") == F.col("rep_sharpness"))
+            .groupBy("cluster_id", "rep_sharpness", "cluster_size")
+            .agg(F.min(id_col).alias("rep_id"))
+            .select("cluster_id", "rep_id", "rep_sharpness",
+                    "cluster_size"))

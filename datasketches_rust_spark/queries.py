@@ -384,6 +384,21 @@ def q_image_dedup_clusters(spark, sf_dir):
         .select("image_id", "cluster_id")
 
 
+
+def q_image_dedup_keep_best(spark, sf_dir):
+    """Image curation counterpart of dedup_representatives: per dup
+    cluster keep the sharpest member (max grayscale std of the decoded
+    pixels), min-id on ties. Rows-only (pixels have no SQL oracle);
+    selection invariants are pytest-enforced against an exact pandas
+    recomputation (tests/test_images.py)."""
+    from datasketches_rust_spark.pipeline_images import \
+        image_dedup_keep_best
+    from datasketches_rust_spark.sources.images import images_spark_df
+    imgs, _truth = images_spark_df(spark, 2000, seed=42)
+    return image_dedup_keep_best(imgs, CFG) \
+        .select("cluster_id", "rep_id", "cluster_size")
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN — approximate, no SQL oracle (pytest recall)."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
@@ -586,6 +601,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "lcs_confirm_pairs": q_lcs_confirm_pairs,
     "image_dedup_clusters": q_image_dedup_clusters,
+    "image_dedup_keep_best": q_image_dedup_keep_best,
     "bloom_stats": q_bloom_stats,
     "hll_users_by_type": q_hll_users_by_type,
     "dedup_representatives": q_dedup_representatives,

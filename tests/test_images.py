@@ -149,3 +149,28 @@ def test_phash_batch_matches_scalar():
     want = np.array([phash64(p) for p in imgs], dtype=np.int64)
     assert np.array_equal(phash_batch(imgs), want)
     assert phash_batch([]).size == 0
+
+
+def test_image_dedup_keep_best_matches_exact_selection(spark):
+    """keep_best must pick, per cluster, the max-std_gray member with
+    min-id tiebreak — verified against an exact pandas recomputation
+    from the same cluster assignment + feature table."""
+    import pandas as pd
+    from datasketches_rust_spark.multimodal import image_features
+    from datasketches_rust_spark.pipeline_images import (
+        image_cluster_assignments, image_dedup_keep_best)
+
+    df, _ = images_spark_df(spark, 500, seed=42, partitions=4)
+    got = {r["cluster_id"]: (r["rep_id"], r["cluster_size"])
+           for r in image_dedup_keep_best(df, CFG).collect()}
+
+    clusters = image_cluster_assignments(df, CFG).toPandas()
+    feats = image_features(df).toPandas()[["image_id", "std_gray"]]
+    m = clusters.merge(feats, on="image_id")
+    want = {}
+    for cl, grp in m.groupby("cluster_id"):
+        best = grp[grp["std_gray"] == grp["std_gray"].max()]
+        want[cl] = (best["image_id"].min(), len(grp))
+    assert got == want
+    # sanity: the selection is not vacuous — multi-member clusters exist
+    assert {cl for cl, (_, n) in want.items() if n > 1}
