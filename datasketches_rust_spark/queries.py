@@ -500,6 +500,31 @@ def q_props_json_stats(spark, sf_dir):
                  F.max("k").alias("max_k")))
 
 
+
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity closes a session) —
+    the window-function operator class: lag over (user, time) marks
+    session starts, a running sum numbers them, then per-user session
+    stats. Ordering ties broken by event_id so both engines number
+    identically; gap arithmetic in microseconds (unix_micros/epoch_us)
+    because second-truncation differs between Spark and DuckDB at the
+    boundary. Scale shape: both windows and the final aggregate share
+    ONE hash-partitioning on user_id — a single exchange, then sorted
+    in-partition passes."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet TIMESTAMP_NTZ needs a cast for unix_micros
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1000000), 1)         .otherwise(0)
+    sess = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ev.select("user_id", sess.alias("sess_id"))
+            .groupBy("user_id")
+            .agg(F.count_distinct("sess_id").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
 def q_curation_summary(spark, sf_dir):
     """End-to-end training-data curation funnel in ONE verified query:
     quality gate (char + token floors, JVM expressions) -> near-dup
@@ -610,6 +635,7 @@ QUERIES = {
     "props_json_stats": q_props_json_stats,
     "streaming_exact_dedup": q_streaming_exact_dedup,
     "curation_summary": q_curation_summary,
+    "event_sessions": q_event_sessions,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -853,6 +879,24 @@ ORACLE_SQL = {
         GROUP BY 1, 2""",
     "streaming_exact_dedup": """
         SELECT DISTINCT md5(text) AS fp FROM documents""",
+    "event_sessions": """
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id))
+                          > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        sess AS (
+          SELECT user_id,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM gaps)
+        SELECT user_id, count(DISTINCT sess_id) AS n_sessions,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id""",
     "curation_summary": """
         WITH RECURSIVE fdocs AS (
           SELECT doc_id, lower(text) AS t, source

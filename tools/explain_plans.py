@@ -236,6 +236,19 @@ def main() -> None:
             lambda p: "Window" not in p,
     })
 
+    # 13. event_sessions: both window passes and the distinct aggregate
+    #     must share ONE hash-partitioning on user_id — a single Exchange
+    #     in the whole plan, all JVM
+    es = Q.q_event_sessions(spark, SF_DIR)
+    failures += audit("event_sessions", es, {
+        "single Exchange (windows + agg share the user_id partitioning)":
+            lambda p: len(re.findall(
+                r"^\(\d+\) Exchange", p.split("== Initial Plan ==")[0],
+                re.M)) <= 1,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")
