@@ -501,6 +501,25 @@ def q_props_json_stats(spark, sf_dir):
 
 
 
+
+def q_asof_last_purchase(spark, sf_dir):
+    """AS-OF join surfaced in the gate: for every click, the value of the
+    user's most recent prior-or-simultaneous purchase (null if none).
+    operators/asof.py docstring has the scale argument (union + one
+    exchange + sorted carry-forward); DuckDB's native ASOF JOIN is the
+    oracle."""
+    from datasketches_rust_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", F.col("value").alias("pv")))
+    out = asof_join(clicks, purchases, on=["user_id"], ts_col="ts",
+                    value_cols=["pv"])
+    return out.select("event_id", "user_id",
+                      F.col("pv_asof").alias("last_purchase_value"))
+
+
 def q_event_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity closes a session) —
     the window-function operator class: lag over (user, time) marks
@@ -636,6 +655,7 @@ QUERIES = {
     "streaming_exact_dedup": q_streaming_exact_dedup,
     "curation_summary": q_curation_summary,
     "event_sessions": q_event_sessions,
+    "asof_last_purchase": q_asof_last_purchase,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -879,6 +899,17 @@ ORACLE_SQL = {
         GROUP BY 1, 2""",
     "streaming_exact_dedup": """
         SELECT DISTINCT md5(text) AS fp FROM documents""",
+    "asof_last_purchase": """
+        WITH purchases AS (
+          SELECT user_id, ts, max(value) AS pv
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, ts),
+        clicks AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click')
+        SELECT c.event_id, c.user_id, p.pv AS last_purchase_value
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts""",
     "event_sessions": """
         WITH gaps AS (
           SELECT user_id, ts,
