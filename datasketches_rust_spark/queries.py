@@ -502,6 +502,51 @@ def q_props_json_stats(spark, sf_dir):
 
 
 
+
+def q_sales_rollup(spark, sf_dir):
+    """Grouping-sets operator class: ROLLUP over (returnflag, linestatus)
+    with subtotal and grand-total rows (null group keys) — one Expand +
+    partial-agg pass, no per-level rescan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.count("*").alias("n")))
+
+
+def q_events_per_day(spark, sf_dir):
+    """Batch event-time bucketing: daily event volume + exact distinct
+    users — date_trunc keeps the whole query in whole-stage codegen."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("day", F.col("ts"))
+                       .cast("date").alias("day"))
+            .agg(F.count("*").alias("n_events"),
+                 F.count_distinct("user_id").alias("n_users")))
+
+
+def q_range_join_shipments(spark, sf_dir):
+    """Point-in-interval range join surfaced in the gate: for every
+    order, how many lineitems (any order) shipped in the 7 days from its
+    order date — no equi key, so vanilla Spark would BNL-join; the
+    bucketed operator (operators/range_join.py) makes it one hash
+    equi-join on the bucket id. LEFT semantics recovered by re-joining
+    orders for the zero-match rows."""
+    from datasketches_rust_spark.operators.range_join import (
+        US_PER_DAY, point_interval_join)
+    li = _t(spark, sf_dir, "lineitem").select("l_shipdate")
+    orders = (_t(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_orderdate")
+              .withColumn("o_end",
+                          F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")))
+    pairs = point_interval_join(li, orders, "l_shipdate",
+                                "o_orderdate", "o_end",
+                                bucket_us=7 * US_PER_DAY)
+    counts = pairs.groupBy("o_orderkey").agg(F.count("*").alias("n_shipped"))
+    return (orders.select("o_orderkey").join(counts, "o_orderkey", "left")
+            .select("o_orderkey",
+                    F.coalesce("n_shipped", F.lit(0))
+                    .cast("long").alias("n_shipped")))
+
+
 def q_asof_last_purchase(spark, sf_dir):
     """AS-OF join surfaced in the gate: for every click, the value of the
     user's most recent prior-or-simultaneous purchase (null if none).
@@ -656,6 +701,9 @@ QUERIES = {
     "curation_summary": q_curation_summary,
     "event_sessions": q_event_sessions,
     "asof_last_purchase": q_asof_last_purchase,
+    "sales_rollup": q_sales_rollup,
+    "events_per_day": q_events_per_day,
+    "range_join_shipments": q_range_join_shipments,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -899,6 +947,21 @@ ORACLE_SQL = {
         GROUP BY 1, 2""",
     "streaming_exact_dedup": """
         SELECT DISTINCT md5(text) AS fp FROM documents""",
+    "sales_rollup": """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "events_per_day": """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1""",
+    "range_join_shipments": """
+        SELECT o.o_orderkey, count(l.l_shipdate) AS n_shipped
+        FROM orders o LEFT JOIN lineitem l
+          ON l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        GROUP BY o.o_orderkey""",
     "asof_last_purchase": """
         WITH purchases AS (
           SELECT user_id, ts, max(value) AS pv
