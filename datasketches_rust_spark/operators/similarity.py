@@ -263,7 +263,8 @@ def ann_ivf_topk(df: DataFrame, k: int, id_col: str = "vec_id",
 def cosine_pairs_lsh(df: DataFrame, threshold: float,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      nbits: int = 96, num_bands: int = 24,
-                     seed: int = 9001, dim: int | None = None) -> DataFrame:
+                     seed: int = 9001, dim: int | None = None,
+                     keep_sim: bool = False) -> DataFrame:
     """DataFrame[id_a, id_b] — pairs with cosine >= threshold, via
     hyperplane-LSH candidate generation + exact cosine verify. The scale
     path replacing cosine_pairs_bruteforce: no cross join anywhere; the
@@ -288,7 +289,51 @@ def cosine_pairs_lsh(df: DataFrame, threshold: float,
                      F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
     sim = (_dot(_as_double(F.col("__va")), _as_double(F.col("__vb")))
            / (F.col("__na") * F.col("__nb")))
-    return (cand.join(va, "id_a").join(vb, "id_b")
-            .withColumn("__sim", sim)
-            .where(F.col("__sim") >= threshold)
-            .select("id_a", "id_b"))
+    out = (cand.join(va, "id_a").join(vb, "id_b")
+           .withColumn("__sim", sim)
+           .where(F.col("__sim") >= threshold))
+    if keep_sim:
+        return out.select("id_a", "id_b", F.col("__sim").alias("sim"))
+    return out.select("id_a", "id_b")
+
+
+def embedding_dedup_keep_central(df: DataFrame, threshold: float,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 dim: int | None = None) -> DataFrame:
+    """Embedding-axis representative selection: per embedding-dup
+    cluster keep the most CENTRAL member — max summed cosine over its
+    verified dup edges (min-id tiebreak) — the member that best
+    represents the duplicate set, vs an arbitrary min-id keep.
+
+    Output: DataFrame[cluster_id, rep_id, cluster_size] for clusters
+    with >= 2 members.
+
+    Scale shape: clusters come from connected components over the
+    LSH-verified pair list (edge-touched vertices only), and centrality
+    reuses the pair sims already computed by the verify stage — summed
+    per incident vertex with one groupBy — so NO vector re-shuffles
+    happen after the verify join. Rep selection is the same two
+    cluster-keyed partial aggregates as the image path (max centrality,
+    then min id among the argmax), deterministic on float ties.
+    """
+    from datasketches_rust_spark.operators.connected_components import \
+        connected_components
+    pairs = cosine_pairs_lsh(df, threshold, id_col=id_col, vec_col=vec_col,
+                             dim=dim, keep_sim=True)
+    cc = connected_components(pairs.select("id_a", "id_b"), None,
+                              id_col=id_col)
+    centrality = (pairs.select(F.col("id_a").alias(id_col), "sim")
+                  .unionByName(
+                      pairs.select(F.col("id_b").alias(id_col), "sim"))
+                  .groupBy(id_col)
+                  .agg(F.sum("sim").alias("__cent")))
+    members = cc.join(centrality, id_col)
+    best = (members.groupBy("cluster_id")
+            .agg(F.max("__cent").alias("__best"),
+                 F.count("*").alias("cluster_size")))
+    return (members.join(best, "cluster_id")
+            .where(F.col("__cent") == F.col("__best"))
+            .groupBy("cluster_id", "cluster_size")
+            .agg(F.min(id_col).alias("rep_id"))
+            .select("cluster_id", "rep_id", "cluster_size"))

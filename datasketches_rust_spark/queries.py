@@ -59,7 +59,6 @@ def q_top_suppliers_by_revenue(spark, sf_dir):
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
               ).alias("revenue"),
         F.count("*").alias("n_items")))
-    w = Window.orderBy(F.desc("revenue"), F.col("l_suppkey"))
     return (rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
             .select(F.col("s_suppkey").alias("suppkey"),
                     F.col("s_name").alias("name"),
@@ -399,6 +398,18 @@ def q_image_dedup_keep_best(spark, sf_dir):
         .select("cluster_id", "rep_id", "cluster_size")
 
 
+
+def q_embedding_keep_central(spark, sf_dir):
+    """Embedding-axis representative selection (rows-only: float
+    centrality argmax is not stable enough for a cross-engine hash, so
+    the exact-selection gate is pytest vs a union-find + numpy
+    recomputation in tests/test_similarity.py)."""
+    from datasketches_rust_spark.operators.similarity import \
+        embedding_dedup_keep_central
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dedup_keep_central(emb, threshold=0.45, dim=64)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN — approximate, no SQL oracle (pytest recall)."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
@@ -686,6 +697,7 @@ QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_bruteforce": q_embedding_dup_pairs_bruteforce,
+    "embedding_keep_central": q_embedding_keep_central,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "lcs_confirm_pairs": q_lcs_confirm_pairs,

@@ -109,3 +109,48 @@ def test_embedding_dup_pairs_symmetric(spark, emb, emb_np):
     got = {(r["id_a"], r["id_b"]) for r in
            cosine_pairs_bruteforce(emb, 0.45).collect()}
     assert got == want
+
+
+def test_embedding_keep_central_matches_exact(spark, emb, emb_np):
+    """keep_central must pick, per dup cluster, the member with max
+    summed edge cosine (min-id tiebreak) — recomputed exactly with
+    numpy + union-find from the same threshold."""
+    from datasketches_rust_spark.operators.similarity import (
+        embedding_dedup_keep_central)
+
+    got = {r["cluster_id"]: (r["rep_id"], r["cluster_size"]) for r in
+           embedding_dedup_keep_central(emb, threshold=0.45, dim=64)
+           .collect()}
+
+    ids, mat = emb_np
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    n = len(ids)
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)
+             if sims[i, j] >= 0.45]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in pairs:
+        parent[find(i)] = find(j)
+    cent = np.zeros(n)
+    for i, j in pairs:
+        cent[i] += sims[i, j]
+        cent[j] += sims[i, j]
+    members = {}
+    for i in range(n):
+        members.setdefault(find(i), []).append(i)
+    want = {}
+    for grp in members.values():
+        if len(grp) < 2:
+            continue
+        cl = min(ids[i] for i in grp)
+        best = max(cent[i] for i in grp)
+        rep = min(ids[i] for i in grp if cent[i] == best)
+        want[cl] = (rep, len(grp))
+    assert got == want and len(want) > 0
