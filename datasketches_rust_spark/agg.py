@@ -420,3 +420,43 @@ def freq_topk_explode(df: DataFrame, key_cols: list[str], k: int,
     # explodes it without another shuffle
     return df.mapInPandas(lambda it: (explode_group(pdf) for pdf in it
                                       if not pdf.empty), schema)
+
+
+def register_sql_udfs(spark, lg_k: int = 16,
+                      seed: int = DEFAULT_SEED) -> None:
+    """Expose the sketch surface to plain ``spark.sql()`` users:
+
+    - ``theta_sketch_agg / hll_sketch_agg / cpc_sketch_agg`` — grouped-agg
+      pandas UDAFs (values -> serialized sketch bytes), usable directly in
+      SQL ``GROUP BY``. Convenience surface ONLY: a grouped-agg UDAF
+      materializes each group on one worker with no partial aggregation,
+      so the SCALE path for 10^12-row tables remains ``sketch_agg``'s
+      map-side-combine partials + salted treeReduce. For bounded-group
+      dashboards and ad-hoc SQL this is the ergonomic form.
+    - ``theta_estimate / hll_estimate / cpc_estimate`` (bytes -> double)
+      and ``theta_estimate_long`` (rounded bigint for exact-mode parity)
+      — the sketch config travels inside the serialized blob, so the
+      estimators need no parameters.
+
+    Idempotent: re-registration overwrites (Spark keeps the latest).
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    def _builder(kind):
+        kd = sketch_kind(kind, lg_k=lg_k, seed=seed)
+
+        @pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
+        def _agg(v: pd.Series) -> bytes:
+            sk = kd.build()
+            kd.update(sk, v)
+            return bytes(sk.serialize())
+
+        return _agg
+
+    for kind in ("theta", "hll", "cpc"):
+        spark.udf.register(f"{kind}_sketch_agg", _builder(kind))
+        spark.udf.register(f"{kind}_estimate",
+                           estimate_udf(kind, seed=seed))
+    spark.udf.register("theta_estimate_long",
+                       estimate_udf("theta", as_long=True, seed=seed))

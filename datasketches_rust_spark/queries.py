@@ -514,6 +514,39 @@ def q_props_json_stats(spark, sf_dir):
 
 
 
+
+def q_event_value_pivot(spark, sf_dir):
+    """PIVOT operator class: per-user event values spread across typed
+    columns. Pivot values passed explicitly so no extra distinct job
+    runs, and the plan is a single partial-agg groupBy with conditional
+    aggregates — exactly the CASE-WHEN formulation the oracle uses."""
+    ev = _t(spark, sf_dir, "events")
+    piv = (ev.groupBy("user_id")
+           .pivot("event_type", ["click", "purchase", "view"])
+           .sum("value"))
+    return piv.select("user_id",
+                      F.col("click").alias("click_value"),
+                      F.col("purchase").alias("purchase_value"),
+                      F.col("view").alias("view_value"))
+
+
+
+def q_sql_api_theta_distinct(spark, sf_dir):
+    """The spark.sql() API surface: sketch build + estimate registered as
+    SQL functions (agg.register_sql_udfs) and used from a plain SQL
+    string — theta in exact mode, so the estimate hash-matches
+    COUNT(DISTINCT). The registered grouped-agg UDAF is the convenience
+    form; the scale path stays agg.sketch_agg (see register_sql_udfs
+    docstring)."""
+    from datasketches_rust_spark.agg import register_sql_udfs
+    register_sql_udfs(spark, lg_k=16)
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        "SELECT l_returnflag, "
+        "theta_estimate_long(theta_sketch_agg(l_partkey)) AS distinct_parts "
+        "FROM lineitem_v GROUP BY l_returnflag")
+
+
 def q_sales_rollup(spark, sf_dir):
     """Grouping-sets operator class: ROLLUP over (returnflag, linestatus)
     with subtotal and grand-total rows (null group keys) — one Expand +
@@ -714,6 +747,8 @@ QUERIES = {
     "event_sessions": q_event_sessions,
     "asof_last_purchase": q_asof_last_purchase,
     "sales_rollup": q_sales_rollup,
+    "event_value_pivot": q_event_value_pivot,
+    "sql_api_theta_distinct": q_sql_api_theta_distinct,
     "events_per_day": q_events_per_day,
     "range_join_shipments": q_range_join_shipments,
 }
@@ -959,6 +994,18 @@ ORACLE_SQL = {
         GROUP BY 1, 2""",
     "streaming_exact_dedup": """
         SELECT DISTINCT md5(text) AS fp FROM documents""",
+    "sql_api_theta_distinct": """
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts
+        FROM lineitem GROUP BY l_returnflag""",
+    "event_value_pivot": """
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN value END)
+                 AS click_value,
+               sum(CASE WHEN event_type = 'purchase' THEN value END)
+                 AS purchase_value,
+               sum(CASE WHEN event_type = 'view' THEN value END)
+                 AS view_value
+        FROM events GROUP BY user_id""",
     "sales_rollup": """
         SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
                count(*) AS n
