@@ -107,3 +107,21 @@ def test_bloom_membership(spark, lineitem):
         "l_partkey").distinct().collect()]
     for grp, mat in _grouped_by_length(encode_values(present)):
         assert bf.contains_keys(mat).all()  # no false negatives
+
+
+def test_register_sql_udfs_all_kinds(spark, lineitem):
+    """The spark.sql() registration surface: every registered builder +
+    estimator pair runs from a raw SQL string; theta (exact mode) equals
+    COUNT(DISTINCT) exactly, HLL/CPC within their error bands."""
+    from datasketches_rust_spark.agg import register_sql_udfs
+    register_sql_udfs(spark, lg_k=14)
+    lineitem.createOrReplaceTempView("li_sql_udf")
+    exact = lineitem.select(F.countDistinct("l_partkey")).first()[0]
+    row = spark.sql(
+        "SELECT theta_estimate_long(theta_sketch_agg(l_partkey)) AS t, "
+        "hll_estimate(hll_sketch_agg(l_partkey)) AS h, "
+        "cpc_estimate(cpc_sketch_agg(l_partkey)) AS c "
+        "FROM li_sql_udf").first()
+    assert row["t"] == exact
+    assert abs(row["h"] - exact) / exact < 0.05
+    assert abs(row["c"] - exact) / exact < 0.05
