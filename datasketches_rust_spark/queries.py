@@ -475,6 +475,36 @@ def q_contamination_check(spark, sf_dir):
             .agg(F.count_distinct("g").alias("n_contaminated")))
 
 
+
+def q_contamination_check_bloom(spark, sf_dir):
+    """The sketch-accelerated decontamination path: the eval 4-gram set
+    becomes ONE broadcast bloom blob (vs broadcasting the full gram
+    dim), the corpus side pre-filters its exploded grams through the
+    probe, and the exact broadcast join runs only on the survivors to
+    kill false positives. No false negatives (bloom/sketch.rs:71-78), so
+    the result is IDENTICAL to contamination_check — same oracle SQL,
+    hash-matched. At 100 TB this is the shape that matters: the bloom
+    blob is KBs where the gram dim is GBs, and the probe prunes the
+    corpus explode before any join machinery."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 3, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 4))))
+    ex = docs.select("doc_id", F.explode(grams).alias("g"))
+    eval_grams = (ex.where(F.col("doc_id") % 10 == 0)
+                  .select("g").distinct())
+    blob = agg.sketch_agg(eval_grams, [], "g", "bloom",
+                          num_bits=1 << 17, num_hashes=7)
+    probe = agg.bloom_contains_udf()
+    survivors = (ex.where(F.col("doc_id") % 10 != 0)
+                 .crossJoin(F.broadcast(blob))
+                 .where(probe(F.col("g"), F.col("sketch"))))
+    return (survivors.join(F.broadcast(eval_grams), "g")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("g").alias("n_contaminated")))
+
+
 def q_cross_source_dup_pairs(spark, sf_dir):
     """Dataset-lineage analysis: verified near-dup pairs counted per
     unordered source pair — 'which ingestion sources duplicate each
@@ -740,6 +770,7 @@ QUERIES = {
     "hll_users_by_type": q_hll_users_by_type,
     "dedup_representatives": q_dedup_representatives,
     "contamination_check": q_contamination_check,
+    "contamination_check_bloom": q_contamination_check_bloom,
     "cross_source_dup_pairs": q_cross_source_dup_pairs,
     "props_json_stats": q_props_json_stats,
     "streaming_exact_dedup": q_streaming_exact_dedup,
@@ -967,6 +998,24 @@ ORACLE_SQL = {
                cluster_size
         FROM ranked WHERE rn = 1 AND cluster_size >= 2""",
     "contamination_check": """
+        WITH docs AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents),
+        gram_pos AS (
+          SELECT doc_id, toks,
+                 unnest(range(1, greatest(len(toks) - 3, 1) + 1)) AS i
+          FROM docs),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(toks[i:i+3], ' ') AS g
+          FROM gram_pos),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+        SELECT doc_id, count(DISTINCT g) AS n_contaminated
+        FROM grams JOIN ev USING (g)
+        WHERE doc_id % 10 <> 0
+        GROUP BY doc_id""",
+    "contamination_check_bloom": """
         WITH docs AS (
           SELECT doc_id,
                  string_split_regex(trim(lower(text)), '\\s+') AS toks
