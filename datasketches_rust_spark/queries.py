@@ -505,6 +505,31 @@ def q_contamination_check_bloom(spark, sf_dir):
             .agg(F.count_distinct("g").alias("n_contaminated")))
 
 
+
+def q_unigram_logprob_scores(spark, sf_dir):
+    """Model-based quality scoring (the perplexity-filter shape): train
+    corpus unigram stats in one pass, score every doc by its mean token
+    log-probability in a second. All JVM: one explode, one count
+    aggregate, one join back on the token (Zipf makes the vocab tiny
+    relative to the corpus — AQE broadcasts it here; at 100 TB the vocab
+    of a tokenized corpus still fits a broadcast after a min-count
+    floor), one per-doc aggregate. Low scores = rare-token soup, the
+    standard pretraining quality cut."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                          r"\s+")).alias("w"))
+    counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    return (toks.join(counts, "w")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.avg(F.log(F.col("c") / F.col("t")))
+                 .alias("avg_logprob")))
+
+
 def q_cross_source_dup_pairs(spark, sf_dir):
     """Dataset-lineage analysis: verified near-dup pairs counted per
     unordered source pair — 'which ingestion sources duplicate each
@@ -771,6 +796,7 @@ QUERIES = {
     "dedup_representatives": q_dedup_representatives,
     "contamination_check": q_contamination_check,
     "contamination_check_bloom": q_contamination_check_bloom,
+    "unigram_logprob_scores": q_unigram_logprob_scores,
     "cross_source_dup_pairs": q_cross_source_dup_pairs,
     "props_json_stats": q_props_json_stats,
     "streaming_exact_dedup": q_streaming_exact_dedup,
@@ -1032,6 +1058,17 @@ ORACLE_SQL = {
         SELECT doc_id, count(DISTINCT g) AS n_contaminated
         FROM grams JOIN ev USING (g)
         WHERE doc_id % 10 <> 0
+        GROUP BY doc_id""",
+    "unigram_logprob_scores": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+          FROM documents),
+        counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        total AS (SELECT sum(c) AS t FROM counts)
+        SELECT doc_id, count(*) AS n_tokens,
+               avg(ln(c * 1.0 / t)) AS avg_logprob
+        FROM toks JOIN counts USING (w) CROSS JOIN total
         GROUP BY doc_id""",
     "cross_source_dup_pairs": _SHINGLE_PAIRS_CTE + """
         SELECT least(da.source, db.source) AS source_a,
