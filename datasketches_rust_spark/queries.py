@@ -118,6 +118,30 @@ def q_theta_anotb_custkeys(spark, sf_dir):
 # hll / countmin / freq / tdigest / bloom
 # ---------------------------------------------------------------------------
 
+
+def q_theta_jaccard_event_types(spark, sf_dir):
+    """Dataset-overlap analysis with the theta set algebra: the Jaccard
+    similarity of high-value user sets between every event-type pair,
+    computed ENTIRELY from 5 serialized sketches (intersection and
+    union estimates per pair) — the sketch-native form of 'how much do
+    these datasets overlap', needing one scan + one tiny sketch
+    cross-pair instead of a user-level self-join. Exact mode (lg_k=16
+    >> 150 users) makes it hash-matchable against exact SQL."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value") >= 95)
+    sk = agg.sketch_agg(ev, ["event_type"], "user_id", "theta", lg_k=16)
+    a = sk.select(F.col("event_type").alias("type_a"),
+                  F.col("sketch").alias("sa"))
+    b = sk.select(F.col("event_type").alias("type_b"),
+                  F.col("sketch").alias("sb"))
+    inter = agg.theta_set_op_udf("intersect", as_long=True)
+    union = agg.theta_set_op_udf("union", as_long=True)
+    return (a.join(b, F.col("type_a") < F.col("type_b"))
+            .select("type_a", "type_b",
+                    inter("sa", "sb").alias("n_common"),
+                    (inter("sa", "sb").cast("double")
+                     / union("sa", "sb")).alias("jaccard")))
+
+
 def q_hll_distinct_orders(spark, sf_dir):
     """HLL estimate — approximate, no SQL oracle (pytest tolerance)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -765,6 +789,7 @@ QUERIES = {
     "theta_union_custkeys": q_theta_union_custkeys,
     "theta_intersect_custkeys": q_theta_intersect_custkeys,
     "theta_anotb_custkeys": q_theta_anotb_custkeys,
+    "theta_jaccard_event_types": q_theta_jaccard_event_types,
     "hll_distinct_orders": q_hll_distinct_orders,
     "cpc_distinct_orders": q_cpc_distinct_orders,
     "freq_top_event_types": q_freq_top_event_types,
@@ -881,6 +906,24 @@ ORACLE_SQL = {
           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
           EXCEPT
           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
+    "theta_jaccard_event_types": """
+        WITH us AS (
+          SELECT DISTINCT event_type, user_id FROM events
+          WHERE value >= 95),
+        types AS (SELECT DISTINCT event_type FROM us),
+        p AS (SELECT a.event_type AS ta, b.event_type AS tb
+              FROM types a JOIN types b ON a.event_type < b.event_type),
+        inter AS (
+          SELECT ta, tb, count(*) AS c
+          FROM p JOIN us x ON x.event_type = ta
+                 JOIN us y ON y.event_type = tb
+                          AND x.user_id = y.user_id
+          GROUP BY ta, tb),
+        sizes AS (SELECT event_type, count(*) AS n FROM us GROUP BY 1)
+        SELECT ta AS type_a, tb AS type_b, c AS n_common,
+               c * 1.0 / (na.n + nb.n - c) AS jaccard
+        FROM inter JOIN sizes na ON na.event_type = ta
+                   JOIN sizes nb ON nb.event_type = tb""",
     "freq_top_event_types": """
         SELECT event_type AS item, count(*) AS est
         FROM events GROUP BY event_type
