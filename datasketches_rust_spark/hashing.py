@@ -147,6 +147,17 @@ def hash_i64s(values: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
     return hash64_matrix(v.view(np.uint8).reshape(-1, 8), seed)
 
 
+def murmur_h1_u64s(values: np.ndarray, seed: int = DEFAULT_SEED
+                   ) -> np.ndarray:
+    """RAW murmur h1 (no theta sign-bit drop) of N uint64 LE keys — the
+    convention the reference CountMin uses both to derive its per-row
+    hash seeds (countmin/sketch.rs:493-503 make_hash_seeds) and to map
+    an integer item to a bucket (countmin/sketch.rs:405-410)."""
+    v = np.ascontiguousarray(values, dtype="<u8")
+    h1, _ = murmur3_x64_128_matrix(v.view(np.uint8).reshape(-1, 8), seed)
+    return h1
+
+
 def hash_bytes_list(keys: list[bytes], seed: int = DEFAULT_SEED) -> np.ndarray:
     """hash64 of variable-length byte keys: group by length, hash each
     group as one matrix (raw_bytes convention, hash_value/mod.rs:59-73 —
@@ -219,6 +230,43 @@ def encode_values(values) -> list[bytes]:
     return out
 
 
+def encode_unsigned(values, bits: int = 64,
+                    strategy: str = "natural") -> list[bytes]:
+    """Byte encodings for DECLARED-UNSIGNED integers, selecting between
+    the reference's two short-int widening conventions (hash_value/
+    mod.rs:40-70):
+
+    - ``natural`` (hash_value/natural_extend.rs) — widen to u64 and hash
+      its LE bytes. This is the BLOOM filter convention (matches
+      datasketches-cpp's BloomFilter): from_u8(255) hashes like u64 255.
+    - ``sign`` (hash_value/sign_extend.rs) — reinterpret the low ``bits``
+      as two's-complement, sign-extend to i64, hash its LE bytes. This
+      is the HLL/CPC/theta convention for short ints: from_u8(255)
+      hashes like i64 -1.
+
+    For values < 2^(bits-1) the two agree (and agree with
+    ``encode_values``); they diverge exactly on the high half of the
+    unsigned range. Spark columns are all signed so ``encode_values``
+    is the default path; this exists for cross-impl parity with blobs
+    built from unsigned items."""
+    if bits not in (8, 16, 32, 64):
+        raise ValueError("bits must be 8/16/32/64")
+    if strategy not in ("natural", "sign"):
+        raise ValueError("strategy must be 'natural' or 'sign'")
+    out = []
+    for v in values:
+        v = int(v)
+        if not 0 <= v < (1 << bits):
+            raise ValueError(f"{v} out of range for u{bits}")
+        if strategy == "natural":
+            out.append(v.to_bytes(8, "little", signed=False))
+        else:
+            if v >= 1 << (bits - 1):
+                v -= 1 << bits
+            out.append(v.to_bytes(8, "little", signed=True))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # XXHash64 (Bloom filter double-hashing base, hash/xxhash.rs)
 # ---------------------------------------------------------------------------
@@ -230,24 +278,30 @@ _XP4 = np.uint64(0x85EBCA77C2B2AE63)
 _XP5 = np.uint64(0x27D4EB2F165667C5)
 
 
-def xxhash64_matrix(data: np.ndarray, seed: int = 0) -> np.ndarray:
+def xxhash64_matrix(data: np.ndarray, seed=0) -> np.ndarray:
     """XXHash64 over N equal-length keys ((N, L) uint8 -> (N,) uint64).
 
     Port of the algorithm the reference Bloom filter uses for its
     Kirsch-Mitzenmacher double hashing (hash/xxhash.rs:32-201,
-    bloom/mod.rs:110-121).
+    bloom/mod.rs:110-121). ``seed`` may be a scalar or an (N,) uint64
+    array of per-key seeds — the reference's second base hash reseeds
+    with the first (bloom/sketch.rs:499-510 compute_hash), which is a
+    different seed per key.
     """
     if data.ndim != 2 or data.dtype != np.uint8:
         raise ValueError("expected (N, L) uint8 matrix")
     n, length = data.shape
-    seed = np.uint64(seed)
+    seed = np.asarray(seed, dtype=np.uint64)  # scalar or per-key (N,)
     pos = 0
 
+    def _owned(x: np.ndarray) -> np.ndarray:
+        return np.broadcast_to(x, (n,)).astype(np.uint64, copy=True)
+
     if length >= 32:
-        v1 = np.full(n, seed + _XP1 + _XP2, dtype=np.uint64)
-        v2 = np.full(n, seed + _XP2, dtype=np.uint64)
-        v3 = np.full(n, seed, dtype=np.uint64)
-        v4 = np.full(n, seed - _XP1, dtype=np.uint64)
+        v1 = _owned(seed + _XP1 + _XP2)
+        v2 = _owned(seed + _XP2)
+        v3 = _owned(seed)
+        v4 = _owned(seed - _XP1)
         nstripes = length // 32
         words = np.ascontiguousarray(data[:, : nstripes * 32]).view("<u8")
         for i in range(nstripes):
@@ -265,7 +319,7 @@ def xxhash64_matrix(data: np.ndarray, seed: int = 0) -> np.ndarray:
             h = h * _XP1 + _XP4
         pos = nstripes * 32
     else:
-        h = np.full(n, seed + _XP5, dtype=np.uint64)
+        h = _owned(seed + _XP5)
 
     h = h + np.uint64(length)
 

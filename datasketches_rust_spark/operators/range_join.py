@@ -34,11 +34,22 @@ def point_interval_join(points: DataFrame, intervals: DataFrame,
     s_us = F.unix_micros(F.col(start_ts).cast("timestamp"))
     e_us = F.unix_micros(F.col(end_ts).cast("timestamp"))
 
-    pts = points.withColumn("__bucket", F.floor(p_us / w))
-    ivs = intervals.withColumn(
-        "__bucket",
-        F.explode(F.sequence(F.floor(s_us / w),
-                             F.floor((e_us - F.lit(1)) / w))))
+    # all-integer bucket math: the bucket id IS the aligned window start
+    # (ts - pmod(ts, w)) — no division at all, so no double-precision
+    # drift past 2^53 us (same discipline as streaming/dedup.py's window
+    # explode). pmod keeps pre-epoch (negative) timestamps aligned too.
+    pts = points.withColumn("__bucket", p_us - F.pmod(p_us, w))
+    last_us = e_us - F.lit(1)
+    ivs = (intervals
+           # empty/inverted intervals (end <= start) match no point; drop
+           # them instead of letting a descending F.sequence explode them
+           # into spurious bucket rows
+           .where(e_us > s_us)
+           .withColumn(
+               "__bucket",
+               F.explode(F.sequence(s_us - F.pmod(s_us, w),
+                                    last_us - F.pmod(last_us, w),
+                                    w))))
     joined = pts.join(ivs, "__bucket")
     return (joined.where((F.col(point_ts) >= F.col(start_ts))
                          & (F.col(point_ts) < F.col(end_ts)))

@@ -220,8 +220,18 @@ def q_bloom_semijoin_parts(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_exact_dedup_documents(spark, sf_dir):
+    """Fingerprint-first exact dedup: group by md5(text), NOT by the raw
+    text column — the shuffle then carries a 16-byte key per row instead
+    of the whole document body (at 100 TB the difference between
+    shuffling fingerprints and re-shuffling the corpus). 128-bit md5
+    makes cross-text collisions impossible in practice (2^64 birthday
+    bound >> 10^12 docs; 64-bit xxhash64 would NOT clear that bar), so
+    grouping by fingerprint equals grouping by text and the
+    GROUP-BY-text oracle still hash-matches. Same formulation as
+    streaming/dedup.exact_dedup_stream."""
     docs = _t(spark, sf_dir, "documents")
-    return (docs.groupBy("text")
+    return (docs.select(F.md5("text").alias("__fp"), "doc_id")
+            .groupBy("__fp")
             .agg(F.min("doc_id").alias("canonical_id"),
                  F.count("*").alias("n_copies"))
             .select("canonical_id", "n_copies"))
@@ -239,8 +249,24 @@ def q_dedup_clusters(spark, sf_dir):
         .select("doc_id", "cluster_id")
 
 
-def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Token 3-gram Jaccard >= 0.5 — pure JVM (no Python UDF) dedup."""
+NGRAM_DF_CAP = 100_000  # > any fixture doc count -> oracle stays exact
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir, df_cap: int = NGRAM_DF_CAP):
+    """Token 3-gram Jaccard >= 0.5 — pure JVM (no Python UDF) dedup.
+
+    Hot-gram guard: a gram shared by m docs contributes m^2 rows to the
+    self-join, so a ubiquitous boilerplate phrase is a quadratic
+    scale-killer (the exact hazard operators/lsh.py solves for MinHash
+    bands). Grams with document frequency > ``df_cap`` are dropped from
+    the JOIN side only — at that df they carry no Jaccard signal (two
+    docs sharing only boilerplate are not near-dups), and dropping
+    shared grams can only lower the measured intersection, never create
+    a false positive. Doc sizes still count ALL grams, so semantics are
+    unchanged for every gram below the cap; with the default cap above
+    the fixture doc count the DuckDB oracle stays exactly equal. The hot
+    list is tiny by construction (few grams can exceed a 100k df), so it
+    broadcasts."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     grams = F.array_distinct(F.transform(
@@ -248,8 +274,11 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         lambda i: F.concat_ws(" ", F.slice(toks, i, 3))))
     ex = docs.select("doc_id", F.explode(grams).alias("g"))
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = ex.alias("a")
-    b = ex.alias("b")
+    hot = (ex.groupBy("g").agg(F.count("*").alias("df"))
+           .where(F.col("df") > df_cap).select("g"))
+    rare = ex.join(F.broadcast(hot), "g", "left_anti")
+    a = rare.alias("a")
+    b = rare.alias("b")
     inter = (a.join(b, "g")
              .where(F.col("a.doc_id") < F.col("b.doc_id"))
              .groupBy(F.col("a.doc_id").alias("id_a"),
@@ -530,6 +559,9 @@ def q_contamination_check_bloom(spark, sf_dir):
 
 
 
+UNIGRAM_MIN_COUNT = 2  # vocab floor; mirrored in the oracle SQL
+
+
 def q_unigram_logprob_scores(spark, sf_dir):
     """Model-based quality scoring (the perplexity-filter shape): train
     corpus unigram stats in one pass, score every doc by its mean token
@@ -546,7 +578,16 @@ def q_unigram_logprob_scores(spark, sf_dir):
                           r"\s+")).alias("w"))
     counts = toks.groupBy("w").agg(F.count("*").alias("c"))
     total = counts.agg(F.sum("c").alias("t"))
-    return (toks.join(counts, "w")
+    # min-count floor + EXPLICIT broadcast: the floor caps the vocab
+    # (Zipf tail is all singletons) so the broadcast is guaranteed small
+    # at any corpus size, and the token join never falls back to a
+    # shuffle on Zipf-skewed `w` ("the" owning a reducer). Tokens below
+    # the floor are excluded from scoring; the oracle applies the SAME
+    # floor (HAVING c >= floor), so the gate stays a hash-match.
+    # NOTE: `t` (the normalizer) sums ALL counts pre-floor — the floor
+    # prunes the vocab, it doesn't renormalize the model.
+    vocab = counts.where(F.col("c") >= UNIGRAM_MIN_COUNT)
+    return (toks.join(F.broadcast(vocab), "w")
             .crossJoin(F.broadcast(total))
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_tokens"),
@@ -753,6 +794,7 @@ def q_streaming_exact_dedup(spark, sf_dir):
     deterministic, so the result hash-matches the SQL oracle. Puts the
     streaming path under the driver's correctness gate."""
     import os
+    import shutil
     import tempfile
     import uuid
     from datasketches_rust_spark.streaming import exact_dedup_stream
@@ -761,21 +803,33 @@ def q_streaming_exact_dedup(spark, sf_dir):
     # fixture tables are single files, so expose the file through a temp
     # dir symlink (no data copy)
     src_dir = tempfile.mkdtemp(prefix="dsrs_sed_src_")
-    os.symlink(os.path.abspath(docs_path),
-               os.path.join(src_dir, "documents.parquet"))
-    schema = spark.read.parquet(docs_path).schema
-    stream = (spark.readStream.schema(schema).parquet(src_dir)
-              .withColumn("__ts",
-                          F.to_timestamp(F.lit("2026-01-01 00:00:00"))))
-    out = (exact_dedup_stream(stream, "doc_id", "text", "__ts")
-           .select(F.md5("text").alias("fp")))
-    name = "dsrs_sed_" + uuid.uuid4().hex[:8]
     ck = tempfile.mkdtemp(prefix="dsrs_sed_ck_")
-    q = (out.writeStream.format("memory").queryName(name)
-         .option("checkpointLocation", ck)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return spark.table(name)
+    try:
+        os.symlink(os.path.abspath(docs_path),
+                   os.path.join(src_dir, "documents.parquet"))
+        schema = spark.read.parquet(docs_path).schema
+        stream = (spark.readStream.schema(schema).parquet(src_dir)
+                  .withColumn("__ts",
+                              F.to_timestamp(F.lit("2026-01-01 00:00:00"))))
+        out = (exact_dedup_stream(stream, "doc_id", "text", "__ts")
+               .select(F.md5("text").alias("fp")))
+        name = "dsrs_sed_" + uuid.uuid4().hex[:8]
+        q = (out.writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        # a partially-filled memory table would fail the gate with a
+        # misleading data diff — surface the timeout instead
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_exact_dedup did not finish within 300s")
+        # the memory sink holds the rows in the session; the source dir
+        # and checkpoint are no longer needed — don't litter /tmp across
+        # verification runs
+        return spark.table(name)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -920,10 +974,16 @@ ORACLE_SQL = {
                           AND x.user_id = y.user_id
           GROUP BY ta, tb),
         sizes AS (SELECT event_type, count(*) AS n FROM us GROUP BY 1)
-        SELECT ta AS type_a, tb AS type_b, c AS n_common,
-               c * 1.0 / (na.n + nb.n - c) AS jaccard
-        FROM inter JOIN sizes na ON na.event_type = ta
-                   JOIN sizes nb ON nb.event_type = tb""",
+        -- LEFT JOIN from p: the Spark side emits every type pair, with
+        -- n_common=0 for disjoint sets — the oracle must agree even if a
+        -- future fixture has a zero-overlap pair
+        SELECT p.ta AS type_a, p.tb AS type_b,
+               coalesce(i.c, 0) AS n_common,
+               coalesce(i.c, 0) * 1.0
+                 / (na.n + nb.n - coalesce(i.c, 0)) AS jaccard
+        FROM p LEFT JOIN inter i ON i.ta = p.ta AND i.tb = p.tb
+               JOIN sizes na ON na.event_type = p.ta
+               JOIN sizes nb ON nb.event_type = p.tb""",
     "freq_top_event_types": """
         SELECT event_type AS item, count(*) AS est
         FROM events GROUP BY event_type
@@ -1108,10 +1168,11 @@ ORACLE_SQL = {
                  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
           FROM documents),
         counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
-        total AS (SELECT sum(c) AS t FROM counts)
+        total AS (SELECT sum(c) AS t FROM counts),
+        vocab AS (SELECT * FROM counts WHERE c >= 2)
         SELECT doc_id, count(*) AS n_tokens,
                avg(ln(c * 1.0 / t)) AS avg_logprob
-        FROM toks JOIN counts USING (w) CROSS JOIN total
+        FROM toks JOIN vocab USING (w) CROSS JOIN total
         GROUP BY doc_id""",
     "cross_source_dup_pairs": _SHINGLE_PAIRS_CTE + """
         SELECT least(da.source, db.source) AS source_a,

@@ -16,8 +16,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from datasketches_rust_spark.hashing import (DEFAULT_SEED, compute_seed_hash,
-                                             xxhash64_matrix)
+from datasketches_rust_spark.hashing import DEFAULT_SEED, xxhash64_matrix
 from datasketches_rust_spark.sketches import serde
 
 
@@ -54,18 +53,22 @@ class BloomFilter:
 
     # -- hashing -------------------------------------------------------------
     def _base_hashes(self, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(N, L) uint8 keys -> (h1, h2). Double-hashing bases from two
-        xxhash64 passes with derived seeds (bloom/sketch.rs:499 scheme)."""
-        h1 = xxhash64_matrix(data, self.seed)
-        h2 = xxhash64_matrix(data, self.seed ^ 0x9E3779B97F4A7C15) | np.uint64(1)
-        return h1, h2
+        """(N, L) uint8 keys -> (h0, h1), the reference's exact two-hash
+        scheme (bloom/sketch.rs:494-510 compute_hash): h0 = xx(key, seed),
+        h1 = xx(key, h0) — the second pass is reseeded per key with the
+        first hash. Bit-compatible with reference-built filters."""
+        h0 = xxhash64_matrix(data, self.seed)
+        h1 = xxhash64_matrix(data, h0)
+        return h0, h1
 
     def _bit_positions(self, data: np.ndarray) -> np.ndarray:
-        """(N, num_hashes) bit indices: (h1 + i*h2) mod m."""
-        h1, h2 = self._base_hashes(data)
-        i = np.arange(self.num_hashes, dtype=np.uint64)
-        return ((h1[:, None] + i[None, :] * h2[:, None])
-                % np.uint64(self.num_bits))
+        """(N, num_hashes) bit indices, Kirsch-Mitzenmacher with the
+        reference's exact formula (bloom/sketch.rs:532-543): 1-based i,
+        ((h0 + i*h1) >> 1) % num_bits (the shift improves distribution)."""
+        h0, h1 = self._base_hashes(data)
+        i = np.arange(1, self.num_hashes + 1, dtype=np.uint64)
+        return (((h0[:, None] + i[None, :] * h1[:, None])
+                 >> np.uint64(1)) % np.uint64(self.num_bits))
 
     # -- ops -----------------------------------------------------------------
     def insert_keys(self, data: np.ndarray) -> "BloomFilter":
@@ -127,19 +130,69 @@ class BloomFilter:
     def estimated_fpp(self) -> float:
         return self.load_factor() ** self.num_hashes
 
-    VERSION = 1
+    # -- serde: the reference family-21 wire layout -------------------------
+    # (bloom/sketch.rs:335-495). Preamble 3 longs when empty, 4 when not:
+    #   [pre_longs u8][serial_version=1 u8][family=21 u8][flags u8]
+    #   [num_hashes u16le][unused u16le]           -- long 0
+    #   [seed u64le]                               -- long 1
+    #   [num_longs i32le][unused u32le]            -- long 2
+    #   [num_bits_set u64le]                       -- long 3 (non-empty)
+    #   [bit array, num_longs x u64le]
+    SERIAL_VERSION = 1
+    _PRE_EMPTY, _PRE_NONEMPTY = 3, 4
+    _EMPTY_FLAG = 1 << 2  # bloom/serialization.rs EMPTY_FLAG_MASK
 
     def serialize(self) -> bytes:
-        hdr = serde.pack_header(serde.FAMILY_BLOOM, self.VERSION,
-                                compute_seed_hash(self.seed))
-        meta = np.array([self.num_bits, self.num_hashes], dtype="<u4").tobytes()
-        return hdr + meta + self.words.astype("<u8").tobytes()
+        import struct
+        n_set = self.bits_used()
+        empty = n_set == 0
+        pre = self._PRE_EMPTY if empty else self._PRE_NONEMPTY
+        out = [struct.pack("<BBBBHH", pre, self.SERIAL_VERSION,
+                           serde.FAMILY_BLOOM,
+                           self._EMPTY_FLAG if empty else 0,
+                           self.num_hashes, 0),
+               struct.pack("<Q", self.seed & 0xFFFFFFFFFFFFFFFF),
+               struct.pack("<iI", self.num_bits // 64, 0)]
+        if not empty:
+            out.append(struct.pack("<Q", n_set))
+            out.append(self.words.astype("<u8").tobytes())
+        return b"".join(out)
 
     @classmethod
-    def deserialize(cls, buf: bytes, seed: int = DEFAULT_SEED) -> "BloomFilter":
-        off = serde.unpack_header(buf, serde.FAMILY_BLOOM, cls.VERSION,
-                                  compute_seed_hash(seed))
-        serde.need(buf, off, 8)
-        num_bits, num_hashes = np.frombuffer(buf, "<u4", 2, off)
-        words, _ = serde.take_u64s(buf, off + 8, int(num_bits) // 64)
-        return cls(int(num_bits), int(num_hashes), seed, words.copy())
+    def deserialize(cls, buf: bytes,
+                    seed: int | None = None) -> "BloomFilter":
+        """Reads the reference family-21 layout, including the
+        dirty-bits sentinel (num_bits_set == u64::MAX -> recount,
+        bloom/sketch.rs:471-482). ``seed`` is a compatibility check
+        against the seed stored in the blob (the wire format carries the
+        real u64 seed, unlike the 16-bit seed-hash families)."""
+        import struct
+        serde.need(buf, 0, 24)
+        pre, ver, fam, flags, num_hashes, _ = struct.unpack_from(
+            "<BBBBHH", buf, 0)
+        if fam != serde.FAMILY_BLOOM:
+            raise serde.SketchDecodeError(
+                f"family {fam} != expected {serde.FAMILY_BLOOM}")
+        if ver != cls.SERIAL_VERSION:
+            raise serde.SketchDecodeError(f"unsupported serial version {ver}")
+        if not cls._PRE_EMPTY <= pre <= cls._PRE_NONEMPTY:
+            raise serde.SketchDecodeError(f"bad preamble_longs {pre}")
+        if not 1 <= num_hashes <= 0x7FFF:
+            raise serde.SketchDecodeError(f"invalid num_hashes {num_hashes}")
+        (stored_seed,) = struct.unpack_from("<Q", buf, 8)
+        if seed is not None and (seed & 0xFFFFFFFFFFFFFFFF) != stored_seed:
+            raise serde.SketchDecodeError(
+                f"incompatible seed: blob has {stored_seed}, expected {seed}")
+        num_longs, _ = struct.unpack_from("<iI", buf, 16)
+        if num_longs <= 0:
+            raise serde.SketchDecodeError(f"invalid num_longs {num_longs}")
+        if flags & cls._EMPTY_FLAG:
+            return cls(num_longs * 64, num_hashes, stored_seed)
+        serde.need(buf, 24, 8)
+        (raw_set,) = struct.unpack_from("<Q", buf, 24)
+        words, _ = serde.take_u64s(buf, 32, num_longs)
+        if raw_set != 0xFFFFFFFFFFFFFFFF:  # not dirty: validate the count
+            if (raw_set + 63) // 64 > num_longs:
+                raise serde.SketchDecodeError(
+                    f"invalid num_bits_set {raw_set}")
+        return cls(num_longs * 64, num_hashes, stored_seed, words.copy())

@@ -263,6 +263,19 @@ def windowed_sketch_estimates(stream_df: DataFrame, key_cols: list[str],
     state_schema = StructType([StructField("sketch", BinaryType()),
                                StructField("rows_seen", LongType())])
 
+    # window bounds arrive in fn as tz-NAIVE pandas Timestamps rendered
+    # in the Spark session timezone, but Timestamp.timestamp() interprets
+    # naive values as UTC — under a non-UTC session tz the timeout epoch
+    # would shift by the offset, finalizing windows hours early/late.
+    # Capture the session tz here and localize before epoch conversion.
+    session_tz = stream_df.sparkSession.conf.get(
+        "spark.sql.session.timeZone")
+
+    def _epoch_ms(ts) -> int:
+        if ts.tzinfo is None:
+            ts = ts.tz_localize(session_tz)
+        return int(ts.timestamp() * 1000)
+
     def fn(key, pdfs, state):
         # the struct group key arrives as a mapping with the window fields
         win = key[0]
@@ -288,7 +301,7 @@ def windowed_sketch_estimates(stream_df: DataFrame, key_cols: list[str],
             rows_seen += len(pdf)
         state.update((bytearray(sk.serialize()), rows_seen))
         # the window closes when the event-time watermark passes its end
-        state.setTimeoutTimestamp(int(end.timestamp() * 1000))
+        state.setTimeoutTimestamp(_epoch_ms(end))
         row = dict(zip(key_cols, key[1:]))
         row.update(window_start=start, window_end=end,
                    estimate=float(sk.estimate()),

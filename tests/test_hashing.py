@@ -103,3 +103,57 @@ def test_xxhash64_reference_values():
 def test_seed_hash_nonzero():
     assert compute_seed_hash(9001) != 0
     assert 0 < compute_seed_hash(9001) < 2**16
+
+
+def test_xxhash64_per_key_seed_array():
+    """xxhash64_matrix accepts an (N,) seed array (the bloom h1 = xx(key,
+    h0) reseed path, bloom/sketch.rs:494-510) — must equal a scalar-seed
+    loop, across the stripe (>=32B) and tail-only (<32B) code paths."""
+    from datasketches_rust_spark.hashing import xxhash64_matrix
+    rng = np.random.default_rng(7)
+    for length in (3, 8, 17, 31, 32, 40, 64, 77):
+        mat = rng.integers(0, 256, size=(9, length), dtype=np.uint8)
+        seeds = rng.integers(0, 2**64, size=9, dtype=np.uint64)
+        got = xxhash64_matrix(mat, seeds)
+        for i in range(9):
+            assert int(got[i]) == xxhash64(mat[i].tobytes(), int(seeds[i])), \
+                f"len={length} row={i}"
+
+
+def test_encode_unsigned_conventions():
+    """natural vs sign widening (hash_value/mod.rs:40-70): they agree on
+    the low half of each unsigned range and diverge exactly on the high
+    half, where natural == u64 widen and sign == two's-complement i64."""
+    from datasketches_rust_spark.hashing import encode_unsigned, encode_values
+
+    # low half: all three agree (doc contract from natural_extend.rs)
+    assert encode_unsigned([42], 8, "natural") == \
+        encode_unsigned([42], 8, "sign") == encode_values([42])
+
+    # high half of u8: natural widens to u64 255, sign to i64 -1
+    nat, = encode_unsigned([255], 8, "natural")
+    sgn, = encode_unsigned([255], 8, "sign")
+    assert nat == (255).to_bytes(8, "little")
+    assert sgn == (-1).to_bytes(8, "little", signed=True)
+    assert nat != sgn
+
+    # u32 high half
+    v = 0xFFFF_FFF0
+    nat, = encode_unsigned([v], 32, "natural")
+    sgn, = encode_unsigned([v], 32, "sign")
+    assert nat == v.to_bytes(8, "little")
+    assert sgn == (v - (1 << 32)).to_bytes(8, "little", signed=True)
+
+    # u64: natural is the identity LE encoding
+    big = (1 << 63) + 12345
+    nat, = encode_unsigned([big], 64, "natural")
+    assert nat == big.to_bytes(8, "little")
+
+    with pytest.raises(ValueError):
+        encode_unsigned([256], 8, "natural")
+    with pytest.raises(ValueError):
+        encode_unsigned([-1], 8, "natural")
+    with pytest.raises(ValueError):
+        encode_unsigned([1], 12, "natural")
+    with pytest.raises(ValueError):
+        encode_unsigned([1], 8, "zigzag")

@@ -61,3 +61,22 @@ def test_point_interval_join_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
                      plan)
+
+
+def test_inverted_and_empty_intervals_match_nothing(spark):
+    """end <= start must yield zero matches — and must NOT explode into
+    spurious bucket rows via a descending F.sequence (the pre-filter
+    guard). Mixed with one valid interval to prove the filter is
+    per-row."""
+    pts = pd.DataFrame({"pid": [0, 1],
+                        "pts": np.array([100, 500],
+                                        dtype="datetime64[s]")})
+    ivs = pd.DataFrame({
+        "iid": [0, 1, 2],
+        "s": np.array([400, 1000, 90], dtype="datetime64[s]"),
+        "e": np.array([600, 200, 90], dtype="datetime64[s]"),
+    })  # iid=1 inverted, iid=2 empty, iid=0 valid
+    got = point_interval_join(
+        spark.createDataFrame(pts), spark.createDataFrame(ivs),
+        "pts", "s", "e", bucket_us=120 * US)
+    assert {(r["pid"], r["iid"]) for r in got.collect()} == {(1, 0)}

@@ -204,3 +204,36 @@ def test_tdigest_direct_construction_bounds():
                  weights=np.array([1.0, 2.0, 1.0]))
     assert td.quantile(0.0) == 1.0
     assert td.quantile(1.0) == 5.0
+
+
+def test_ngram_hot_gram_guard(spark, tmp_path):
+    """A gram present in EVERY doc (boilerplate) is dropped from the
+    self-join by the df cap; docs sharing ONLY boilerplate never pair,
+    docs sharing real content still do — and doc sizes keep counting all
+    grams, so the Jaccard of surviving pairs is unchanged."""
+    from datasketches_rust_spark.queries import q_ngram_jaccard_pairs
+
+    boiler = "click here to subscribe now"
+    rows = []
+    # 20 docs sharing ONLY the boilerplate phrase (pairwise jaccard of
+    # their full gram sets would be >= 0.5 because the docs are tiny)
+    for i in range(20):
+        rows.append((f"b{i:02d}", f"{boiler}"))
+    # 2 identical docs with enough real content that the jaccard
+    # survives the hot-gram drop: with G grams of which h are hot,
+    # measured jaccard = (G-h)/(G+h) — 13 grams, 3 hot -> 10/16
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows.append(("r1", body + " " + boiler))
+    rows.append(("r2", body + " " + boiler))
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+
+    # cap below the boilerplate df (22) but above every real gram's df
+    got = q_ngram_jaccard_pairs(spark, str(tmp_path), df_cap=5)
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    # sizes still count ALL grams; only the intersection loses the 3 hot
+    # grams, so r1/r2 measure (13-3)/(13+13-10) = 0.625 >= 0.5 and pair.
+    # Boilerplate-only docs never pair: their only shared grams are hot.
+    assert pairs == {("r1", "r2")}
