@@ -99,7 +99,10 @@ def _bloom_update(sk: BloomFilter, values: pd.Series) -> None:
 def _countmin_update(sk: CountMinSketch, values: pd.Series) -> None:
     vals = values.dropna()
     if len(vals):
-        sk.update_hashes(hash_bytes_list(encode_values(vals), sk.seed))
+        # raw byte items, NOT a pre-hash: the sketch hashes them with its
+        # per-row murmur seeds, so the state is bit-identical to a
+        # reference sketch updated with the same items
+        sk.update_keys(encode_values(vals))
 
 
 def _freq_update(sk: FrequentItemsSketch, values: pd.Series) -> None:
@@ -325,8 +328,7 @@ def countmin_estimate_udf(seed: int = DEFAULT_SEED):
             cm = cache.get(blob)
             if cm is None:
                 cm = cache[blob] = CountMinSketch.deserialize(blob, seed)
-            h = hash_bytes_list(encode_values([item]), seed)
-            out[i] = int(cm.estimate_hashes(h)[0])
+            out[i] = int(cm.estimate_keys(encode_values([item]))[0])
         return pd.Series(out)
 
     return _udf

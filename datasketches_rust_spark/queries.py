@@ -328,6 +328,23 @@ def q_token_counts(spark, sf_dir):
                        .alias("n_bpe_tokens"))
 
 
+def q_bpe_tokens_per_doc(spark, sf_dir):
+    """REAL BPE vocabulary application (not just the pretokenizer count):
+    greedy lowest-rank merges from the committed mini-vocab
+    (functions/bpe.MERGES), applied once per DISTINCT pretoken through a
+    broadcast-vocab Arrow UDF, joined back to a (doc, tok) count
+    aggregate — Python work scales with the vocabulary, not the corpus.
+    Oracle: a DuckDB WITH RECURSIVE + LATERAL loop replays the identical
+    merge semantics over the same committed merges (hash-matched)."""
+    from datasketches_rust_spark.functions.bpe import bpe_token_counts
+    docs = _t(spark, sf_dir, "documents")
+    return (bpe_token_counts(docs)
+            .select("doc_id",
+                    F.col("n_pretokens").cast("long").alias("n_pretokens"),
+                    F.col("n_bpe_tokens").cast("long")
+                    .alias("n_bpe_tokens")))
+
+
 def q_doc_fingerprint_md5(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
@@ -859,6 +876,7 @@ QUERIES = {
     "lang_id_counts": q_lang_id_counts,
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,
+    "bpe_tokens_per_doc": q_bpe_tokens_per_doc,
     "doc_fingerprint_md5": q_doc_fingerprint_md5,
     "winnow_fingerprints": q_winnow_fingerprints,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
@@ -1088,6 +1106,8 @@ ORACLE_SQL = {
         FROM documents""",
     "doc_fingerprint_md5": """
         SELECT doc_id, md5(text) AS fp FROM documents""",
+    # bpe_tokens_per_doc is generated below from the committed merge
+    # table (functions/bpe.MERGES) — see _bpe_oracle_sql().
     "ann_topk_bruteforce": """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS e
                    FROM embeddings WHERE vec_id < 10),
@@ -1291,3 +1311,63 @@ ORACLE_SQL = {
                  AS max_k
         FROM events GROUP BY event_type""",
 }
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB replay of the exact BPE encode loop over the committed
+    merge table: each distinct pretoken becomes a chr(1)-delimited char
+    sequence (tokens joined by a DOUBLED separator so a one-pass
+    replace() keeps the next occurrence's leading boundary intact), the
+    recursion applies the lowest-rank merge present until the LATERAL
+    finds none, and the fixpoint row's separator count yields the token
+    count. Identical semantics to functions/bpe.bpe_encode by
+    construction: both pick min-rank adjacent pair, both fuse all
+    occurrences left-to-right per pass."""
+    from datasketches_rust_spark.functions.bpe import MERGES
+    from datasketches_rust_spark.functions.text import BPE_PRETOKEN_RE
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n    ".join(
+        f"({i}, chr(1) || {q(a)} || chr(1) || chr(1) || {q(b)} || chr(1),"
+        f" chr(1) || {q(a + b)} || chr(1))"
+        for i, (a, b) in enumerate(MERGES))
+    return f"""
+WITH RECURSIVE
+merges(rank, pat, rep) AS (VALUES
+    {vals}),
+pretoks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, {q(BPE_PRETOKEN_RE)})) AS tok
+  FROM documents),
+per_tok AS (SELECT doc_id, tok, count(*) AS n_occ FROM pretoks
+            GROUP BY 1, 2),
+dtoks AS (SELECT DISTINCT tok FROM per_tok),
+enc AS (
+  SELECT tok,
+         chr(1) || array_to_string(
+           list_transform(range(1, length(tok) + 1),
+                          i -> substr(tok, i, 1)),
+           chr(1) || chr(1)) || chr(1) AS seq
+  FROM dtoks),
+steps(tok, seq, it) AS (
+  SELECT tok, seq, 0 FROM enc
+  UNION ALL
+  SELECT s.tok, replace(s.seq, best.pat, best.rep), s.it + 1
+  FROM steps s, LATERAL (
+    SELECT pat, rep FROM merges m
+    WHERE contains(s.seq, m.pat)
+    ORDER BY rank LIMIT 1) best),
+counts AS (
+  SELECT tok,
+         (length(f.seq) - length(replace(f.seq, chr(1), ''))) // 2 AS n_bpe
+  FROM (SELECT tok, arg_max(seq, it) AS seq FROM steps GROUP BY tok) f)
+SELECT p.doc_id,
+       sum(p.n_occ)::BIGINT AS n_pretokens,
+       sum(p.n_occ * c.n_bpe)::BIGINT AS n_bpe_tokens
+FROM per_tok p JOIN counts c USING (tok)
+GROUP BY p.doc_id"""
+
+
+ORACLE_SQL["bpe_tokens_per_doc"] = _bpe_oracle_sql()

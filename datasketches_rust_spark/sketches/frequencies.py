@@ -100,64 +100,146 @@ class FrequentItemsSketch:
         out._maybe_purge()
         return out
 
-    # v2: versioned binary layout (replaces the v1 pickle payload — this
-    # is shuffle state, and pickle-loading at deserialize was the one
-    # non-versioned-binary sketch format in the engine). Items carry a
-    # type tag the way the reference delegates to an items serde
-    # (ArrayOfItemsSerDe in datasketches-java); str/int/float/bytes cover
-    # every column type the agg layer feeds in.
-    VERSION = 2
-    _TAGS = {str: 1, int: 2, float: 3, bytes: 4}
+    # -- serde: the reference family-10 wire layout --------------------------
+    # (frequencies/sketch.rs:408-525, frequencies/serialization.rs).
+    # Empty = 6 bytes: [pre=1][ver=1][fam=10][lg_max][lg_cur][flags=5].
+    # Non-empty, 4 preamble longs:
+    #   [pre=4][ver=1][fam=10][lg_max u8][lg_cur u8][flags u8][unused u16]
+    #   [active_items u32le][unused u32le]
+    #   [stream_weight u64le]
+    #   [offset u64le]
+    #   [values, active_items x u64le]     -- the retained (lower-bound) counts
+    #   [items, via the item serde]
+    #
+    # The format is generic over the item serde (FrequentItemValue): the
+    # reference ships String (u32le len + utf8) and i64/u64 (8B LE); the
+    # reader must know T, exactly like FrequentItemsSketch::<T>::
+    # deserialize. This impl adds f64 (8B LE, a custom T in reference
+    # terms) and raw-bytes (String layout minus the utf8 decode), and —
+    # because the repo's shuffle blobs must self-describe — records the
+    # serde choice in flags bits 4-5, which the reference reader ignores
+    # (it masks only EMPTY_FLAG_MASK). So: str blobs here are
+    # byte-IDENTICAL to reference String blobs; int blobs differ from
+    # reference i64 blobs only in those ignored bits (the reference reads
+    # ours); reference-written i64/u64 blobs (flags=0) are read by
+    # passing item_type explicitly.
+    SERIAL_VERSION = 1
+    _EMPTY_FLAG_MASK = 5
+    _PRE_EMPTY, _PRE_NONEMPTY = 1, 4
+    _LG_MIN = 3  # frequencies/sketch.rs:40 LG_MIN_MAP_SIZE
+    _SERDE_TAGS = {"str": 0, "i64": 1, "f64": 2, "bytes": 3}
+
+    def _lg_sizes(self) -> tuple[int, int]:
+        lg_max = max(self.max_map_size.bit_length() - 1, self._LG_MIN)
+        lg_cur = self._LG_MIN
+        while (len(self.counts) > _LOAD * (1 << lg_cur)
+               and lg_cur < lg_max):
+            lg_cur += 1
+        return lg_max, lg_cur
 
     def serialize(self) -> bytes:
         import struct
-        hdr = serde.pack_header(serde.FAMILY_FREQUENCY, self.VERSION, 1)
-        out = [hdr, struct.pack("<IqqI", self.max_map_size, self.offset,
-                                self.total_weight, len(self.counts))]
+        lg_max, lg_cur = self._lg_sizes()
+        if not self.counts and self.total_weight == 0:
+            return struct.pack("<BBBBBB", self._PRE_EMPTY,
+                               self.SERIAL_VERSION, serde.FAMILY_FREQUENCY,
+                               lg_max, lg_cur, self._EMPTY_FLAG_MASK)
+        items, values = [], []
+        kind = None
         for item, c in self.counts.items():
             if isinstance(item, np.generic):
                 item = item.item()  # numpy scalars (value_counts index)
-            tag = self._TAGS.get(type(item))
-            if tag is None:
+            k = ("str" if isinstance(item, str)
+                 else "i64" if isinstance(item, (bool, int))
+                 else "f64" if isinstance(item, float)
+                 else "bytes" if isinstance(item, bytes) else None)
+            if k is None:
                 raise TypeError(
                     f"unsupported freq-items item type {type(item)!r}; "
                     "use str/int/float/bytes")
-            if tag == 1:
-                body = item.encode("utf-8")
-            elif tag == 2:
-                body = struct.pack("<q", item)
-            elif tag == 3:
-                body = struct.pack("<d", item)
-            else:
-                body = item
-            out.append(struct.pack("<BIq", tag, len(body), c))
-            out.append(body)
+            if kind is None:
+                kind = k
+            elif kind != k:
+                raise TypeError(
+                    "mixed item types in one sketch (a Spark column is "
+                    f"typed; got both {kind} and {k})")
+            items.append(item)
+            values.append(c)
+        kind = kind or "str"  # no retained items (cannot happen post-purge)
+        out = [struct.pack("<BBBBBBH", self._PRE_NONEMPTY,
+                           self.SERIAL_VERSION, serde.FAMILY_FREQUENCY,
+                           lg_max, lg_cur,
+                           self._SERDE_TAGS[kind] << 4, 0),
+               struct.pack("<II", len(items), 0),
+               struct.pack("<Qq", self.total_weight, self.offset)]
+        out.append(np.array(values, dtype="<u8").tobytes())
+        if kind == "str":
+            for it in items:
+                b = it.encode("utf-8")
+                out.append(struct.pack("<I", len(b)) + b)
+        elif kind == "bytes":
+            for it in items:
+                out.append(struct.pack("<I", len(it)) + it)
+        elif kind == "i64":
+            out.append(np.array([int(i) for i in items],
+                                dtype="<i8").tobytes())
+        else:  # f64
+            out.append(np.array(items, dtype="<f8").tobytes())
         return b"".join(out)
 
     @classmethod
-    def deserialize(cls, buf: bytes) -> "FrequentItemsSketch":
+    def deserialize(cls, buf: bytes,
+                    item_type: str | None = None) -> "FrequentItemsSketch":
+        """Reads the family-10 layout. ``item_type`` (str/i64/u64/f64/
+        bytes) overrides the self-describing flag bits — needed for
+        blobs written by the reference, whose flags byte is 0."""
         import struct
-        off = serde.unpack_header(buf, serde.FAMILY_FREQUENCY, cls.VERSION, 1)
-        serde.need(buf, off, 24)
-        m, offset, tw, n = struct.unpack_from("<IqqI", buf, off)
-        off += 24
-        counts: dict = {}
-        for _ in range(n):
-            serde.need(buf, off, 13)
-            tag, blen, c = struct.unpack_from("<BIq", buf, off)
-            off += 13
-            serde.need(buf, off, blen)
-            body = buf[off:off + blen]
-            off += blen
-            if tag == 1:
-                item = body.decode("utf-8")
-            elif tag == 2:
-                (item,) = struct.unpack("<q", body)
-            elif tag == 3:
-                (item,) = struct.unpack("<d", body)
-            elif tag == 4:
-                item = bytes(body)
-            else:
-                raise serde.SketchDecodeError(f"unknown item tag {tag}")
-            counts[item] = c
-        return cls(m, counts, offset, tw)
+        serde.need(buf, 0, 6)
+        pre, ver, fam, lg_max, lg_cur, flags = struct.unpack_from(
+            "<BBBBBB", buf, 0)
+        pre &= 0x3F
+        if fam != serde.FAMILY_FREQUENCY:
+            raise serde.SketchDecodeError(
+                f"family {fam} != expected {serde.FAMILY_FREQUENCY}")
+        if ver != cls.SERIAL_VERSION:
+            raise serde.SketchDecodeError(f"unsupported serial version {ver}")
+        if lg_cur > lg_max:
+            raise serde.SketchDecodeError(
+                "lg_cur_map_size exceeds lg_max_map_size")
+        if flags & cls._EMPTY_FLAG_MASK:
+            if pre != cls._PRE_EMPTY:
+                raise serde.SketchDecodeError(f"bad preamble_longs {pre}")
+            return cls(1 << max(lg_max, cls._LG_MIN))
+        if pre != cls._PRE_NONEMPTY:
+            raise serde.SketchDecodeError(f"bad preamble_longs {pre}")
+        if item_type is None:
+            tag = (flags >> 4) & 0x3
+            item_type = {v: k for k, v in cls._SERDE_TAGS.items()}[tag]
+        serde.need(buf, 0, 32)
+        n, _ = struct.unpack_from("<II", buf, 8)
+        tw, offset = struct.unpack_from("<Qq", buf, 16)
+        serde.need(buf, 32, 8 * n)
+        values = np.frombuffer(buf, "<u8", n, 32)
+        off = 32 + 8 * n
+        items: list = []
+        if item_type in ("str", "bytes"):
+            for _ in range(n):
+                serde.need(buf, off, 4)
+                (blen,) = struct.unpack_from("<I", buf, off)
+                off += 4
+                serde.need(buf, off, blen)
+                body = buf[off:off + blen]
+                off += blen
+                items.append(body.decode("utf-8") if item_type == "str"
+                             else bytes(body))
+        elif item_type in ("i64", "u64", "f64"):
+            serde.need(buf, off, 8 * n)
+            dt = {"i64": "<i8", "u64": "<u8", "f64": "<f8"}[item_type]
+            items = [v.item() for v in np.frombuffer(buf, dt, n, off)]
+        else:
+            raise serde.SketchDecodeError(
+                f"unknown item serde {item_type!r}")
+        if len(set(items)) != len(items):
+            raise serde.SketchDecodeError("duplicate items in payload")
+        counts = dict(zip(items, (int(v) for v in values)))
+        return cls(1 << max(lg_max, cls._LG_MIN), counts, offset, int(tw))

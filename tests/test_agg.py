@@ -84,13 +84,13 @@ def test_countmin_upper_bounds(spark, sf_smoke_dir):
     sk = agg.sketch_agg(events, [], "event_type", "countmin",
                         num_hashes=3, num_buckets=2048)
     blob = bytes(sk.first()["sketch"])
-    from datasketches_rust_spark.hashing import encode_values, hash_bytes_list
+    from datasketches_rust_spark.hashing import encode_values
     from datasketches_rust_spark.sketches.countmin import CountMinSketch
     cm = CountMinSketch.deserialize(blob)
     exact = {r["event_type"]: r["count"]
              for r in events.groupBy("event_type").count().collect()}
     keys = list(exact)
-    est = cm.estimate_hashes(hash_bytes_list(encode_values(keys)))
+    est = cm.estimate_keys(encode_values(keys))
     for k, e in zip(keys, est):
         assert e >= exact[k]
         assert e <= exact[k] + cm.relative_error() * cm.total_weight

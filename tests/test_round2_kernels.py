@@ -90,11 +90,22 @@ class TestFreqBinarySerde:
         assert {int(k): v for k, v in rt.counts.items()} == \
             {int(k): v for k, v in sk.counts.items()}
 
-    def test_roundtrip_mixed_and_bytes(self):
+    def test_roundtrip_bytes_and_float_items(self):
+        for items in ([b"blob", b"x"], [1.5, -2.25]):
+            sk = FrequentItemsSketch(64)
+            sk.update_counts(items, [3, 2])
+            rt = FrequentItemsSketch.deserialize(sk.serialize())
+            assert rt.counts == sk.counts
+
+    def test_mixed_item_types_rejected(self):
+        """The family-10 layout is generic over ONE item type T, like
+        FrequentItemsSketch::<T> — a mixed-type payload can't be
+        represented, and a Spark column is typed so it never arises."""
+        import pytest
         sk = FrequentItemsSketch(64)
         sk.update_counts([b"blob", 1.5], [3, 2])
-        rt = FrequentItemsSketch.deserialize(sk.serialize())
-        assert rt.counts == sk.counts
+        with pytest.raises(TypeError, match="mixed item types"):
+            sk.serialize()
 
     def test_no_pickle_in_payload(self):
         sk = FrequentItemsSketch(64)
@@ -125,3 +136,41 @@ def _mm(vals):
     from datasketches_rust_spark.hashing import murmur3_x64_128_matrix
     data = vals.view(np.uint8).reshape(len(vals), 8)
     return murmur3_x64_128_matrix(data, 9001)
+
+
+class TestBpeEncode:
+    """functions/bpe: the real merge-apply loop (greedy lowest-rank,
+    all occurrences per pass) — semantics shared with the DuckDB
+    recursive oracle."""
+
+    def test_rank_priority_wins_over_position(self):
+        from datasketches_rust_spark.functions.bpe import bpe_encode
+        # ranks: (b,c)=0 beats (a,b)=1 even though (a,b) occurs first
+        ranks = {("b", "c"): 0, ("a", "b"): 1}
+        assert bpe_encode("abc", ranks) == ["a", "bc"]
+
+    def test_all_occurrences_fused_per_pass(self):
+        from datasketches_rust_spark.functions.bpe import bpe_encode
+        ranks = {("a", "b"): 0}
+        assert bpe_encode("abab", ranks) == ["ab", "ab"]
+        # overlapping run: leftmost-first non-overlapping
+        ranks = {("a", "a"): 0}
+        assert bpe_encode("aaa", ranks) == ["aa", "a"]
+
+    def test_cascading_merges(self):
+        from datasketches_rust_spark.functions.bpe import bpe_encode
+        ranks = {("a", "b"): 0, ("ab", "c"): 1}
+        assert bpe_encode("abc", ranks) == ["abc"]
+
+    def test_no_merge_applies(self):
+        from datasketches_rust_spark.functions.bpe import bpe_encode
+        assert bpe_encode("xyz", {("q", "r"): 0}) == ["x", "y", "z"]
+        assert bpe_encode("", {}) == []
+        assert bpe_encode("a", {}) == ["a"]
+
+    def test_committed_vocab_compresses_fixture_words(self):
+        from datasketches_rust_spark.functions.bpe import bpe_encode
+        # trained on the corpus: common corpus words collapse fully
+        assert bpe_encode(" query") == [" ", "query"]
+        assert bpe_encode(" window") == [" window"]
+        assert len(bpe_encode(" zzqxv")) == 6  # unseen -> chars
