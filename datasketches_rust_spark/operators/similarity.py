@@ -260,6 +260,58 @@ def ann_ivf_topk(df: DataFrame, k: int, id_col: str = "vec_id",
     return _exact_rerank_topk(cand, df, k, id_col, vec_col)
 
 
+def ann_recall_report(df: DataFrame, k: int = 3, id_col: str = "vec_id",
+                      vec_col: str = "embedding", dim: int | None = None,
+                      seed: int = 9001) -> DataFrame:
+    """Driver-visible recall report: runs each ANN method against the
+    exact brute-force top-k truth ON THE SAME INPUT and returns
+    DataFrame[method, hits, n_truth, recall] — one row per (method,
+    operating point). Lets the verification gate (and any operator of a
+    production deploy) SEE the recall number instead of trusting a
+    pytest that ran elsewhere.
+
+    Operating points: each method's registered-query default plus its
+    high-recall tuning (lsh 32 bits x 16 bands ~= 1.0 on the fixture;
+    ivf probing 6/8 cells ~= 0.92 — i.i.d. Gaussian embeddings are
+    IVF's worst case, no cluster structure for the coarse quantizer to
+    exploit, so the honest recall/cost curve is steep). Truth is
+    brute-force top-(k+1) with self-matches dropped and ranks
+    renumbered; everything is one lazy DataFrame (no driver-side
+    collection)."""
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    t = (cosine_topk_bruteforce(df, df, k=k + 1, id_col=id_col,
+                                vec_col=vec_col)
+         .where(F.col("query_id") != F.col("neighbor_id")))
+    w = Window.partitionBy("query_id").orderBy("rank")
+    truth = (t.withColumn("__r", F.row_number().over(w))
+             .where(F.col("__r") <= k)
+             .select("query_id", "neighbor_id"))
+    runs = [
+        ("lsh_24x8", ann_lsh_topk(df, k, id_col, vec_col, nbits=24,
+                                  num_bands=8, seed=seed, dim=dim)),
+        ("lsh_32x16", ann_lsh_topk(df, k, id_col, vec_col, nbits=32,
+                                   num_bands=16, seed=seed, dim=dim)),
+        ("ivf_8x3", ann_ivf_topk(df, k, id_col, vec_col, nlist=8,
+                                 nprobe=3, seed=seed)),
+        ("ivf_8x6", ann_ivf_topk(df, k, id_col, vec_col, nlist=8,
+                                 nprobe=6, seed=seed)),
+    ]
+    got = None
+    for name, res in runs:
+        tagged = res.select(F.lit(name).alias("method"),
+                            "query_id", "neighbor_id")
+        got = tagged if got is None else got.unionByName(tagged)
+    hits = (got.join(truth, ["query_id", "neighbor_id"])
+            .groupBy("method").agg(F.count("*").alias("hits")))
+    denom = truth.agg(F.count("*").alias("n_truth"))
+    return (hits.crossJoin(denom)
+            .select("method", "hits", "n_truth",
+                    F.round(F.col("hits") / F.col("n_truth"), 4)
+                    .alias("recall"))
+            .orderBy("method"))
+
+
 def cosine_pairs_lsh(df: DataFrame, threshold: float,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      nbits: int = 96, num_bands: int = 24,

@@ -494,6 +494,20 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ann_ivf_topk(emb, k=3, nlist=8, nprobe=3)
 
 
+def q_ann_recall_report(spark, sf_dir):
+    """Recall of every ANN operating point vs the exact brute-force
+    top-k, computed in-engine on the same input — makes approximate-
+    search quality a driver-visible number (one row per method x
+    tuning), not just a pytest assertion. Rows-only: the truth side is
+    a cross-engine float argmax (hash-unstable), and DuckDB cannot run
+    the KMeans quantizer; the >=0.9 recall gates live in
+    tests/test_similarity.py."""
+    from datasketches_rust_spark.operators.similarity import \
+        ann_recall_report
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return ann_recall_report(emb, k=3, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # training-data curation: representative selection, decontamination,
 # cross-source lineage, semi-structured metadata (all pure JVM)
@@ -885,6 +899,7 @@ QUERIES = {
     "embedding_keep_central": q_embedding_keep_central,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_recall_report": q_ann_recall_report,
     "lcs_confirm_pairs": q_lcs_confirm_pairs,
     "image_dedup_clusters": q_image_dedup_clusters,
     "image_dedup_keep_best": q_image_dedup_keep_best,
