@@ -5,17 +5,22 @@ TWO formulations, chosen by band-keyspace size:
 
 candidate_pairs (MinHash bands, ~2^64 keyspace — bucket keys near-unique):
   explode(bands)            -- narrow, stays in the scan stage
-  groupBy(band_key) sizes   -- map-side partial combine works (each key
-                               appears on few tasks); hot list broadcasts
-  anti-join hot keys        -- broadcast, map-side
-  self-join on band_key     -- ONE exchange written, read by both sides
-                               (ReuseExchange); hash join on the equi key
-  union star edges, then
+  repartition(band_key)     -- THE one band exchange (16-byte raw rows),
+                               reused by both consumers below
+  window over band_key      -- count(*)/min(__id) give bucket size + rep
+                               with NO join and NO second exchange (a
+                               standalone sizes groupBy shuffles ~data-
+                               sized partials — near-unique keys defeat
+                               map-side combine, measured ~900 MB per
+                               2M-image trial; a co-located sizes JOIN
+                               builds data-sized hash maps — measured
+                               7.4 GB of spill)
+  hot rows  -> star edges   -- row-level emission around the bucket min
+  cold rows -> local pairs  -- exchange-free collect per bucket (bounded
+                               by max_bucket_size) + JVM pair expression
   groupBy (id_a, id_b)      -- dedups pairs across bands AND evaluates the
-                               >= min_band_matches prefilter
-  A co-located sizes join (bucketed_pair_events) is WRONG here: with
-  near-unique keys the sizes table is as large as the band data, and the
-  build side spills data-sized hash maps (measured 7.4 GB at 2M images).
+                               >= min_band_matches prefilter via one
+                               folded weight column (star edges = _STAR_W)
 
 bucketed_pair_events (small keyspaces, e.g. SimHash pigeonhole bands with
 2^16 x bands keys — see operators/visual.py): one repartition(band_key)
@@ -40,9 +45,14 @@ cold-bucket evidence).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from datasketches_rust_spark.config import DedupConfig
+
+# star-edge weight in candidate_pairs' folded prefilter column: must
+# exceed any possible cold-collision count (<= num_bands, typically 32)
+# and any sane min_band_matches; sums of it stay far from i64 overflow
+_STAR_W = 1 << 30
 
 
 def explode_bands(df: DataFrame, id_col: str, bands_col: str) -> DataFrame:
@@ -135,49 +145,75 @@ def candidate_pairs(df: DataFrame, cfg: DedupConfig, id_col: str,
     ex = explode_bands(df, id_col, bands_col)
     min_nb = max(getattr(cfg, "min_band_matches", 1), 1)
 
-    # MinHash band keys live in a ~2^64 keyspace, so bucket keys are
-    # near-unique: the sizes table is as large as the band data itself and
-    # bucketed_pair_events' co-located sizes join would build (and spill)
-    # data-sized hash maps — measured 7.4 GB of spill at 2M images. The
-    # broadcast-hot-list formulation keeps the sizes aggregate map-side
-    # combining and ships only the (tiny) hot list; bucketed_pair_events
-    # remains the right shape for SMALL keyspaces (SimHash pigeonhole
-    # bands, operators/visual.py).
-    star = None
     if cfg.max_bucket_size > 0:
-        # ONE aggregation computes bucket size AND representative (min id):
-        # both are map-side partial aggregates, so the skewed hot keys
-        # reduce before the shuffle, and the hot list — carrying its
-        # representative — broadcasts once (no size-then-rep two-step)
-        sizes = ex.groupBy("band_key").agg(
-            F.count("*").alias("__n"), F.min("__id").alias("__rep"))
-        hot = sizes.where(F.col("__n") > cfg.max_bucket_size) \
-                   .select("band_key", "__rep")
-        star = (ex.join(F.broadcast(hot), ["band_key"])
-                .where(F.col("__id") != F.col("__rep"))
-                .select(F.least("__id", "__rep").alias("id_a"),
-                        F.greatest("__id", "__rep").alias("id_b"),
-                        F.lit(1).alias("__hot")))
-        ex = ex.join(F.broadcast(hot.select("band_key")),
-                     ["band_key"], "left_anti")
-
-    a = ex.alias("a")
-    b = ex.alias("b")
-    events = (a.join(b, ["band_key"])
-              .where(F.col("a.__id") < F.col("b.__id"))
-              .select(F.col("a.__id").alias("id_a"),
-                      F.col("b.__id").alias("id_b"),
-                      F.lit(0).alias("__hot")))
-    if star is not None:
-        events = events.unionByName(star)
+        # ONE band exchange for everything. Bucket size and representative
+        # come from an unbounded WINDOW (count/min over partition by
+        # band_key) instead of a groupBy + join/broadcast: with
+        # near-unique keys a standalone sizes groupBy gains nothing from
+        # map-side combine (partials ~= data — measured ~900 MB of
+        # shuffled partials per 2M-image trial in the r2 shape), a
+        # co-located sizes JOIN builds data-sized hash maps (measured
+        # 7.4 GB of spill), and Catalyst defeats naive exchange sharing
+        # across join subtrees (anti-join pushdown below the repartition
+        # + per-consumer inferred-isnotnull filters de-canonicalize the
+        # copies — verified in-plan). The window formulation has no join
+        # at all, so its two consumers (star rows, cold rows) are
+        # canonically identical up to the post-window filter and the
+        # repartition exchange is genuinely reused (ReusedExchange /
+        # shared shuffle stage under AQE). Cost: one partition-local sort
+        # of 16-byte rows per consumer; hot buckets buffer (and spill)
+        # bucket_size x 16 B in the window frame, which replaces the r2
+        # shape's extra 900 MB exchange + two more cache scans + explodes.
+        exr = ex.repartition("band_key")
+        w = Window.partitionBy("band_key")
+        sized = exr.select(
+            "__id", "band_key",
+            F.count("*").over(w).alias("__n"),
+            F.min("__id").over(w).alias("__rep"))
+        # star edges qualify unconditionally, cold collisions count 1
+        # each toward the >= min_band_matches prefilter: folding both
+        # into ONE weight column (star weight >> any possible cold band
+        # count) drops the second aggregate column the (id_a, id_b)
+        # dedup shuffle used to carry (~100 MB per 2M-image trial).
+        # __rep is the bucket min, so id_a = __rep < __id always holds.
+        star = (sized.where((F.col("__n") > cfg.max_bucket_size)
+                            & (F.col("__id") != F.col("__rep")))
+                .select(F.col("__rep").alias("id_a"),
+                        F.col("__id").alias("id_b"),
+                        F.lit(_STAR_W).alias("__w")))
+        # cold pairs: partition-local collect per bucket (bounded by
+        # max_bucket_size) + JVM higher-order pair expression — the
+        # groupBy runs exchange-free on the window's co-partitioned,
+        # already-sorted output
+        members = (sized.where(F.col("__n") <= cfg.max_bucket_size)
+                   .groupBy("band_key")
+                   .agg(F.array_sort(
+                        F.collect_list(F.struct(F.col("__id"))))
+                        .alias("__m")))
+        events = (members
+                  .where(F.size("__m") >= 2)  # most buckets are singletons
+                  .select(F.explode(_pairs_expr("__m", ["__id"]))
+                          .alias("__p"))
+                  .select(F.col("__p.__id_a").alias("id_a"),
+                          F.col("__p.__id_b").alias("id_b"),
+                          F.lit(1).alias("__w"))
+                  .unionByName(star))
+    else:
+        # cap disabled: plain band self-join, no sizes pass at all
+        a = ex.alias("a")
+        b = ex.alias("b")
+        events = (a.join(b, ["band_key"])
+                  .where(F.col("a.__id") < F.col("b.__id"))
+                  .select(F.col("a.__id").alias("id_a"),
+                          F.col("b.__id").alias("id_b"),
+                          F.lit(1).alias("__w")))
 
     # ONE shuffle dedups pairs AND evaluates the prefilter: a true pair at
     # the jaccard threshold co-buckets in many cold bands, a false
-    # candidate in ~1; star edges qualify unconditionally.
+    # candidate in ~1; star edges carry _STAR_W so they pass any min_nb.
     return (events.groupBy("id_a", "id_b")
-            .agg(F.sum(1 - F.col("__hot")).alias("__nb"),
-                 F.max("__hot").alias("__star"))
-            .where((F.col("__star") == 1) | (F.col("__nb") >= min_nb))
+            .agg(F.sum("__w").alias("__w"))
+            .where(F.col("__w") >= min_nb)
             .select("id_a", "id_b"))
 
 

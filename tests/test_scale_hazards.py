@@ -109,6 +109,37 @@ class TestHotBucketStar:
         assert (0, 1) in got
 
 
+class TestCandidatePlanShape:
+    def test_single_band_exchange_reused(self, spark):
+        """candidate_pairs must materialize exactly ONE band exchange:
+        the window formulation's two consumers (star rows, cold rows)
+        are canonically identical below the window, so the second reads
+        a ReusedExchange. Asserted AQE-off because AQE resolves reuse at
+        runtime (plan-only check, no job runs); the r2 shape measured
+        ~900 MB/2M-image trial of extra sizes partials that this
+        eliminates."""
+        from datasketches_rust_spark.operators.lsh import candidate_pairs
+        cfg = DedupConfig()
+        rows = [(i, [100 + i, 200 + i, 300 + (i % 3)]) for i in range(20)]
+        df = spark.createDataFrame(rows, "id long, bands array<long>")
+        aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            plan = (candidate_pairs(df, cfg, "id")
+                    ._jdf.queryExecution().executedPlan().toString())
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        import re
+        mats = [ln for ln in plan.splitlines()
+                if re.search(r"Exchange hashpartitioning\(band_key#\d+L, "
+                             r"\d+\), REPARTITION_BY_COL", ln)
+                and "ReusedExchange" not in ln]
+        assert len(mats) == 1, plan
+        assert "ReusedExchange" in plan, plan
+        assert not re.search(r"SortMergeJoin|ShuffledHashJoin|"
+                             r"BroadcastHashJoin", plan), plan
+
+
 class TestSimhashHotBucket:
     def test_identical_fp_cluster_stars(self, spark):
         """A cluster of identical fingerprints larger than the cap (the

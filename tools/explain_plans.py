@@ -103,14 +103,35 @@ def main() -> None:
         "BroadcastHashJoin used": r"BroadcastHashJoin",
     })
 
-    # 5. LSH candidate join: equality join on band keys, hot-list broadcast
+    # 5. LSH candidate generation: single shared band exchange + window
+    #    sizes (no join anywhere in the candidate plan)
     from datasketches_rust_spark.operators.lsh import candidate_pairs
     cands = candidate_pairs(sigs, cfg, "doc_id")
+
+    def _band_exchanges_reusable(p: str) -> bool:
+        # the two consumers' REPARTITION_BY_COL band exchanges must carry
+        # the identical 2-column (__id, band_key) input — the canonical-
+        # equality precondition for runtime exchange reuse (the actual
+        # ReusedExchange node is asserted AQE-off in
+        # tests/test_scale_hazards.py, since AQE resolves reuse at
+        # runtime, not in this static plan)
+        ids = [m.start() for m in re.finditer(r"REPARTITION_BY_COL", p)]
+        if not ids:
+            return False
+        inputs = re.findall(
+            r"Input \[2\]: \[__id#\d+L, band_key#\d+L\]\nArguments: "
+            r"hashpartitioning\(band_key#\d+L, \d+\), REPARTITION_BY_COL",
+            p)
+        return len(inputs) == len(ids)
+
     failures += audit("lsh candidate_pairs", cands, {
-        "broadcast anti-join for hot buckets":
-            r"BroadcastHashJoin.*LeftAnti|LeftAnti.*Broadcast",
-        "equality join on band keys (broadcast at small SF, SMJ at scale)":
-            r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+        "window computes bucket sizes (no sizes join/exchange)":
+            r"windowspecdefinition\(band_key",
+        "band exchanges identical (reuse precondition)":
+            _band_exchanges_reusable,
+        "no join in the candidate plan (window + local pairs)":
+            lambda p: not re.search(r"SortMergeJoin|ShuffledHashJoin|"
+                                    r"BroadcastHashJoin|NestedLoop", p),
     })
 
     # 6. image pipeline: bytes never read (phash column suffices)
