@@ -124,24 +124,53 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
 def _band_candidates(df: DataFrame, id_col: str, vec_col: str, dim: int,
                      nbits: int, num_bands: int, seed: int,
                      min_band_matches: int = 1,
-                     symmetric: bool = False) -> DataFrame:
-    """Id-only LSH candidate generation: the band self-join shuffles ONLY
+                     symmetric: bool = False,
+                     max_bucket_size: int = 4096) -> DataFrame:
+    """Id-only LSH candidate generation: the band exchange carries ONLY
     (id, band_key) rows — never the embedding vectors (at 10^9 rows x 768
     dims, shuffling vectors through the band join would multiply shuffle
     bytes by ~2 x dim x bands; vectors are re-joined once afterwards by the
     caller). Dedup + the >=min_band_matches prefilter happen in one
-    groupBy on the id pair."""
+    groupBy on the id pair.
+
+    Hot-bucket guard: hyperplane band keys live in a SMALL keyspace
+    (2^(nbits/num_bands) x num_bands), so candidate generation routes
+    through operators/lsh.bucketed_pair_events — the single-exchange
+    small-keyspace shape — and buckets over ``max_bucket_size`` degrade
+    to star edges around their min-id member instead of O(size^2) pairs
+    (a crawl-scale cluster of near-identical embeddings lands its whole
+    population in the same bucket of EVERY band; the downstream exact
+    verify keeps star edges between true dups and rejects hash
+    coincidences, so connected components still recover the cluster).
+    Star edges bypass min_band_matches — capped buckets were never
+    counted. Set max_bucket_size=0 to restore exact pairwise candidates.
+    """
     bands = hyperplane_bands_udf(dim, nbits, num_bands, seed)
     keyed = df.select(F.col(id_col).alias("__id"),
                       F.explode(bands(F.col(vec_col))).alias("band_key"))
-    a = keyed.select(F.col("__id").alias("id_a"), "band_key")
-    b = keyed.select(F.col("__id").alias("id_b"), "band_key")
-    cond = (F.col("id_a") != F.col("id_b")) if symmetric \
-        else (F.col("id_a") < F.col("id_b"))
-    return (a.join(b, "band_key").where(cond)
-            .groupBy("id_a", "id_b").count()
-            .where(F.col("count") >= min_band_matches)
-            .select("id_a", "id_b"))
+    if max_bucket_size > 0:
+        from datasketches_rust_spark.operators.lsh import \
+            bucketed_pair_events
+        ev = bucketed_pair_events(keyed, max_bucket_size)
+        pairs = (ev.groupBy("id_a", "id_b")
+                 .agg(F.sum(1 - F.col("__hot")).alias("__nb"),
+                      F.max("__hot").alias("__star"))
+                 .where((F.col("__star") == 1)
+                        | (F.col("__nb") >= min_band_matches))
+                 .select("id_a", "id_b"))
+    else:
+        a = keyed.select(F.col("__id").alias("id_a"), "band_key")
+        b = keyed.select(F.col("__id").alias("id_b"), "band_key")
+        pairs = (a.join(b, "band_key")
+                 .where(F.col("id_a") < F.col("id_b"))
+                 .groupBy("id_a", "id_b").count()
+                 .where(F.col("count") >= min_band_matches)
+                 .select("id_a", "id_b"))
+    if symmetric:
+        pairs = pairs.unionByName(
+            pairs.select(F.col("id_b").alias("id_a"),
+                         F.col("id_a").alias("id_b")))
+    return pairs
 
 
 def _exact_rerank_topk(cand: DataFrame, df: DataFrame, k: int,
@@ -169,16 +198,23 @@ def _exact_rerank_topk(cand: DataFrame, df: DataFrame, k: int,
 def ann_lsh_topk(df: DataFrame, k: int, id_col: str = "vec_id",
                  vec_col: str = "embedding", nbits: int = 32,
                  num_bands: int = 4, seed: int = 9001,
-                 dim: int | None = None) -> DataFrame:
+                 dim: int | None = None,
+                 max_bucket_size: int = 4096) -> DataFrame:
     """Approximate top-k neighbors per vector via hyperplane-LSH buckets +
     exact cosine re-rank. Returns DataFrame[query_id, neighbor_id, rank].
 
-    The band join carries ids only; vectors re-join once for the re-rank
-    (two broadcast-or-shuffle hash joins on the id key)."""
+    The band exchange carries ids only; vectors re-join once for the
+    re-rank (two broadcast-or-shuffle hash joins on the id key). Buckets
+    over ``max_bucket_size`` degrade to star candidates around the
+    bucket min (see _band_candidates) — members of a capped bucket only
+    see the representative (plus their cold-bucket collisions) as
+    candidates, the documented recall trade for not exploding a
+    crawl-scale duplicate cluster quadratically."""
     if dim is None:
         dim = _infer_dim(df, vec_col)
     cand = _band_candidates(df, id_col, vec_col, dim, nbits, num_bands,
-                            seed, symmetric=True) \
+                            seed, symmetric=True,
+                            max_bucket_size=max_bucket_size) \
         .select(F.col("id_a").alias("query_id"),
                 F.col("id_b").alias("neighbor_id"))
     return _exact_rerank_topk(cand, df, k, id_col, vec_col)
@@ -316,11 +352,17 @@ def cosine_pairs_lsh(df: DataFrame, threshold: float,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      nbits: int = 96, num_bands: int = 24,
                      seed: int = 9001, dim: int | None = None,
-                     keep_sim: bool = False) -> DataFrame:
+                     keep_sim: bool = False,
+                     max_bucket_size: int = 4096) -> DataFrame:
     """DataFrame[id_a, id_b] — pairs with cosine >= threshold, via
     hyperplane-LSH candidate generation + exact cosine verify. The scale
     path replacing cosine_pairs_bruteforce: no cross join anywhere; the
-    band join shuffles (id, band_key) rows only.
+    band exchange carries (id, band_key) rows only, and buckets over
+    ``max_bucket_size`` degrade to star edges around their min-id member
+    (see _band_candidates — the embedding-axis version of the MinHash
+    hot-bucket guard; the exact-cosine verify below keeps true-dup star
+    edges, so clusters of near-identical embeddings stay connected at
+    O(size) instead of exploding the band join at O(size^2)).
 
     Recall is 1-(1-p^w)^B with p = 1 - theta/pi per bit: selective at
     near-dup thresholds (>=0.8 -> p>=0.8), inherently weak at low ones —
@@ -332,7 +374,8 @@ def cosine_pairs_lsh(df: DataFrame, threshold: float,
     if dim is None:
         dim = _infer_dim(df, vec_col)
     cand = _band_candidates(df, id_col, vec_col, dim, nbits, num_bands,
-                            seed, symmetric=False)
+                            seed, symmetric=False,
+                            max_bucket_size=max_bucket_size)
     vecs = with_norm(df.select(F.col(id_col), F.col(vec_col)),
                      vec_col, "__n")
     va = vecs.select(F.col(id_col).alias("id_a"),

@@ -109,6 +109,32 @@ class TestHotBucketStar:
         assert (0, 1) in got
 
 
+class TestEmbeddingHotBucket:
+    def test_identical_embedding_cluster_stars(self, spark):
+        """A cluster of identical embeddings larger than the bucket cap
+        (crawl-scale duplicate images/docs share one embedding) must
+        come back connected through star edges around the min id —
+        O(size) verified pairs, not O(size^2) band-join rows, and not
+        dropped. Background vectors sharing a hot bucket get star
+        CANDIDATES but fail the exact-cosine verify."""
+        import numpy as np
+        from datasketches_rust_spark.operators.similarity import \
+            cosine_pairs_lsh
+        n = 40
+        base = [1.0, 2.0, -0.5, 0.25] * 4  # dim 16
+        rows = [(i, base) for i in range(n)]
+        rng = np.random.default_rng(5)
+        for j in range(20):
+            rows.append((1000 + j, rng.standard_normal(16).tolist()))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        got = {(r.id_a, r.id_b) for r in
+               cosine_pairs_lsh(df, 0.95, dim=16,
+                                max_bucket_size=8).collect()}
+        want = {(0, i) for i in range(1, n)}
+        assert got == want
+
+
 class TestCandidatePlanShape:
     def test_single_band_exchange_reused(self, spark):
         """candidate_pairs must materialize exactly ONE band exchange:
