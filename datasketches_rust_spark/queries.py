@@ -350,6 +350,174 @@ def q_doc_fingerprint_md5(spark, sf_dir):
     return docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
 
 
+def q_repetition_flags(spark, sf_dir):
+    """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1),
+    the standard pretraining repetition cut: per doc, the fraction of
+    duplicate word 3-grams and the fraction of tokens belonging to the
+    single most frequent word; a doc is flagged when either exceeds its
+    threshold (0.15 / 0.2). Entirely shuffle-free JVM expressions over
+    one scan — trigrams come from a transform over an index sequence,
+    and the top-word count is a run-length scan over the SORTED token
+    array (array_sort + aggregate), so no explode/groupBy per doc and
+    the op is a pure map at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(t)
+    tri = F.when(n >= 3, F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(" ", F.element_at(t, i),
+                              F.element_at(t, i + 1),
+                              F.element_at(t, i + 2)))) \
+        .otherwise(F.expr("cast(array() as array<string>)"))
+    # run-length max over the sorted array: state = (prev, run, best)
+    top_c = F.aggregate(
+        F.array_sort(t),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)))
+            .alias("best")),
+        lambda acc: acc.best)
+    d = docs.select(
+        "doc_id", n.alias("n_tokens"),
+        (F.size(tri) - F.size(F.array_distinct(tri)))
+        .cast("long").alias("n_dup_trigrams"),
+        F.size(tri).alias("n_trigrams"),
+        top_c.alias("top_c"))
+    dup_frac = F.when(
+        F.col("n_trigrams") > 0,
+        F.col("n_dup_trigrams") * F.lit(1.0) / F.col("n_trigrams")) \
+        .otherwise(F.lit(0.0))
+    top_frac = (F.col("top_c") * F.lit(1.0)
+                / F.greatest(F.col("n_tokens"), F.lit(1)))
+    return d.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_dup_trigrams",
+        dup_frac.alias("dup_trigram_frac"),
+        top_frac.alias("top_word_frac"),
+        ((dup_frac > 0.15) | (top_frac > 0.2)).alias("flagged"))
+
+
+TFIDF_MIN_DF = 2  # document-frequency vocab floor; mirrored in the oracle
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Corpus-analytics shape: top-5 terms per source by tf-idf
+    (tf = term count within the source, idf = ln(n_docs / df)). Two
+    aggregates over one exploded scan; the document-frequency vocab
+    joins back with an EXPLICIT broadcast after a min-df floor — the
+    same discipline as unigram_logprob_scores: the Zipf tail is all
+    df=1 hapax/typos, so the floor caps the broadcast vocab at any
+    corpus size AND the token join never falls back to a shuffle on
+    Zipf-skewed terms. The floor is semantic too (hapax carry maximal
+    idf but are noise); the oracle applies the identical floor so the
+    gate stays a hash-match. Final top-k is a row_number window
+    partitioned by source (bounded small side), ties broken by term so
+    both engines rank identically."""
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                          r"\s+")).alias("w"))
+    n_docs = toks.agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    df = (toks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+          .where(F.col("df") >= TFIDF_MIN_DF))
+    tf = toks.groupBy("source", "w").agg(F.count("*").alias("tf"))
+    scored = (tf.join(F.broadcast(df), "w")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn(
+                  "tfidf",
+                  F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0)
+                                      / F.col("df"))))
+    win = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("w").asc())
+    return (scored.withColumn("rk", F.row_number().over(win))
+            .where(F.col("rk") <= 5)
+            .select("source", F.col("w").alias("term"), "tf", "df",
+                    "tfidf", F.col("rk").cast("long").alias("rk")))
+
+
+CHUNK_WORDS = 32  # fixed dedup-window width (words per chunk)
+
+
+def q_chunk_dedup_stats(spark, sf_dir):
+    """Fixed-window chunk-level exact dedup statistics — the
+    substring-dedup shape (RefinedWeb/C4 style) at chunk granularity:
+    every doc splits into fixed 32-word windows, each window gets an
+    md5 fingerprint, and a chunk is 'shared' when the same fingerprint
+    appears in >= 2 distinct docs. Scale shape: fingerprints are
+    near-unique keys, so shared-ness is decided on ONE hash exchange by
+    a window min/max comparison (min(doc_id) != max(doc_id) over the
+    fp partition — cross-doc iff ids differ), the same discipline
+    operators/lsh.py uses — no sizes groupBy whose partials defeat
+    map-side combine, no join back. Only (fp-hash, doc_id, source)
+    rows ever shuffle, never text."""
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_chunks = F.ceil(F.size(t) / F.lit(float(CHUNK_WORDS))).cast("int")
+    chunks = docs.select(
+        "doc_id", "source",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.md5(F.concat_ws(
+                " ", F.slice(t, (i - 1) * CHUNK_WORDS + 1,
+                             CHUNK_WORDS))))).alias("fp"))
+    w = Window.partitionBy("fp")
+    shared = chunks.withColumn(
+        "shared",
+        F.min("doc_id").over(w) != F.max("doc_id").over(w))
+    return (shared.groupBy("source")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum(F.when(F.col("shared"), 1).otherwise(0))
+                 .cast("long").alias("n_shared_chunks")))
+
+
+SAMPLE_FRAC = 0.5  # global downsample factor applied after rebalancing
+
+
+def q_balanced_sample(spark, sf_dir):
+    """Deterministic stratified source-rebalancing sample — the
+    data-mix op every pretraining pipeline runs before tokenization:
+    downsample every source to (SAMPLE_FRAC x the smallest source's
+    size) so the output mix is uniform across sources, with membership
+    decided by a content hash rather than rand() so the sample is
+    reproducible run-to-run and engine-to-engine. A doc is kept iff
+    uniform32(doc_id) < floor(SAMPLE_FRAC * min_count/count_src * 2^32)
+    where uniform32 = first 8 hex chars of md5(doc_id) — the same
+    uniform both Spark (conv(substr(md5),16,10)) and DuckDB
+    (('0x'||substr(md5))::bigint) compute bit-identically.
+
+    Scale shape: the per-source counts aggregate is n_sources rows
+    (tiny — broadcast back explicitly), so the corpus side is ONE scan
+    + a pure map filter: no corpus shuffle, no per-source sort/rank
+    (a row_number()-per-source selection would sort the giant source's
+    entire partition; the hash threshold is O(1) per row and
+    embarrassingly parallel). Expected kept-count per source is
+    Binomial(count, rate) — exact-size selection is deliberately NOT
+    the contract at 10^12 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    min_cnt = counts.agg(F.min("cnt").alias("min_cnt"))
+    rates = (counts.crossJoin(F.broadcast(min_cnt))
+             .select("source",
+                     F.floor(F.lit(SAMPLE_FRAC) * F.col("min_cnt")
+                             / F.col("cnt") * F.lit(4294967296.0))
+                     .alias("thresh")))
+    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                 16, 10).cast("long")
+    return (docs.join(F.broadcast(rates), "source")
+            .where(u32 < F.col("thresh"))
+            .select("doc_id", "source"))
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprint stats — no SQL oracle (pytest)."""
     docs = _t(spark, sf_dir, "documents")
@@ -892,6 +1060,10 @@ QUERIES = {
     "token_counts": q_token_counts,
     "bpe_tokens_per_doc": q_bpe_tokens_per_doc,
     "doc_fingerprint_md5": q_doc_fingerprint_md5,
+    "repetition_flags": q_repetition_flags,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "chunk_dedup_stats": q_chunk_dedup_stats,
+    "balanced_sample": q_balanced_sample,
     "winnow_fingerprints": q_winnow_fingerprints,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1121,6 +1293,92 @@ ORACLE_SQL = {
         FROM documents""",
     "doc_fingerprint_md5": """
         SELECT doc_id, md5(text) AS fp FROM documents""",
+    "repetition_flags": """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ), base AS (
+          SELECT doc_id, t, len(t) AS n FROM toks
+        ), tri AS (
+          SELECT doc_id,
+                 [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                  FOR i IN range(1, greatest(n - 2, 0) + 1)] AS g
+          FROM base
+        ), tw AS (
+          SELECT doc_id, max(c) AS top_c FROM (
+            SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS w FROM base)
+            GROUP BY doc_id, w) GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               b.n AS n_tokens,
+               len(tri.g) - len(list_distinct(tri.g)) AS n_dup_trigrams,
+               CASE WHEN len(tri.g) > 0
+                    THEN (len(tri.g) - len(list_distinct(tri.g))) * 1.0
+                         / len(tri.g)
+                    ELSE 0.0 END AS dup_trigram_frac,
+               tw.top_c * 1.0 / greatest(b.n, 1) AS top_word_frac,
+               (CASE WHEN len(tri.g) > 0
+                     THEN (len(tri.g) - len(list_distinct(tri.g))) * 1.0
+                          / len(tri.g)
+                     ELSE 0.0 END > 0.15
+                OR tw.top_c * 1.0 / greatest(b.n, 1) > 0.2) AS flagged
+        FROM base b JOIN tri USING (doc_id) JOIN tw USING (doc_id)""",
+    "tfidf_top_terms": """
+        WITH toks AS (
+          SELECT doc_id, source,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+          FROM documents
+        ), nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+        dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+                GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+        tfq AS (SELECT source, w, count(*) AS tf FROM toks
+                GROUP BY source, w),
+        scored AS (
+          SELECT tfq.source, tfq.w, tfq.tf, dfq.df,
+                 tfq.tf * ln(nd.n_docs * 1.0 / dfq.df) AS tfidf
+          FROM tfq JOIN dfq USING (w) CROSS JOIN nd
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY tfidf DESC, w ASC) AS rk
+          FROM scored
+        )
+        SELECT source, w AS term, tf, df, tfidf, rk
+        FROM ranked WHERE rk <= 5""",
+    "chunk_dedup_stats": """
+        WITH toks AS (
+          SELECT doc_id, source,
+                 string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ), ch AS (
+          SELECT doc_id, source,
+                 [array_to_string(t[(i - 1) * 32 + 1 : i * 32], ' ')
+                  FOR i IN range(1, cast(ceil(len(t) / 32.0) AS BIGINT) + 1)]
+                 AS cs
+          FROM toks
+        ), chunks AS (
+          SELECT doc_id, source, md5(unnest(cs)) AS fp FROM ch
+        ), fps AS (
+          SELECT fp, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY fp
+        )
+        SELECT c.source,
+               count(*) AS n_chunks,
+               count(*) FILTER (WHERE f.n_docs >= 2) AS n_shared_chunks
+        FROM chunks c JOIN fps f USING (fp)
+        GROUP BY c.source""",
+    "balanced_sample": """
+        WITH counts AS (
+          SELECT source, count(*) AS cnt FROM documents GROUP BY source
+        ), m AS (SELECT min(cnt) AS min_cnt FROM counts),
+        rates AS (
+          SELECT source,
+                 floor(0.5 * m.min_cnt / cnt * 4294967296.0) AS thresh
+          FROM counts CROSS JOIN m
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN rates r USING (source)
+        WHERE ('0x' || substr(md5(cast(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              < r.thresh""",
     # bpe_tokens_per_doc is generated below from the committed merge
     # table (functions/bpe.MERGES) — see _bpe_oracle_sql().
     "ann_topk_bruteforce": """

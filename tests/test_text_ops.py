@@ -1,0 +1,175 @@
+"""Unit tests for the round-3 text-pipeline operators: Gopher-style
+repetition flags, per-source tf-idf top terms, and fixed-window chunk
+dedup stats. Each is also DuckDB-oracle-verified at sf0.01 by the
+driver gate; these tests pin the semantics on crafted inputs where the
+expected answer is computable by hand."""
+
+from __future__ import annotations
+
+import math
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+
+
+class TestRepetitionFlags:
+    def test_repetitive_doc_flagged(self, spark, tmp_path):
+        from datasketches_rust_spark.queries import q_repetition_flags
+        rows = [
+            # 12 tokens, all "spam": dup_trigram_frac = 9/10, top 12/12
+            (1, " ".join(["spam"] * 12), "s"),
+            # all-distinct tokens: nothing repeats
+            (2, "alpha beta gamma delta epsilon zeta", "s"),
+            # short doc (< 3 tokens): zero trigrams, frac 0.0
+            (3, "one two", "s"),
+        ]
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+        out = {r["doc_id"]: r for r in
+               q_repetition_flags(spark, str(tmp_path)).collect()}
+        r1 = out[1]
+        assert r1["n_tokens"] == 12
+        assert r1["n_dup_trigrams"] == 9
+        assert math.isclose(r1["dup_trigram_frac"], 0.9)
+        assert math.isclose(r1["top_word_frac"], 1.0)
+        assert r1["flagged"]
+        r2 = out[2]
+        assert r2["n_dup_trigrams"] == 0
+        assert math.isclose(r2["top_word_frac"], 1 / 6)
+        assert not r2["flagged"]
+        r3 = out[3]
+        assert r3["n_dup_trigrams"] == 0
+        assert r3["dup_trigram_frac"] == 0.0
+        # 2 distinct tokens -> top_word_frac = 0.5 > 0.2: the top-word
+        # rule literally flags degenerate short docs (any doc under 5
+        # tokens trips it); real pipelines cut those by a length rule
+        # first. The flag must agree with the formula, not intuition.
+        assert math.isclose(r3["top_word_frac"], 0.5)
+        assert r3["flagged"]
+
+    def test_top_word_run_length_equals_exact(self, spark, tmp_path):
+        # the sorted-run-length top count must equal a literal counter
+        from collections import Counter
+
+        from datasketches_rust_spark.queries import q_repetition_flags
+        texts = [
+            "a b a c a b b d e a",
+            "x y z x y x w w w w w q",
+            "solo",
+        ]
+        rows = [(i, t, "s") for i, t in enumerate(texts)]
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+        out = {r["doc_id"]: r for r in
+               q_repetition_flags(spark, str(tmp_path)).collect()}
+        for i, t in enumerate(texts):
+            toks = t.split()
+            expect = max(Counter(toks).values()) / len(toks)
+            assert math.isclose(out[i]["top_word_frac"], expect), (i, t)
+
+
+class TestChunkDedupStats:
+    def test_shared_chunk_detected(self, spark, tmp_path):
+        from datasketches_rust_spark.queries import (CHUNK_WORDS,
+                                                     q_chunk_dedup_stats)
+        boiler = " ".join(f"w{i}" for i in range(CHUNK_WORDS))
+        uniq_a = " ".join(f"a{i}" for i in range(CHUNK_WORDS))
+        uniq_b = " ".join(f"b{i}" for i in range(10))  # partial chunk
+        rows = [
+            (1, boiler + " " + uniq_a, "s1"),   # chunks: boiler, uniq_a
+            (2, boiler + " " + uniq_b, "s2"),   # chunks: boiler, uniq_b
+            (3, uniq_b, "s2"),                  # chunk: uniq_b (shared w/ 2)
+        ]
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+        out = {r["source"]: r for r in
+               q_chunk_dedup_stats(spark, str(tmp_path)).collect()}
+        assert out["s1"]["n_chunks"] == 2
+        assert out["s1"]["n_shared_chunks"] == 1        # boiler
+        assert out["s2"]["n_chunks"] == 3
+        assert out["s2"]["n_shared_chunks"] == 3        # boiler + 2x uniq_b
+
+    def test_intra_doc_repeat_not_shared(self, spark, tmp_path):
+        # the same chunk twice within ONE doc is not cross-doc sharing
+        from datasketches_rust_spark.queries import (CHUNK_WORDS,
+                                                     q_chunk_dedup_stats)
+        c = " ".join(f"w{i}" for i in range(CHUNK_WORDS))
+        rows = [(1, c + " " + c, "s")]
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+        (row,) = q_chunk_dedup_stats(spark, str(tmp_path)).collect()
+        assert row["n_chunks"] == 2
+        assert row["n_shared_chunks"] == 0
+
+
+class TestTfidfTopTerms:
+    def test_rare_term_outranks_common(self, spark, tmp_path):
+        from datasketches_rust_spark.queries import q_tfidf_top_terms
+        rows = [
+            (1, "common common common rare rare rare rare", "s1"),
+            (2, "common filler filler", "s2"),
+            (3, "common filler rare hapax", "s2"),
+        ]
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+        out = q_tfidf_top_terms(spark, str(tmp_path)).collect()
+        s1 = sorted((r for r in out if r["source"] == "s1"),
+                    key=lambda r: r["rk"])
+        # "common" is in every doc -> idf = ln(1) = 0 -> never top;
+        # "rare" df=2 of 3 docs
+        assert s1[0]["term"] == "rare"
+        assert math.isclose(s1[0]["tfidf"], 4 * math.log(3 / 2))
+        assert all(r["term"] != "common" or r["tfidf"] == 0.0
+                   for r in out)
+        # df=1 hapax are floored out of the vocab entirely
+        assert all(r["term"] != "hapax" for r in out)
+        for src in ("s1", "s2"):
+            rks = [r["rk"] for r in out if r["source"] == src]
+            assert rks == list(range(1, len(rks) + 1))
+
+
+class TestBalancedSample:
+    def test_skewed_sources_rebalanced(self, spark, tmp_path):
+        # big source 200 docs, small source 20 -> thresh_big is 10x
+        # smaller; kept counts should land near 0.5*20 for BOTH sources
+        import hashlib
+
+        from datasketches_rust_spark.queries import (SAMPLE_FRAC,
+                                                     q_balanced_sample)
+        rows = ([(i, f"text {i}", "big") for i in range(200)]
+                + [(1000 + i, f"text {1000+i}", "small")
+                   for i in range(20)])
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+        out = q_balanced_sample(spark, str(tmp_path)).collect()
+        kept = {r["doc_id"] for r in out}
+
+        # exact expected membership, recomputed in pure python
+        def u32(doc_id):
+            return int(hashlib.md5(str(doc_id).encode())
+                       .hexdigest()[:8], 16)
+
+        expect = set()
+        for doc_id, _, src in rows:
+            cnt = 200 if src == "big" else 20
+            thresh = math.floor(SAMPLE_FRAC * 20 / cnt * 2 ** 32)
+            if u32(doc_id) < thresh:
+                expect.add(doc_id)
+        assert kept == expect
+        n_big = sum(1 for r in out if r["source"] == "big")
+        n_small = sum(1 for r in out if r["source"] == "small")
+        # both sources target 0.5*min_count = 10 expected keeps
+        assert 2 <= n_big <= 20 and 2 <= n_small <= 20
+
+    def test_deterministic_across_runs(self, spark, tmp_path):
+        from datasketches_rust_spark.queries import q_balanced_sample
+        rows = [(i, f"t {i}", f"s{i % 3}") for i in range(90)]
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+        a = sorted(r["doc_id"]
+                   for r in q_balanced_sample(spark, str(tmp_path)).collect())
+        b = sorted(r["doc_id"]
+                   for r in q_balanced_sample(spark, str(tmp_path)).collect())
+        assert a == b and len(a) > 0

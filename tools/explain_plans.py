@@ -270,6 +270,60 @@ def main() -> None:
             lambda p: "EvalPython" not in p,
     })
 
+    # 14. repetition_flags: pure map — no exchange, no Python, one scan
+    #     pruned to (doc_id, text)
+    rf = Q.q_repetition_flags(spark, SF_DIR)
+    failures += audit("repetition_flags", rf, {
+        "shuffle-free (no Exchange — per-doc rules are a pure map)":
+            lambda p: "Exchange" not in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+        "scan pruned to doc_id,text":
+            lambda p: not re.search(r"ReadSchema:.*(source|lang|n_chars)",
+                                    p),
+    })
+
+    # 15. tfidf_top_terms: the df vocab and the n_docs scalar join back
+    #     via BROADCAST (never a shuffle on Zipf-skewed w)
+    tt = Q.q_tfidf_top_terms(spark, SF_DIR)
+    failures += audit("tfidf_top_terms", tt, {
+        "vocab joins are broadcast (2+ BroadcastExchange)":
+            lambda p: len(re.findall(r"BroadcastExchange", p)) >= 2,
+        "no SortMergeJoin on w":
+            lambda p: "SortMergeJoin" not in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    # 16. chunk_dedup_stats: shared-ness decided on the fp window — no
+    #     join anywhere, only the fp exchange + the source aggregate's
+    chs = Q.q_chunk_dedup_stats(spark, SF_DIR)
+    failures += audit("chunk_dedup_stats", chs, {
+        "no join (window min/max decides cross-doc sharing)":
+            lambda p: "Join" not in p,
+        "exactly 2 exchanges (fp window + source agg)":
+            lambda p: len(re.findall(
+                r"^\(\d+\) Exchange", p.split("== Initial Plan ==")[0],
+                re.M)) <= 2,
+        "text never shuffles (md5 fp computed below the exchange)":
+            lambda p: not re.search(r"Exchange hashpartitioning\(.*text",
+                                    p),
+    })
+
+    # 17. balanced_sample: rates join back via BROADCAST; the corpus
+    #     side is scan + map filter — no corpus-wide Exchange
+    bs = Q.q_balanced_sample(spark, SF_DIR)
+    failures += audit("balanced_sample", bs, {
+        "rates/min join are broadcast (2+ BroadcastExchange)":
+            lambda p: len(re.findall(r"BroadcastExchange", p)) >= 2,
+        "no SortMergeJoin (corpus never shuffles on source)":
+            lambda p: "SortMergeJoin" not in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+        "text column pruned from every scan (membership is id-hash)":
+            lambda p: not re.search(r"ReadSchema:.*text", p),
+    })
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")
