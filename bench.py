@@ -112,10 +112,14 @@ def main() -> None:
     images_per_sec = round(images_n / timings["image_dedup_clusters"], 1)
 
     # 3. relational + sketch headline queries on the TPC-H-ish tables
+    # (chunk_dedup_stats + repetition_flags joined the list in r3 — the
+    # total is therefore not comparable to BENCH_r02's; per-query rows
+    # are, and remain the signal)
     for name in ["tpch_q1", "theta_distinct_parts_by_flag",
                  "freq_top_event_types", "tdigest_price_quantiles",
                  "ann_topk_bruteforce", "minhash_dup_pairs",
-                 "cpc_distinct_orders", "embedding_dup_pairs"]:
+                 "cpc_distinct_orders", "embedding_dup_pairs",
+                 "chunk_dedup_stats", "repetition_flags"]:
         fn = Q.QUERIES[name]
         run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
 

@@ -424,30 +424,38 @@ def freq_topk_explode(df: DataFrame, key_cols: list[str], k: int,
                                       if not pdf.empty), schema)
 
 
-def register_sql_udfs(spark, lg_k: int = 16,
-                      seed: int = DEFAULT_SEED) -> None:
+def register_sql_udfs(spark, lg_k: int = 16, seed: int = DEFAULT_SEED,
+                      tdigest_k: int = 200, freq_max_map_size: int = 256,
+                      countmin_hashes: int = 5, countmin_buckets: int = 1024,
+                      bloom_bits: int = 1 << 16,
+                      bloom_hashes: int = 7) -> None:
     """Expose the sketch surface to plain ``spark.sql()`` users:
 
-    - ``theta_sketch_agg / hll_sketch_agg / cpc_sketch_agg`` — grouped-agg
-      pandas UDAFs (values -> serialized sketch bytes), usable directly in
-      SQL ``GROUP BY``. Convenience surface ONLY: a grouped-agg UDAF
-      materializes each group on one worker with no partial aggregation,
-      so the SCALE path for 10^12-row tables remains ``sketch_agg``'s
-      map-side-combine partials + salted treeReduce. For bounded-group
-      dashboards and ad-hoc SQL this is the ergonomic form.
+    - ``theta/hll/cpc/tdigest/freq/countmin/bloom_sketch_agg`` —
+      grouped-agg pandas UDAFs (values -> serialized sketch bytes),
+      usable directly in SQL ``GROUP BY``. Convenience surface ONLY: a
+      grouped-agg UDAF materializes each group on one worker with no
+      partial aggregation, so the SCALE path for 10^12-row tables
+      remains ``sketch_agg``'s map-side-combine partials + salted
+      treeReduce. For bounded-group dashboards and ad-hoc SQL this is
+      the ergonomic form.
     - ``theta_estimate / hll_estimate / cpc_estimate`` (bytes -> double)
       and ``theta_estimate_long`` (rounded bigint for exact-mode parity)
       — the sketch config travels inside the serialized blob, so the
       estimators need no parameters.
+    - blob consumers for the value families: ``tdigest_quantile(blob,
+      rank) -> double``, ``freq_estimate(blob, item) -> bigint``,
+      ``countmin_estimate(blob, item) -> bigint``, ``bloom_contains(
+      blob, item) -> boolean``. Each Arrow batch deserializes a blob
+      once (cached per distinct blob within the batch) — the common
+      shape is one merged sketch probed by many items.
 
     Idempotent: re-registration overwrites (Spark keeps the latest).
     """
     from pyspark.sql.functions import PandasUDFType, pandas_udf
-    from pyspark.sql.types import BinaryType
+    from pyspark.sql.types import BinaryType, BooleanType
 
-    def _builder(kind):
-        kd = sketch_kind(kind, lg_k=lg_k, seed=seed)
-
+    def _builder(kd):
         @pandas_udf(BinaryType(), PandasUDFType.GROUPED_AGG)
         def _agg(v: pd.Series) -> bytes:
             sk = kd.build()
@@ -457,8 +465,76 @@ def register_sql_udfs(spark, lg_k: int = 16,
         return _agg
 
     for kind in ("theta", "hll", "cpc"):
-        spark.udf.register(f"{kind}_sketch_agg", _builder(kind))
+        spark.udf.register(f"{kind}_sketch_agg",
+                           _builder(sketch_kind(kind, lg_k=lg_k, seed=seed)))
         spark.udf.register(f"{kind}_estimate",
                            estimate_udf(kind, seed=seed))
     spark.udf.register("theta_estimate_long",
                        estimate_udf("theta", as_long=True, seed=seed))
+
+    value_kinds = {
+        "tdigest": sketch_kind("tdigest", k=tdigest_k),
+        "freq": sketch_kind("freqitems", max_map_size=freq_max_map_size),
+        "countmin": sketch_kind("countmin", num_hashes=countmin_hashes,
+                                num_buckets=countmin_buckets, seed=seed),
+        "bloom": sketch_kind("bloom", num_bits=bloom_bits,
+                             num_hashes=bloom_hashes, seed=seed),
+    }
+    for name, kd in value_kinds.items():
+        spark.udf.register(f"{name}_sketch_agg", _builder(kd))
+
+    def _blob_cache(deser):
+        cache: dict[bytes, object] = {}
+
+        def get(b):
+            key = bytes(b)
+            sk = cache.get(key)
+            if sk is None:
+                sk = cache[key] = deser(key)
+            return sk
+
+        return get
+
+    @pandas_udf(DoubleType())
+    def _tdigest_quantile(blobs: pd.Series, ranks: pd.Series) -> pd.Series:
+        get = _blob_cache(value_kinds["tdigest"].deserialize)
+        return pd.Series(
+            [get(b).quantile(float(q)) for b, q in zip(blobs, ranks)],
+            dtype="float64")
+
+    @pandas_udf(LongType())
+    def _freq_estimate(blobs: pd.Series, items: pd.Series) -> pd.Series:
+        get = _blob_cache(value_kinds["freq"].deserialize)
+        return pd.Series(
+            [int(get(b).estimate(i)) for b, i in zip(blobs, items)],
+            dtype="int64")
+
+    @pandas_udf(LongType())
+    def _countmin_estimate(blobs: pd.Series, items: pd.Series) -> pd.Series:
+        get = _blob_cache(value_kinds["countmin"].deserialize)
+        keys = encode_values(items)
+        return pd.Series(
+            [int(get(b).estimate_keys([k])[0])
+             for b, k in zip(blobs, keys)], dtype="int64")
+
+    @pandas_udf(BooleanType())
+    def _bloom_contains(blobs: pd.Series, items: pd.Series) -> pd.Series:
+        from datasketches_rust_spark.hashing import _grouped_by_length
+        get = _blob_cache(value_kinds["bloom"].deserialize)
+        keys = encode_values(items)
+        out = np.zeros(len(keys), dtype=bool)
+        by_blob: dict[bytes, list[int]] = {}
+        for i, b in enumerate(blobs):
+            by_blob.setdefault(bytes(b), []).append(i)
+        for key, idxs in by_blob.items():
+            sk = get(key)
+            for grp, mat in _grouped_by_length([keys[i] for i in idxs]):
+                hits = sk.contains_keys(mat)
+                for j, g in enumerate(grp):
+                    out[idxs[int(g)]] = bool(hits[j])
+        return pd.Series(out)
+
+    spark.udf.register("tdigest_quantile", _tdigest_quantile)
+    spark.udf.register("freq_estimate", _freq_estimate)
+    spark.udf.register("countmin_estimate", _countmin_estimate)
+    spark.udf.register("bloom_contains", _bloom_contains)

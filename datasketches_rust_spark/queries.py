@@ -518,6 +518,49 @@ def q_balanced_sample(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+SEQ_LEN = 512     # tokens per packed training sequence
+PACK_SHARDS = 16  # parallel packing streams per source
+
+
+def q_sequence_pack_plan(spark, sf_dir):
+    """Sequence-packing plan — the step between curation and tokenized
+    training shards: docs are concatenated in a deterministic order and
+    cut into fixed SEQ_LEN-token sequences (GPT-style boundary-agnostic
+    packing), and this query emits the plan row per doc: which sequence
+    (bin_id) the doc STARTS in and at what token offset. Packing order
+    is (source, shard, doc_id) where shard = doc_id % PACK_SHARDS, so
+    the plan is reproducible engine-to-engine and run-to-run.
+
+    Scale shape: ONE exchange on (source, shard) + a per-partition sort
+    — the running token total is a window cumsum, all integer math, and
+    only (doc_id, source, shard, n_tokens) rows shuffle (token counting
+    happens below the exchange; text never moves). Shards exist because
+    a per-source-only window would sort an entire source on one reducer
+    at 10^12 docs; PACK_SHARDS independent packing streams per source
+    bound each sort, and real deployments size the shard count to the
+    corpus (the deterministic doc_id % k shard key keeps the oracle
+    exact at any k)."""
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    base = docs.select(
+        "doc_id", "source",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("long")
+        .alias("shard"),
+        n_tok.cast("long").alias("n_tokens"))
+    w = (Window.partitionBy("source", "shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = base.withColumn(
+        "__start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    # integer `div`, not floor(double /): a running token total passes
+    # 2^53 long before 10^12 docs do and double division drifts there
+    return cum.select(
+        "doc_id", "source", "shard", "n_tokens",
+        F.expr(f"__start div {SEQ_LEN}").alias("bin_id"),
+        F.pmod(F.col("__start"), F.lit(SEQ_LEN)).cast("long")
+        .alias("bin_offset"))
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprint stats — no SQL oracle (pytest)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1064,6 +1107,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "chunk_dedup_stats": q_chunk_dedup_stats,
     "balanced_sample": q_balanced_sample,
+    "sequence_pack_plan": q_sequence_pack_plan,
     "winnow_fingerprints": q_winnow_fingerprints,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1379,6 +1423,24 @@ ORACLE_SQL = {
         FROM documents d JOIN rates r USING (source)
         WHERE ('0x' || substr(md5(cast(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
               < r.thresh""",
+    "sequence_pack_plan": """
+        WITH t AS (
+          SELECT doc_id, source,
+                 doc_id % 16 AS shard,
+                 len(string_split_regex(trim(lower(text)), '\\s+'))
+                 AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT *, sum(n_tokens) OVER (
+                   PARTITION BY source, shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+          FROM t
+        )
+        SELECT doc_id, source, shard,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(strt // 512 AS BIGINT) AS bin_id,
+               CAST(strt % 512 AS BIGINT) AS bin_offset
+        FROM c""",
     # bpe_tokens_per_doc is generated below from the committed merge
     # table (functions/bpe.MERGES) — see _bpe_oracle_sql().
     "ann_topk_bruteforce": """

@@ -125,3 +125,49 @@ def test_register_sql_udfs_all_kinds(spark, lineitem):
     assert row["t"] == exact
     assert abs(row["h"] - exact) / exact < 0.05
     assert abs(row["c"] - exact) / exact < 0.05
+
+
+def test_register_sql_udfs_value_families(spark, lineitem):
+    """The value-sketch SQL surface: tdigest quantiles, frequent-items /
+    countmin estimates, and bloom membership all driven from raw SQL
+    strings against pandas-computed truth on the same rows."""
+    import numpy as np
+
+    from datasketches_rust_spark.agg import register_sql_udfs
+    register_sql_udfs(spark)
+    li = lineitem.limit(4000)
+    li.createOrReplaceTempView("li_sql_vf")
+    pdf = li.select("l_quantity", "l_returnflag", "l_partkey").toPandas()
+
+    # t-digest median/p90 within a loose band of the exact quantiles
+    row = spark.sql(
+        "SELECT tdigest_quantile(s, 0.5) AS p50, "
+        "       tdigest_quantile(s, 0.9) AS p90 FROM ("
+        "  SELECT tdigest_sketch_agg(l_quantity) AS s FROM li_sql_vf)"
+    ).first()
+    q = pdf["l_quantity"].to_numpy(dtype=float)
+    assert abs(row["p50"] - np.quantile(q, 0.5)) <= 2.0
+    assert abs(row["p90"] - np.quantile(q, 0.9)) <= 2.0
+
+    # frequent-items + countmin: estimates bracket/cover the true count
+    # of the most common return flag (both sketches never underestimate
+    # by more than their documented error; countmin never underestimates)
+    top_flag, top_n = pdf["l_returnflag"].value_counts().index[0], \
+        int(pdf["l_returnflag"].value_counts().iloc[0])
+    row = spark.sql(
+        f"SELECT freq_estimate(f, '{top_flag}') AS fe, "
+        f"       countmin_estimate(c, '{top_flag}') AS ce FROM ("
+        "  SELECT freq_sketch_agg(l_returnflag) AS f, "
+        "         countmin_sketch_agg(l_returnflag) AS c FROM li_sql_vf)"
+    ).first()
+    assert row["fe"] == top_n      # 3 distinct flags << map size: exact
+    assert row["ce"] >= top_n      # CM never underestimates
+
+    # bloom: every present key found (no false negatives from SQL)
+    missing = spark.sql(
+        "SELECT count(*) AS n FROM ("
+        "  SELECT bloom_contains(b.s, li.l_partkey) AS hit "
+        "  FROM li_sql_vf li CROSS JOIN ("
+        "    SELECT bloom_sketch_agg(l_partkey) AS s FROM li_sql_vf) b)"
+        " WHERE NOT hit").first()["n"]
+    assert missing == 0

@@ -130,6 +130,55 @@ class TestTfidfTopTerms:
             assert rks == list(range(1, len(rks) + 1))
 
 
+class TestSequencePackPlan:
+    def test_packing_matches_hand_computation(self, spark, tmp_path):
+        from collections import defaultdict
+
+        from datasketches_rust_spark.queries import (PACK_SHARDS, SEQ_LEN,
+                                                     q_sequence_pack_plan)
+        # token counts chosen to straddle several SEQ_LEN boundaries
+        # within one (source, shard) stream: doc_ids 0,16,32,... share
+        # shard 0
+        rows = [(i * PACK_SHARDS, " ".join(["w"] * n), "s")
+                for i, n in enumerate([300, 300, 512, 1, 1023])]
+        rows += [(7, " ".join(["w"] * 100), "s")]      # shard 7, alone
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+        out = {r["doc_id"]: r for r in
+               q_sequence_pack_plan(spark, str(tmp_path)).collect()}
+
+        streams = defaultdict(list)
+        for doc_id, text, src in rows:
+            streams[(src, doc_id % PACK_SHARDS)].append(
+                (doc_id, len(text.split())))
+        for (src, shard), docs in streams.items():
+            start = 0
+            for doc_id, n in sorted(docs):
+                r = out[doc_id]
+                assert r["shard"] == shard
+                assert r["n_tokens"] == n
+                assert r["bin_id"] == start // SEQ_LEN, doc_id
+                assert r["bin_offset"] == start % SEQ_LEN, doc_id
+                start += n
+
+    def test_offsets_continuous_within_stream(self, spark, tmp_path):
+        # start of doc k == start of doc k-1 + its token count, i.e.
+        # bin_id*SEQ_LEN + bin_offset is the exact running token total
+        from datasketches_rust_spark.queries import (PACK_SHARDS, SEQ_LEN,
+                                                     q_sequence_pack_plan)
+        rows = [(i, " ".join(["t"] * (7 + 13 * (i % 11))), f"s{i % 2}")
+                for i in range(120)]
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+        out = q_sequence_pack_plan(spark, str(tmp_path)).collect()
+        by_stream = {}
+        for r in sorted(out, key=lambda r: r["doc_id"]):
+            key = (r["source"], r["shard"])
+            expect = by_stream.get(key, 0)
+            assert r["bin_id"] * SEQ_LEN + r["bin_offset"] == expect, r
+            by_stream[key] = expect + r["n_tokens"]
+
+
 class TestBalancedSample:
     def test_skewed_sources_rebalanced(self, spark, tmp_path):
         # big source 200 docs, small source 20 -> thresh_big is 10x

@@ -324,6 +324,23 @@ def main() -> None:
             lambda p: not re.search(r"ReadSchema:.*text", p),
     })
 
+    # 18. sequence_pack_plan: ONE exchange on (source, shard); token
+    #     counting below it — only 4 small columns ever shuffle
+    sp = Q.q_sequence_pack_plan(spark, SF_DIR)
+    failures += audit("sequence_pack_plan", sp, {
+        "exactly 1 exchange (the (source,shard) window partition)":
+            lambda p: len(re.findall(
+                r"^\(\d+\) Exchange", p.split("== Initial Plan ==")[0],
+                re.M)) == 1,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+        "text never shuffles (n_tokens computed below the exchange)":
+            lambda p: not re.search(r"Exchange hashpartitioning\(.*text",
+                                    p),
+        "no double division (integer div/pmod only)":
+            lambda p: "Divide" not in p,
+    })
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")
