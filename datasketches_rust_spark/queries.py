@@ -412,13 +412,17 @@ def q_tfidf_top_terms(spark, sf_dir):
     aggregates over one exploded scan; the document-frequency vocab
     joins back with an EXPLICIT broadcast after a min-df floor — the
     same discipline as unigram_logprob_scores: the Zipf tail is all
-    df=1 hapax/typos, so the floor caps the broadcast vocab at any
-    corpus size AND the token join never falls back to a shuffle on
-    Zipf-skewed terms. The floor is semantic too (hapax carry maximal
-    idf but are noise); the oracle applies the identical floor so the
-    gate stays a hash-match. Final top-k is a row_number window
-    partitioned by source (bounded small side), ties broken by term so
-    both engines rank identically."""
+    df=1 hapax/typos, so the floor shrinks the vocab by the long tail
+    and the floor is semantic too (hapax carry maximal idf but are
+    noise). Crucially the join is between two AGGREGATES (tf keyed by
+    (source, w), df keyed by w) — raw Zipf-skewed tokens never reach
+    any join, so even when a truly web-scale vocab outgrows the
+    broadcast threshold, the fallback shuffle join is skew-free (each
+    w appears at most n_sources times on the tf side, once on the df
+    side). The oracle applies the identical floor so the gate stays a
+    hash-match. Final top-k is a row_number window partitioned by
+    source (bounded small side), ties broken by term so both engines
+    rank identically."""
     from pyspark.sql import Window
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
