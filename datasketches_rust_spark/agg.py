@@ -495,44 +495,68 @@ def register_sql_udfs(spark, lg_k: int = 16, seed: int = DEFAULT_SEED,
 
         return get
 
+    # NULL semantics match Spark builtins: NULL in -> NULL out. A NULL
+    # item must be checked BEFORE encoding — encode_values maps None to
+    # b'', which is also the empty string's encoding, so skipping the
+    # check would silently return the '' item's value. Nullable results
+    # travel as pandas extension dtypes (Float64/Int64/boolean).
+
     @pandas_udf(DoubleType())
     def _tdigest_quantile(blobs: pd.Series, ranks: pd.Series) -> pd.Series:
         get = _blob_cache(value_kinds["tdigest"].deserialize)
         return pd.Series(
-            [get(b).quantile(float(q)) for b, q in zip(blobs, ranks)],
-            dtype="float64")
+            [None if b is None or pd.isna(q) else get(b).quantile(float(q))
+             for b, q in zip(blobs, ranks)], dtype="Float64")
 
     @pandas_udf(LongType())
     def _freq_estimate(blobs: pd.Series, items: pd.Series) -> pd.Series:
         get = _blob_cache(value_kinds["freq"].deserialize)
         return pd.Series(
-            [int(get(b).estimate(i)) for b, i in zip(blobs, items)],
-            dtype="int64")
+            [None if b is None or pd.isna(i) else int(get(b).estimate(i))
+             for b, i in zip(blobs, items)], dtype="Int64")
+
+    def _probe_by_blob(blobs, items, probe, out):
+        """Group row indices by blob, vectorize the probe per blob;
+        NULL blob/item rows stay None in ``out``."""
+        keys = encode_values(items)
+        by_blob: dict[bytes, list[int]] = {}
+        for i, b in enumerate(blobs):
+            # pd.isna, not `is None`: a NULL numeric item arrives as NaN
+            # through Arrow, a NULL string as None
+            if b is not None and not pd.isna(items.iloc[i]):
+                by_blob.setdefault(bytes(b), []).append(i)
+        for key, idxs in by_blob.items():
+            vals = probe(key, [keys[i] for i in idxs])
+            for j, i in enumerate(idxs):
+                out[i] = vals[j]
+        return out
 
     @pandas_udf(LongType())
     def _countmin_estimate(blobs: pd.Series, items: pd.Series) -> pd.Series:
         get = _blob_cache(value_kinds["countmin"].deserialize)
-        keys = encode_values(items)
-        return pd.Series(
-            [int(get(b).estimate_keys([k])[0])
-             for b, k in zip(blobs, keys)], dtype="int64")
+        out = _probe_by_blob(
+            blobs, items,
+            lambda key, ks: [int(v) for v in get(key).estimate_keys(ks)],
+            [None] * len(blobs))
+        return pd.Series(out, dtype="Int64")
 
     @pandas_udf(BooleanType())
     def _bloom_contains(blobs: pd.Series, items: pd.Series) -> pd.Series:
         from datasketches_rust_spark.hashing import _grouped_by_length
+
         get = _blob_cache(value_kinds["bloom"].deserialize)
-        keys = encode_values(items)
-        out = np.zeros(len(keys), dtype=bool)
-        by_blob: dict[bytes, list[int]] = {}
-        for i, b in enumerate(blobs):
-            by_blob.setdefault(bytes(b), []).append(i)
-        for key, idxs in by_blob.items():
+
+        def probe(key, ks):
             sk = get(key)
-            for grp, mat in _grouped_by_length([keys[i] for i in idxs]):
+            vals = [None] * len(ks)
+            for grp, mat in _grouped_by_length(ks):
                 hits = sk.contains_keys(mat)
                 for j, g in enumerate(grp):
-                    out[idxs[int(g)]] = bool(hits[j])
-        return pd.Series(out)
+                    vals[int(g)] = bool(hits[j])
+            return vals
+
+        out = _probe_by_blob(blobs, items, probe, [None] * len(blobs))
+        return pd.Series(out, dtype="boolean")
 
     spark.udf.register("tdigest_quantile", _tdigest_quantile)
     spark.udf.register("freq_estimate", _freq_estimate)

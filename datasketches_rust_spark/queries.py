@@ -264,25 +264,42 @@ def q_ngram_jaccard_pairs(spark, sf_dir, df_cap: int = NGRAM_DF_CAP):
     shared grams can only lower the measured intersection, never create
     a false positive. Doc sizes still count ALL grams, so semantics are
     unchanged for every gram below the cap; with the default cap above
-    the fixture doc count the DuckDB oracle stays exactly equal. The hot
-    list is tiny by construction (few grams can exceed a 100k df), so it
-    broadcasts."""
+    the fixture doc count the DuckDB oracle stays exactly equal.
+
+    Shuffle shape (the operators/lsh.py discipline, all three lessons):
+    grams are near-unique keys, so a standalone df groupBy would
+    shuffle data-sized partials (map-side combine compresses nothing);
+    a SELF-JOIN on g would re-exchange the exploded grams twice
+    (Catalyst cannot reuse exchanges across join subtrees — the
+    inferred per-side filters de-canonicalize the copies, verified
+    in-plan); so candidate generation is the collect-and-pair form on
+    ONE repartition('g') exchange: df from a window count, surviving
+    buckets (bounded by df_cap, exactly lsh's max_bucket_size role)
+    collect their doc lists exchange-free and expand pairs with the JVM
+    higher-order expression. Doc sizes need no aggregate at all: the
+    gram array is already distinct per doc, so n = size(grams) is a
+    pure map over a second pruned scan."""
+    from datasketches_rust_spark.operators.lsh import _pairs_expr
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     grams = F.array_distinct(F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 3))))
-    ex = docs.select("doc_id", F.explode(grams).alias("g"))
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
-    hot = (ex.groupBy("g").agg(F.count("*").alias("df"))
-           .where(F.col("df") > df_cap).select("g"))
-    rare = ex.join(F.broadcast(hot), "g", "left_anti")
-    a = rare.alias("a")
-    b = rare.alias("b")
-    inter = (a.join(b, "g")
-             .where(F.col("a.doc_id") < F.col("b.doc_id"))
-             .groupBy(F.col("a.doc_id").alias("id_a"),
-                      F.col("b.doc_id").alias("id_b"))
+    ex = (docs.select(F.col("doc_id").alias("__id"),
+                      F.explode(grams).alias("g"))
+          .repartition("g"))
+    rare = (ex.withColumn("__df", F.count("*").over(
+                Window.partitionBy("g")))
+            .where(F.col("__df") <= df_cap))
+    sizes = docs.select("doc_id", F.size(grams).alias("n"))
+    members = (rare.groupBy("g")
+               .agg(F.array_sort(F.collect_list(F.struct(F.col("__id"))))
+                    .alias("__m"))
+               .where(F.size("__m") >= 2))
+    inter = (members
+             .select(F.explode(_pairs_expr("__m", ["__id"])).alias("__p"))
+             .groupBy(F.col("__p.__id_a").alias("id_a"),
+                      F.col("__p.__id_b").alias("id_b"))
              .agg(F.count("*").alias("c")))
     sa = sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na")
     sb = sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb")
@@ -923,6 +940,19 @@ def q_sales_rollup(spark, sf_dir):
                  F.count("*").alias("n")))
 
 
+def q_sales_cube(spark, sf_dir):
+    """Grouping-sets operator class, CUBE variant: all 2^2 grouping sets
+    over (returnflag, linestatus) — per-flag and per-status marginals
+    plus the full cross and the grand total, still ONE Expand +
+    partial-agg pass over a single scan (never 4 rescans). Completes the
+    grouping-sets family next to ROLLUP's prefix hierarchy."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.avg("l_extendedprice").alias("avg_price"),
+                 F.count("*").alias("n")))
+
+
 def q_events_per_day(spark, sf_dir):
     """Batch event-time bucketing: daily event volume + exact distinct
     users — date_trunc keeps the whole query in whole-stage codegen."""
@@ -1136,6 +1166,7 @@ QUERIES = {
     "event_sessions": q_event_sessions,
     "asof_last_purchase": q_asof_last_purchase,
     "sales_rollup": q_sales_rollup,
+    "sales_cube": q_sales_cube,
     "event_value_pivot": q_event_value_pivot,
     "sql_api_theta_distinct": q_sql_api_theta_distinct,
     "events_per_day": q_events_per_day,
@@ -1559,6 +1590,10 @@ ORACLE_SQL = {
         SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
                count(*) AS n
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "sales_cube": """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+               avg(l_extendedprice) AS avg_price, count(*) AS n
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
     "events_per_day": """
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                count(*) AS n_events,

@@ -171,3 +171,39 @@ def test_register_sql_udfs_value_families(spark, lineitem):
         "    SELECT bloom_sketch_agg(l_partkey) AS s FROM li_sql_vf) b)"
         " WHERE NOT hit").first()["n"]
     assert missing == 0
+
+
+def test_sql_udf_blob_consumers_null_semantics(spark):
+    """NULL in -> NULL out, like Spark builtins — and a NULL item must
+    NOT alias the empty string (both encode to b'' downstream, so the
+    check has to happen before encoding)."""
+    from datasketches_rust_spark.agg import register_sql_udfs
+    register_sql_udfs(spark)
+    spark.createDataFrame(
+        [("",), ("",), ("x",)], "v string").createOrReplaceTempView(
+        "nulls_vf")
+    row = spark.sql(
+        "SELECT freq_estimate(f, CAST(NULL AS STRING)) AS fe_null, "
+        "       freq_estimate(f, '') AS fe_empty, "
+        "       countmin_estimate(c, CAST(NULL AS STRING)) AS ce_null, "
+        "       countmin_estimate(c, '') AS ce_empty, "
+        "       bloom_contains(b, CAST(NULL AS STRING)) AS bc_null, "
+        "       bloom_contains(b, '') AS bc_empty, "
+        "       tdigest_quantile(t, CAST(NULL AS DOUBLE)) AS tq_null "
+        "FROM (SELECT freq_sketch_agg(v) AS f, "
+        "             countmin_sketch_agg(v) AS c, "
+        "             bloom_sketch_agg(v) AS b, "
+        "             tdigest_sketch_agg(length(v)) AS t FROM nulls_vf)"
+    ).first()
+    assert row["fe_null"] is None and row["ce_null"] is None
+    assert row["bc_null"] is None and row["tq_null"] is None
+    # the empty string is a REAL item with count 2 — NULL must not see it
+    assert row["fe_empty"] == 2 and row["ce_empty"] >= 2
+    assert row["bc_empty"] is True
+    # NULL blob (empty group never happens; fake it with a literal)
+    row2 = spark.sql(
+        "SELECT freq_estimate(CAST(NULL AS BINARY), 'x') AS fe, "
+        "       bloom_contains(CAST(NULL AS BINARY), 'x') AS bc, "
+        "       tdigest_quantile(CAST(NULL AS BINARY), 0.5) AS tq"
+    ).first()
+    assert row2["fe"] is None and row2["bc"] is None and row2["tq"] is None

@@ -324,6 +324,22 @@ def main() -> None:
             lambda p: not re.search(r"ReadSchema:.*text", p),
     })
 
+    # 18b. ngram_jaccard_pairs: df comes from a window on the ONE
+    #      repartition('g') exchange both self-join sides reuse; doc
+    #      sizes are a pure map (size of the distinct gram array) — no
+    #      corpus-sized aggregate anywhere before the pair groupBy
+    ng = Q.q_ngram_jaccard_pairs(spark, SF_DIR)
+    failures += audit("ngram_jaccard_pairs", ng, {
+        "exactly ONE exchange on g (window df + collect-and-pair both "
+        "run on it; no self-join, no standalone df groupBy)":
+            lambda p: len(re.findall(r"hashpartitioning\(g#", p)) == 1,
+        "no join on g anywhere (pairs come from the JVM higher-order "
+        "expression)":
+            lambda p: not re.search(r"Join.*\[g#", p),
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
     # 18. sequence_pack_plan: ONE exchange on (source, shard); token
     #     counting below it — only 4 small columns ever shuffle
     sp = Q.q_sequence_pack_plan(spark, SF_DIR)

@@ -125,6 +125,11 @@ def merge(n: int) -> dict:
     for cpus in LEVELS:
         with open(_level_path(cpus)) as f:
             levels[cpus] = json.load(f)
+        if levels[cpus]["n"] != n:
+            raise SystemExit(
+                f"level file {_level_path(cpus)} measured n="
+                f"{levels[cpus]['n']}, merge asked for n={n} — pass the "
+                "same n the levels ran with")
     out = {
         "job": "docs_dedup_clusters",
         "n_docs": n,
