@@ -249,6 +249,57 @@ def q_dedup_clusters(spark, sf_dir):
         .select("doc_id", "cluster_id")
 
 
+BATCH_MOD = 5  # doc_id % 5 == 0 -> "incoming batch"; the rest -> index
+
+
+def q_dedup_against_index(spark, sf_dir):
+    """Asymmetric dedup — the daily-ingestion shape: an incoming batch
+    is checked against the existing corpus index (here a deterministic
+    doc_id % 5 split of the fixture), and every batch doc reports
+    whether it duplicates the index, its match count, and its best
+    match (max exact Jaccard, min index id on ties).
+
+    Reuses the pipeline's full candidate machinery (`dedup_pairs`: one
+    LSH band exchange with the hot-bucket star degrade, exact-Jaccard
+    verify) over the union of both sides, then keeps only cross-side
+    pairs — at 10^12 rows the index side's signature table is the
+    checkpointed one (dedup_pairs' ``sigs`` parameter), so an
+    incremental run only sketches the batch. Everything after the
+    verify is pair-sized: a struct-max argmax per batch doc (no window
+    sort) and one left join back to the batch ids. At this fixture
+    config candidate recall is exactly 1.0 (the minhash_dup_pairs gate
+    hash-matches an exhaustive oracle), so the DuckDB oracle can
+    recompute the TRUE best match from shingle sets and still agree."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_pairs(docs, CFG, "doc_id", "text")
+
+    def is_b(c):
+        return F.pmod(c, F.lit(BATCH_MOD)) == 0
+
+    per = (pairs
+           .where(is_b(F.col("id_a")) != is_b(F.col("id_b")))
+           .select(
+               F.when(is_b(F.col("id_a")), F.col("id_a"))
+               .otherwise(F.col("id_b")).alias("batch_id"),
+               F.when(is_b(F.col("id_a")), F.col("id_b"))
+               .otherwise(F.col("id_a")).alias("index_id"),
+               "jaccard"))
+    best = (per.groupBy("batch_id")
+            .agg(F.max(F.struct(
+                     F.col("jaccard"),
+                     (-F.col("index_id")).alias("neg"))).alias("m"),
+                 F.count("*").alias("nm")))
+    batch = docs.where(is_b(F.col("doc_id"))) \
+        .select(F.col("doc_id").alias("batch_id"))
+    return (batch.join(best, "batch_id", "left")
+            .select("batch_id",
+                    F.col("m").isNotNull().alias("is_dup"),
+                    F.coalesce(F.col("nm"), F.lit(0)).cast("long")
+                    .alias("n_matches"),
+                    F.col("m.jaccard").alias("best_jaccard"),
+                    (-F.col("m.neg")).cast("long").alias("best_index_id")))
+
+
 NGRAM_DF_CAP = 100_000  # > any fixture doc count -> oracle stays exact
 
 
@@ -1129,6 +1180,7 @@ QUERIES = {
     "bloom_semijoin_parts": q_bloom_semijoin_parts,
     "exact_dedup_documents": q_exact_dedup_documents,
     "minhash_dup_pairs": q_minhash_dup_pairs,
+    "dedup_against_index": q_dedup_against_index,
     "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_near_docs": q_simhash_near_docs,
@@ -1290,6 +1342,38 @@ ORACLE_SQL = {
         FROM documents GROUP BY text""",
     "minhash_dup_pairs": _SHINGLE_PAIRS_CTE + """
         SELECT id_a, id_b FROM jpairs""",
+    "dedup_against_index": """
+        WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+        sh_pos AS (
+          SELECT doc_id, t,
+                 unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+          FROM docs),
+        sh AS (SELECT DISTINCT doc_id, substring(t, i, 5) AS g FROM sh_pos),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS batch_id, b.doc_id AS index_id, count(*) AS c
+          FROM sh a JOIN sh b USING (g)
+          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+          GROUP BY 1, 2),
+        jp AS (
+          SELECT batch_id, index_id,
+                 c * 1.0 / (sa.n + sb.n - c) AS j
+          FROM inter JOIN sizes sa ON sa.doc_id = batch_id
+                     JOIN sizes sb ON sb.doc_id = index_id
+          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+        best AS (
+          SELECT batch_id, j, index_id, nm FROM (
+            SELECT *, count(*) OVER (PARTITION BY batch_id) AS nm,
+                   row_number() OVER (PARTITION BY batch_id
+                                      ORDER BY j DESC, index_id ASC) AS rk
+            FROM jp) WHERE rk = 1)
+        SELECT d.doc_id AS batch_id,
+               best.batch_id IS NOT NULL AS is_dup,
+               coalesce(best.nm, 0) AS n_matches,
+               best.j AS best_jaccard,
+               best.index_id AS best_index_id
+        FROM documents d LEFT JOIN best ON best.batch_id = d.doc_id
+        WHERE d.doc_id % 5 = 0""",
     "dedup_clusters": _SHINGLE_PAIRS_CTE + """,
         edges AS (
           SELECT id_a AS s, id_b AS d FROM jpairs

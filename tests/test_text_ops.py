@@ -179,6 +179,32 @@ class TestSequencePackPlan:
             by_stream[key] = expect + r["n_tokens"]
 
 
+class TestDedupAgainstIndex:
+    def test_tie_breaks_to_min_index_id(self, spark, tmp_path):
+        # batch doc 10 is IDENTICAL to index docs 3 and 7 (jaccard 1.0
+        # ties) -> best match must be the min index id; batch doc 5 is
+        # unique -> not a dup
+        from datasketches_rust_spark.queries import q_dedup_against_index
+        dup = "the quick brown fox jumps over the lazy dog " * 4
+        rows = [
+            (3, dup, "s"), (7, dup, "s"),                 # index side
+            (1, "completely different index text one", "s"),
+            (10, dup, "s"),                               # batch side
+            (5, "a unique batch document with no twin", "s"),
+        ]
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+        out = {r["batch_id"]: r for r in
+               q_dedup_against_index(spark, str(tmp_path)).collect()}
+        assert set(out) == {10, 5}
+        r10 = out[10]
+        assert r10["is_dup"] and r10["n_matches"] == 2
+        assert r10["best_index_id"] == 3 and r10["best_jaccard"] == 1.0
+        r5 = out[5]
+        assert not r5["is_dup"] and r5["n_matches"] == 0
+        assert r5["best_jaccard"] is None and r5["best_index_id"] is None
+
+
 class TestBalancedSample:
     def test_skewed_sources_rebalanced(self, spark, tmp_path):
         # big source 200 docs, small source 20 -> thresh_big is 10x
