@@ -671,6 +671,46 @@ def q_embedding_dup_pairs_bruteforce(spark, sf_dir):
     return cosine_pairs_bruteforce(emb, threshold=0.45)
 
 
+def q_embedding_dedup_against_index(spark, sf_dir):
+    """Embedding-axis asymmetric dedup (the vector-store ingestion
+    shape): an incoming vector batch (vec_id % 5 == 0) is checked
+    against the existing index through the LSH candidate path
+    (cosine_pairs_lsh: id-only band exchange, hot-bucket star degrade,
+    exact-cosine verify), keeping only cross-side pairs; per batch
+    vector: is_dup, match count, best match (max cosine, min index id
+    on ties) via the same pair-sized struct-max argmax as
+    dedup_against_index — no window sort, no vector re-shuffle after
+    the verify join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_lsh(emb, threshold=0.45, dim=64, keep_sim=True)
+
+    def is_b(c):
+        return F.pmod(c, F.lit(BATCH_MOD)) == 0
+
+    per = (pairs
+           .where(is_b(F.col("id_a")) != is_b(F.col("id_b")))
+           .select(
+               F.when(is_b(F.col("id_a")), F.col("id_a"))
+               .otherwise(F.col("id_b")).alias("batch_id"),
+               F.when(is_b(F.col("id_a")), F.col("id_b"))
+               .otherwise(F.col("id_a")).alias("index_id"),
+               "sim"))
+    best = (per.groupBy("batch_id")
+            .agg(F.max(F.struct(
+                     F.col("sim"),
+                     (-F.col("index_id")).alias("neg"))).alias("m"),
+                 F.count("*").alias("nm")))
+    batch = emb.where(is_b(F.col("vec_id"))) \
+        .select(F.col("vec_id").alias("batch_id"))
+    return (batch.join(best, "batch_id", "left")
+            .select("batch_id",
+                    F.col("m").isNotNull().alias("is_dup"),
+                    F.coalesce(F.col("nm"), F.lit(0)).cast("long")
+                    .alias("n_matches"),
+                    F.col("m.sim").alias("best_sim"),
+                    (-F.col("m.neg")).cast("long").alias("best_index_id")))
+
+
 def q_lcs_confirm_pairs(spark, sf_dir):
     """Suffix-array substring confirm pass (north_star): LSH candidates
     kept only when a long contiguous byte run is shared. Oracle: none
@@ -1198,6 +1238,7 @@ QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_bruteforce": q_embedding_dup_pairs_bruteforce,
+    "embedding_dedup_against_index": q_embedding_dedup_against_index,
     "embedding_keep_central": q_embedding_keep_central,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1579,6 +1620,31 @@ ORACLE_SQL = {
         FROM sims QUALIFY rank <= 3""",
     "embedding_dup_pairs": _EMB_PAIRS_SQL,
     "embedding_dup_pairs_bruteforce": _EMB_PAIRS_SQL,
+    "embedding_dedup_against_index": """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        jp AS (
+          SELECT a.vec_id AS batch_id, b.vec_id AS index_id,
+                 list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))) AS s
+          FROM v a JOIN v b
+            ON a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
+          WHERE list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e))) >= 0.45),
+        best AS (
+          SELECT batch_id, s, index_id, nm FROM (
+            SELECT *, count(*) OVER (PARTITION BY batch_id) AS nm,
+                   row_number() OVER (PARTITION BY batch_id
+                                      ORDER BY s DESC, index_id ASC) AS rk
+            FROM jp) WHERE rk = 1)
+        SELECT v.vec_id AS batch_id,
+               best.batch_id IS NOT NULL AS is_dup,
+               coalesce(best.nm, 0) AS n_matches,
+               best.s AS best_sim,
+               best.index_id AS best_index_id
+        FROM embeddings v LEFT JOIN best ON best.batch_id = v.vec_id
+        WHERE v.vec_id % 5 = 0""",
     "dedup_representatives": _SHINGLE_PAIRS_CTE + """,
         edges AS (
           SELECT id_a AS s, id_b AS d FROM jpairs
