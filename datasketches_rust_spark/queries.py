@@ -1031,6 +1031,30 @@ def q_sales_rollup(spark, sf_dir):
                  F.count("*").alias("n")))
 
 
+SETOP_SPLIT_DATE = "1998-01-01"  # orders-date midpoint for the halves
+
+
+def q_customer_order_set_ops(spark, sf_dir):
+    """Row-level set algebra — INTERSECT / EXCEPT as Spark operators,
+    the exact-row counterpart of the theta sketch set ops (which
+    estimate these same cardinalities from merged sketch blobs):
+    customers who ordered in BOTH halves of the date range, and those
+    who ordered early but never again. Both set ops compile to
+    distinct-aggregate + join plans with partial aggregation; keys are
+    customer ids (bounded, uniform), so no skew story needed."""
+    o = _t(spark, sf_dir, "orders")
+    early = (o.where(F.col("o_orderdate") < SETOP_SPLIT_DATE)
+             .select("o_custkey"))
+    late = (o.where(F.col("o_orderdate") >= SETOP_SPLIT_DATE)
+            .select("o_custkey"))
+    both = early.intersect(late) \
+        .select(F.lit("both").alias("segment"), "o_custkey")
+    early_only = early.subtract(late) \
+        .select(F.lit("early_only").alias("segment"), "o_custkey")
+    return both.unionByName(early_only) \
+        .select("segment", F.col("o_custkey").alias("custkey"))
+
+
 def q_sales_cube(spark, sf_dir):
     """Grouping-sets operator class, CUBE variant: all 2^2 grouping sets
     over (returnflag, linestatus) — per-flag and per-status marginals
@@ -1260,6 +1284,7 @@ QUERIES = {
     "asof_last_purchase": q_asof_last_purchase,
     "sales_rollup": q_sales_rollup,
     "sales_cube": q_sales_cube,
+    "customer_order_set_ops": q_customer_order_set_ops,
     "event_value_pivot": q_event_value_pivot,
     "sql_api_theta_distinct": q_sql_api_theta_distinct,
     "events_per_day": q_events_per_day,
@@ -1744,6 +1769,18 @@ ORACLE_SQL = {
         SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
                avg(l_extendedprice) AS avg_price, count(*) AS n
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "customer_order_set_ops": """
+        WITH early AS (
+          SELECT o_custkey FROM orders WHERE o_orderdate < '1998-01-01'),
+        late AS (
+          SELECT o_custkey FROM orders WHERE o_orderdate >= '1998-01-01')
+        SELECT 'both' AS segment, o_custkey AS custkey
+        FROM (SELECT o_custkey FROM early
+              INTERSECT SELECT o_custkey FROM late)
+        UNION ALL
+        SELECT 'early_only' AS segment, o_custkey AS custkey
+        FROM (SELECT o_custkey FROM early
+              EXCEPT SELECT o_custkey FROM late)""",
     "events_per_day": """
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                count(*) AS n_events,
