@@ -32,17 +32,18 @@ def main() -> None:
         if "sf" in sf_dir else -1.0
 
     # Self-heal the box before measuring: after heavy JVM/page churn the
-    # kernel's compaction threads (kcompactd/khugepaged) can keep load at
-    # ~10 with zero runnable user processes, inflating EVERY query ~2x
-    # (observed 22.7s total -> 50s; cured by one-shot compaction + a
-    # settle). Best-effort and silent on failure.
+    # kernel's compaction threads (kcompactd/khugepaged) inflate EVERY
+    # query up to ~2x (observed 22.7s total -> 50s at load ~10, and a
+    # 22.3s -> 28.3s distortion at load 3.9 — BELOW the old >4 trigger,
+    # so the heal is now unconditional: one-shot compaction returns
+    # quickly on a healthy box, and the settle loop only waits while
+    # load is actually elevated). Best-effort and silent on failure.
     try:
-        if os.getloadavg()[0] > 4:
-            with open("/proc/sys/vm/compact_memory", "w") as f:
-                f.write("1")
-            deadline = time.time() + 150
-            while time.time() < deadline and os.getloadavg()[0] > 2:
-                time.sleep(10)
+        with open("/proc/sys/vm/compact_memory", "w") as f:
+            f.write("1")
+        deadline = time.time() + 150
+        while time.time() < deadline and os.getloadavg()[0] > 2:
+            time.sleep(10)
     except OSError:
         pass
 
