@@ -552,6 +552,100 @@ def q_chunk_dedup_stats(spark, sf_dir):
                  .cast("long").alias("n_shared_chunks")))
 
 
+def q_chunk_dedup_clean(spark, sf_dir):
+    """Exact substring-dedup CLEANING with text reconstruction — the
+    rewrite counterpart of chunk_dedup_stats (RefinedWeb/Falcon-style
+    exact substring dedup applied, not just measured): every doc splits
+    into fixed 32-word chunks, a chunk occurrence is KEPT iff it is the
+    globally-canonical first occurrence of its fingerprint (min
+    (doc_id, chunk_idx) across the whole corpus — self-repeats within a
+    doc dedup too), and each doc is re-emitted with its duplicated
+    chunks spliced out, in original order.
+
+    Scale shape: keep/drop is decided on ONE hash exchange of
+    (16-byte binary fp, doc_id, idx) rows — a struct-min window over
+    the fp partition, the same no-join discipline as chunk_dedup_stats;
+    text never enters that exchange. The per-doc drop-lists (only docs
+    that actually lose chunks) aggregate on doc_id and join back to the
+    corpus on the unique doc_id key — skew-free by construction — and
+    reconstruction is a pure map over the doc's own text (re-split,
+    skip dropped chunk indexes, concat): the corpus text crosses at
+    most that one doc_id join, never a fingerprint exchange. Rewriting
+    the corpus is inherently a full-scan + one co-partitioned join at
+    100 TB; everything upstream of it ships ids only."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_chunks = F.ceil(F.size(t) / F.lit(float(CHUNK_WORDS))).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.struct(
+                i.alias("idx"),
+                F.unhex(F.md5(F.concat_ws(
+                    " ", F.slice(t, (i - 1) * CHUNK_WORDS + 1,
+                                 CHUNK_WORDS)))).alias("fp")))).alias("c")
+    ).select("doc_id", F.col("c.idx").alias("idx"), F.col("c.fp").alias("fp"))
+    w = Window.partitionBy("fp")
+    canon = F.min(F.struct("doc_id", "idx")).over(w)
+    drops = (chunks
+             .withColumn("canon", canon)
+             .where(F.struct("doc_id", "idx") != F.col("canon"))
+             .groupBy("doc_id")
+             .agg(F.array_sort(F.collect_list("idx")).alias("drop_idx"),
+                  F.count("*").alias("n_removed")))
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: ~F.coalesce(F.array_contains(F.col("drop_idx"), i),
+                              F.lit(False)))
+    clean = F.concat_ws(" ", F.flatten(F.transform(
+        kept_idx,
+        lambda i: F.slice(t, (i - 1) * CHUNK_WORDS + 1, CHUNK_WORDS))))
+    return (docs.join(drops, "doc_id", "left")
+            .select("doc_id", "source", n_chunks.alias("n_chunks"),
+                    F.coalesce("n_removed", F.lit(0)).cast("long")
+                    .alias("n_removed"),
+                    clean.alias("clean_text")))
+
+
+def q_source_profile(spark, sf_dir):
+    """Per-source dataset profile card — the stats report a curation
+    run publishes next to every training mix: doc and word counts,
+    EXACT p50/p90 document length, max length, and language spread.
+
+    Scale shape for the exact percentiles: n_chars is a bounded-
+    cardinality metric (thousands of distinct values no matter how
+    many docs), so instead of a per-source SORT of the corpus (what
+    percentile()/a row_number rank would cost) the query aggregates
+    (source, n_chars) counts first — map-side combine collapses the
+    corpus to |sources| x |distinct lengths| rows — and walks the
+    cumulative histogram with a window over that TINY aggregate: the
+    p-th percentile (lower method, position floor((n-1)*p)+1) is the
+    smallest value whose running count reaches the position. The raw
+    corpus never shuffles and never sorts; both exchanges carry
+    aggregated rows only. All-integer output, hash-exact vs DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")))
+        .cast("long").alias("n_words"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.max("n_chars").alias("max_chars"))
+    cum = (docs.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+           .withColumn("cum", F.sum("c").over(
+               Window.partitionBy("source").orderBy("n_chars"))))
+    pos = lambda q: (F.floor((F.col("n_docs") - 1) * F.lit(q)) + 1)
+    pct = (cum.join(F.broadcast(base.select("source", "n_docs")), "source")
+           .groupBy("source")
+           .agg(F.min(F.when(F.col("cum") >= pos(0.5), F.col("n_chars")))
+                .alias("p50_chars"),
+                F.min(F.when(F.col("cum") >= pos(0.9), F.col("n_chars")))
+                .alias("p90_chars")))
+    return (base.join(F.broadcast(pct), "source")
+            .select("source", "n_docs", "n_words", "p50_chars",
+                    "p90_chars", "max_chars", "n_langs"))
+
+
 SAMPLE_FRAC = 0.5  # global downsample factor applied after rebalancing
 
 
@@ -1256,6 +1350,8 @@ QUERIES = {
     "repetition_flags": q_repetition_flags,
     "tfidf_top_terms": q_tfidf_top_terms,
     "chunk_dedup_stats": q_chunk_dedup_stats,
+    "chunk_dedup_clean": q_chunk_dedup_clean,
+    "source_profile": q_source_profile,
     "balanced_sample": q_balanced_sample,
     "sequence_pack_plan": q_sequence_pack_plan,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -1595,6 +1691,60 @@ ORACLE_SQL = {
                count(*) FILTER (WHERE f.n_docs >= 2) AS n_shared_chunks
         FROM chunks c JOIN fps f USING (fp)
         GROUP BY c.source""",
+    "chunk_dedup_clean": r"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents
+        ), c AS (
+          SELECT doc_id, source,
+                 cast(i AS INT) AS idx,
+                 cast(ceil(len(toks) / 32.0) AS INT) AS n_chunks,
+                 array_to_string(list_slice(
+                     toks, (i - 1) * 32 + 1, least(i * 32, len(toks))),
+                     ' ') AS ctext
+          FROM d, unnest(range(1, cast(ceil(len(toks) / 32.0) AS BIGINT)
+                               + 1)) AS t(i)
+        ), k AS (
+          SELECT *, row_number() OVER (PARTITION BY md5(ctext)
+                                       ORDER BY doc_id, idx) AS rk
+          FROM c
+        )
+        SELECT doc_id, source,
+               any_value(n_chunks) AS n_chunks,
+               count(*) FILTER (rk > 1) AS n_removed,
+               coalesce(string_agg(ctext, ' ' ORDER BY idx) FILTER (rk = 1),
+                        '') AS clean_text
+        FROM k GROUP BY doc_id, source""",
+    "source_profile": r"""
+        WITH base AS (
+          SELECT source, count(*) AS n_docs,
+                 cast(sum(len(string_split_regex(lower(trim(text)),
+                                                 '\s+'))) AS BIGINT)
+                 AS n_words,
+                 count(DISTINCT lang) AS n_langs,
+                 max(n_chars) AS max_chars
+          FROM documents GROUP BY source
+        ), vc AS (
+          SELECT source, n_chars, count(*) AS c
+          FROM documents GROUP BY 1, 2
+        ), cum AS (
+          SELECT source, n_chars,
+                 sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum
+          FROM vc
+        ), pct AS (
+          SELECT b.source,
+                 min(CASE WHEN cum >= cast(floor((b.n_docs - 1) * 0.5)
+                                          AS BIGINT) + 1
+                          THEN n_chars END) AS p50_chars,
+                 min(CASE WHEN cum >= cast(floor((b.n_docs - 1) * 0.9)
+                                          AS BIGINT) + 1
+                          THEN n_chars END) AS p90_chars
+          FROM base b JOIN cum USING (source) GROUP BY 1
+        )
+        SELECT b.source, n_docs, n_words, p50_chars, p90_chars,
+               max_chars, n_langs
+        FROM base b JOIN pct USING (source)""",
     "balanced_sample": """
         WITH counts AS (
           SELECT source, count(*) AS cnt FROM documents GROUP BY source

@@ -248,3 +248,79 @@ class TestBalancedSample:
         b = sorted(r["doc_id"]
                    for r in q_balanced_sample(spark, str(tmp_path)).collect())
         assert a == b and len(a) > 0
+
+
+class TestChunkDedupClean:
+    def test_cross_doc_self_and_tail_dedup(self, spark, tmp_path):
+        from datasketches_rust_spark.queries import q_chunk_dedup_clean
+        c1 = " ".join(f"a{i}" for i in range(32))
+        c2 = " ".join(f"b{i}" for i in range(32))
+        tail = " ".join(f"t{i}" for i in range(8))
+        rows = [
+            # two full chunks, both canonical
+            (1, f"{c1} {c2}", "s"),
+            # exact copy of doc 1's second chunk -> fully cleaned away
+            (2, c2, "s"),
+            # self-repeat: a chunk unique to doc 3, twice -> second removed
+            (3, " ".join(f"s{i}" for i in range(32)) + " "
+                + " ".join(f"s{i}" for i in range(32)), "s"),
+            # 40 words: full chunk + 8-word tail chunk
+            (4, f"{c2.replace('b', 'z')} {tail}", "s"),
+            # doc equal to doc 4's TAIL chunk -> removed (tail fps match)
+            (5, tail, "s"),
+        ]
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+        out = {r["doc_id"]: r for r in
+               q_chunk_dedup_clean(spark, str(tmp_path)).collect()}
+        assert (out[1]["n_chunks"], out[1]["n_removed"]) == (2, 0)
+        assert out[1]["clean_text"] == f"{c1} {c2}"
+        assert (out[2]["n_chunks"], out[2]["n_removed"]) == (1, 1)
+        assert out[2]["clean_text"] == ""
+        assert (out[3]["n_chunks"], out[3]["n_removed"]) == (2, 1)
+        assert out[3]["clean_text"] == " ".join(f"s{i}" for i in range(32))
+        assert (out[4]["n_chunks"], out[4]["n_removed"]) == (2, 0)
+        assert (out[5]["n_chunks"], out[5]["n_removed"]) == (1, 1)
+        assert out[5]["clean_text"] == ""
+
+    def test_canonical_is_min_doc_then_idx(self, spark, tmp_path):
+        # the same chunk in 3 docs: only the least (doc_id, idx)
+        # occurrence survives, regardless of row order in the input
+        from datasketches_rust_spark.queries import q_chunk_dedup_clean
+        x = " ".join(f"x{i}" for i in range(32))
+        pre = " ".join(f"p{i}" for i in range(32))
+        rows = [(9, x, "s"), (7, f"{pre} {x}", "s"), (8, x, "s")]
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+        out = {r["doc_id"]: r for r in
+               q_chunk_dedup_clean(spark, str(tmp_path)).collect()}
+        assert out[7]["n_removed"] == 0 and out[7]["clean_text"] == f"{pre} {x}"
+        assert out[8]["clean_text"] == "" and out[9]["clean_text"] == ""
+
+
+class TestSourceProfile:
+    def test_exact_lower_percentiles(self, spark, tmp_path):
+        from datasketches_rust_spark.queries import q_source_profile
+        rows = []
+        # source "a": n_chars 10..50, langs en/de alternating, 5 docs
+        for i, nc in enumerate([10, 20, 30, 40, 50]):
+            rows.append((i, "w " * (i + 1), "a",
+                         "en" if i % 2 == 0 else "de", nc))
+        # source "b": a single doc -> p50 = p90 = max
+        rows.append((99, "one two three", "b", "fr", 77))
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, "
+                  "lang string, n_chars int")
+        df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = {r["source"]: r for r in
+               q_source_profile(spark, str(tmp_path)).collect()}
+        a = out["a"]
+        # lower-method positions: floor((5-1)*.5)+1 = 3 -> 30;
+        # floor(4*.9)+1 = 4 -> 40
+        assert (a["n_docs"], a["p50_chars"], a["p90_chars"],
+                a["max_chars"], a["n_langs"]) == (5, 30, 40, 50, 2)
+        # "w " * (i+1) splits into i+1 words -> 1+2+3+4+5 = 15
+        assert a["n_words"] == 15
+        b = out["b"]
+        assert (b["n_docs"], b["n_words"], b["p50_chars"], b["p90_chars"],
+                b["max_chars"], b["n_langs"]) == (1, 3, 77, 77, 77, 1)

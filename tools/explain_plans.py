@@ -310,6 +310,43 @@ def main() -> None:
                                     p),
     })
 
+    # 16b. chunk_dedup_clean: keep/drop decided by the struct-min window
+    #      on the fp exchange (ids only); the corpus text crosses at most
+    #      the one doc_id join for reconstruction
+    chc = Q.q_chunk_dedup_clean(spark, SF_DIR)
+    failures += audit("chunk_dedup_clean", chc, {
+        "no self-join on fp (struct-min window decides canonical)":
+            lambda p: not re.search(r"Join [^\n]*fp#", p),
+        "text never in an exchange partition key":
+            lambda p: not re.search(r"Exchange hashpartitioning\([^)]*text",
+                                    p),
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+        "at most 4 exchanges (fp window, drops agg, doc_id join sides)":
+            lambda p: len(re.findall(
+                r"^\(\d+\) Exchange", p.split("== Initial Plan ==")[0],
+                re.M)) <= 4,
+    })
+
+    # 16c. source_profile: exact percentiles from the cumulative
+    #      histogram over the (source, n_chars) AGGREGATE — the raw
+    #      corpus never sorts; both joins are tiny-side broadcasts
+    sprof = Q.q_source_profile(spark, SF_DIR)
+    failures += audit("source_profile", sprof, {
+        "both joins broadcast (2+ BroadcastExchange, no SortMergeJoin "
+        "of the corpus)":
+            lambda p: len(re.findall(r"BroadcastExchange", p)) >= 2,
+        "every sort is above an aggregate (histogram walk, not a "
+        "corpus sort): no Sort directly over a parquet scan":
+            lambda p: not re.search(
+                r"Sort [^\n]*\n[^\n]*Scan parquet", p),
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+        "text never shuffles (word counts aggregated below exchanges)":
+            lambda p: not re.search(r"Exchange hashpartitioning\([^)]*text",
+                                    p),
+    })
+
     # 17. balanced_sample: rates join back via BROADCAST; the corpus
     #     side is scan + map filter — no corpus-wide Exchange
     bs = Q.q_balanced_sample(spark, SF_DIR)
