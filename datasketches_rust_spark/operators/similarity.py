@@ -392,6 +392,101 @@ def cosine_pairs_lsh(df: DataFrame, threshold: float,
     return out.select("id_a", "id_b")
 
 
+def ivf_home_udf(centroids: np.ndarray):
+    """pandas UDF: embedding -> struct<cell:long, csim:double> — the
+    nearest centroid by cosine AND that cosine (one numpy matmul per
+    Arrow batch; the argmax matches ivf_cells_udf(nprobe=1) exactly)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf(StructType([StructField("cell", LongType()),
+                            StructField("csim", DoubleType())]))
+    def _udf(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.array(list(vecs), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cn.T
+        cell = np.argmax(sims, axis=1)
+        return pd.DataFrame({
+            "cell": cell.astype(np.int64),
+            "csim": sims[np.arange(len(cell)), cell]})
+
+    return _udf
+
+
+def semantic_dedup(df: DataFrame, threshold: float, nlist: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   seed: int = 9001, centroids: np.ndarray | None = None,
+                   max_cell_size: int = 4096,
+                   max_iter: int = 8) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — semantic dedup scoped by a KMeans
+    partition of embedding space: every vector is assigned its nearest
+    centroid's cell, candidate pairs exist only WITHIN a cell, pairs
+    with exact cosine >= threshold form dup groups (connected
+    components), and each group KEEPS its least-central member (min
+    cosine to the cell centroid — the method's diversity rule: near the
+    centroid means redundant; min-id on float ties).
+
+    Output: DataFrame[vec_id, cell, cluster_id, cluster_size, is_kept]
+    — one row per input vector; cluster columns are null for vectors
+    with no dup (which are always kept).
+
+    Scale shape: clustering IS the method's all-pairs guard — nlist
+    grows with n (the paper uses ~n/10^4 clusters) so cells stay
+    bounded, and the within-cell pairing routes through
+    bucketed_pair_events (cells are a small keyspace, the sizes-JOIN
+    shape) where cells over ``max_cell_size`` degrade to star edges
+    around the min-id member instead of O(size^2) pairs — the exact
+    verify keeps true-dup star edges and CC reconnects the group. Only
+    (id, cell) rows enter the pairing exchange; vectors re-join once
+    for the exact-cosine verify. The coarse quantizer trains on a
+    sample at 10^9+ rows and rides the closure like a broadcast
+    variable (pass ``centroids`` to reuse a checkpointed quantizer)."""
+    from datasketches_rust_spark.operators.connected_components import \
+        connected_components
+    from datasketches_rust_spark.operators.lsh import bucketed_pair_events
+    if centroids is None:
+        # quantizer quality barely moves dedup recall (near-identical
+        # vectors share an argmax cell under ANY reasonable centroids),
+        # so fewer Lloyd iterations than ANN's quantizer is the right
+        # default — each iteration is a full Spark job
+        centroids = train_ivf_centroids(df, nlist, vec_col, seed,
+                                        max_iter=max_iter)
+    home = ivf_home_udf(centroids)
+    asg = (df.select(F.col(id_col), home(F.col(vec_col)).alias("__h"))
+           .select(id_col, F.col("__h.cell").alias("cell"),
+                   F.col("__h.csim").alias("csim")))
+    keyed = asg.select(F.col(id_col).alias("__id"),
+                       F.col("cell").alias("band_key"))
+    cand = (bucketed_pair_events(keyed, max_cell_size)
+            .select("id_a", "id_b"))
+    vecs = with_norm(df.select(F.col(id_col), F.col(vec_col)),
+                     vec_col, "__n")
+    va = vecs.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))
+    vb = vecs.select(F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
+    sim = (_dot(_as_double(F.col("__va")), _as_double(F.col("__vb")))
+           / (F.col("__na") * F.col("__nb")))
+    edges = (cand.join(va, "id_a").join(vb, "id_b")
+             .withColumn("__sim", sim)
+             .where(F.col("__sim") >= threshold)
+             .select("id_a", "id_b"))
+    cc = connected_components(edges, None, id_col=id_col)
+    members = cc.join(asg.select(id_col, "csim"), id_col)
+    keep = (members.groupBy("cluster_id")
+            .agg(F.min(F.struct("csim", id_col)).alias("__k"),
+                 F.count("*").alias("cluster_size")))
+    flagged = (members.join(keep, "cluster_id")
+               .select(id_col, "cluster_id", "cluster_size",
+                       (F.col("__k") == F.struct("csim", id_col))
+                       .alias("is_kept")))
+    return (asg.select(id_col, "cell").join(flagged, id_col, "left")
+            .select(id_col, "cell", "cluster_id", "cluster_size",
+                    F.coalesce("is_kept", F.lit(True)).alias("is_kept")))
+
+
 def embedding_dedup_keep_central(df: DataFrame, threshold: float,
                                  id_col: str = "vec_id",
                                  vec_col: str = "embedding",

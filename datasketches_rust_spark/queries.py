@@ -897,6 +897,19 @@ def q_embedding_keep_central(spark, sf_dir):
     return embedding_dedup_keep_central(emb, threshold=0.45, dim=64)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): KMeans-scoped semantic dedup —
+    within-cell exact-cosine dup groups, each keeping its least-central
+    member (the method's diversity rule). Rows-only: DuckDB cannot run
+    the KMeans quantizer; the exact selection is pytest-pinned against
+    a numpy + union-find recomputation sharing the same trained
+    centroids (tests/test_similarity.py), plus a crafted-centroid unit
+    test with hand-computable expectations."""
+    from datasketches_rust_spark.operators.similarity import semantic_dedup
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.45, nlist=8)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN — approximate, no SQL oracle (pytest recall)."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
@@ -1360,6 +1373,7 @@ QUERIES = {
     "embedding_dup_pairs_bruteforce": q_embedding_dup_pairs_bruteforce,
     "embedding_dedup_against_index": q_embedding_dedup_against_index,
     "embedding_keep_central": q_embedding_keep_central,
+    "semantic_dedup": q_semantic_dedup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_recall_report": q_ann_recall_report,

@@ -173,3 +173,88 @@ def test_embedding_keep_central_matches_exact(spark, emb, emb_np):
         rep = min(ids[i] for i in grp if cent[i] == best)
         want[cl] = (rep, len(grp))
     assert got == want and len(want) > 0
+
+
+def test_semantic_dedup_crafted_centroids(spark):
+    """SemDeDup with explicit centroids and hand-computable expectations:
+    cells scope candidates, exact cosine forms groups, the LEAST-central
+    member is kept (min csim; min-id on exact float ties)."""
+    from datasketches_rust_spark.operators.similarity import semantic_dedup
+    cents = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0]])
+    rows = [
+        (1, [1.0, 0.05, 0.0, 0.0]),   # cell 0, dup of 2 (cos ~0.99998)
+        (2, [1.0, 0.06, 0.0, 0.0]),   # cell 0, least central of {1,2}
+        (3, [0.9, 0.0, 0.4, 0.0]),    # cell 0, no dup at 0.99
+        (4, [0.0, 1.0, 0.0, 0.1]),    # cell 1, exact dup of 5
+        (5, [0.0, 1.0, 0.0, 0.1]),    # tie on csim -> min-id 4 kept
+        (6, [0.05, 1.0, 0.2, 0.0]),   # cell 1, no dup at 0.99
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, threshold=0.99, nlist=2,
+                          centroids=cents).collect()}
+    assert [out[i]["cell"] for i in range(1, 7)] == [0, 0, 0, 1, 1, 1]
+    # group {1,2}: csim(1)=1/sqrt(1.0025) > csim(2)=1/sqrt(1.0036)
+    assert (out[1]["cluster_id"], out[1]["is_kept"]) == (1, False)
+    assert (out[2]["cluster_id"], out[2]["is_kept"]) == (1, True)
+    assert out[1]["cluster_size"] == 2
+    # group {4,5}: identical vectors -> csim tie -> min id kept
+    assert (out[4]["cluster_id"], out[4]["is_kept"]) == (4, True)
+    assert (out[5]["cluster_id"], out[5]["is_kept"]) == (4, False)
+    # singletons: kept, no cluster
+    for i in (3, 6):
+        assert out[i]["is_kept"] and out[i]["cluster_id"] is None
+
+
+def test_semantic_dedup_matches_numpy(spark, emb, emb_np):
+    """Fixture-scale SemDeDup vs an exact numpy + union-find
+    recomputation sharing the SAME trained centroids: identical cell
+    assignment, dup groups, and keep decisions."""
+    from datasketches_rust_spark.operators.similarity import (
+        semantic_dedup, train_ivf_centroids)
+    cents = train_ivf_centroids(emb, nlist=8, max_iter=8)
+    got = {r["vec_id"]: r for r in
+           semantic_dedup(emb, threshold=0.45, nlist=8,
+                          centroids=cents).collect()}
+
+    ids, En = emb_np
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    csims = En @ cn.T
+    cell = np.argmax(csims, axis=1)
+    csim = csims[np.arange(len(ids)), cell]
+    sims = En @ En.T
+    n = len(ids)
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)
+             if cell[i] == cell[j] and sims[i, j] >= 0.45]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in pairs:
+        parent[find(i)] = find(j)
+    members = {}
+    for i in range(n):
+        members.setdefault(find(i), []).append(i)
+    n_groups = 0
+    for grp in members.values():
+        if len(grp) < 2:
+            for i in grp:
+                r = got[int(ids[i])]
+                assert r["is_kept"] and r["cluster_id"] is None
+            continue
+        n_groups += 1
+        cl = min(int(ids[i]) for i in grp)
+        kept = min(grp, key=lambda i: (csim[i], int(ids[i])))
+        for i in grp:
+            r = got[int(ids[i])]
+            assert r["cluster_id"] == cl and r["cluster_size"] == len(grp)
+            assert r["is_kept"] == (i == kept)
+        assert int(got[int(ids[kept])]["cell"]) == int(cell[kept])
+    assert n_groups > 0

@@ -347,6 +347,26 @@ def main() -> None:
                                     p),
     })
 
+    # 16d. semantic_dedup: within-cell pairing through
+    #      bucketed_pair_events — ids only below the cell exchange,
+    #      vectors re-join once for the exact verify (explicit centroids
+    #      so the audit doesn't train KMeans)
+    import numpy as np
+    from datasketches_rust_spark.operators.similarity import semantic_dedup
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sd = semantic_dedup(emb, threshold=0.45,
+                        centroids=np.eye(4, 64, dtype=np.float64))
+    failures += audit("semantic_dedup", sd, {
+        "no cross join (cells scope all pairing)":
+            lambda p: "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+        "embedding never in an exchange partition key":
+            lambda p: not re.search(
+                r"Exchange hashpartitioning\([^)]*embedding", p),
+        "vectorized ArrowEvalPython only (no row-at-a-time BatchEval)":
+            lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p,
+    })
+
     # 17. balanced_sample: rates join back via BROADCAST; the corpus
     #     side is scan + map filter — no corpus-wide Exchange
     bs = Q.q_balanced_sample(spark, SF_DIR)
