@@ -51,7 +51,7 @@ def cosine_topk_bruteforce(queries: DataFrame, candidates: DataFrame,
                                     F.col(vec_col).alias("__cv")),
                   "__cv", "__cn")
     sim = (_dot(_as_double(F.col("__qv")), _as_double(F.col("__cv")))
-           / (F.col("__qn") * F.col("__cn")))
+           / F.greatest(F.col("__qn") * F.col("__cn"), F.lit(1e-12)))
     joined = F.broadcast(q).crossJoin(c).withColumn("__sim", sim)
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"),
                                                F.col("neighbor_id"))
@@ -70,7 +70,7 @@ def cosine_pairs_bruteforce(df: DataFrame, threshold: float,
     b = with_norm(df.select(F.col(id_col).alias("id_b"),
                             F.col(vec_col).alias("__vb")), "__vb", "__nb")
     sim = (_dot(_as_double(F.col("__va")), _as_double(F.col("__vb")))
-           / (F.col("__na") * F.col("__nb")))
+           / F.greatest(F.col("__na") * F.col("__nb"), F.lit(1e-12)))
     return (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
             .withColumn("__sim", sim)
             .where(F.col("__sim") >= threshold)
@@ -185,7 +185,7 @@ def _exact_rerank_topk(cand: DataFrame, df: DataFrame, k: int,
     cv = vecs.select(F.col(id_col).alias("neighbor_id"),
                      F.col(vec_col).alias("__cv"), F.col("__n").alias("__cn"))
     sim = (_dot(_as_double(F.col("__qv")), _as_double(F.col("__cv")))
-           / (F.col("__qn") * F.col("__cn")))
+           / F.greatest(F.col("__qn") * F.col("__cn"), F.lit(1e-12)))
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"),
                                                F.col("neighbor_id"))
     return (cand.join(qv, "query_id").join(cv, "neighbor_id")
@@ -383,7 +383,7 @@ def cosine_pairs_lsh(df: DataFrame, threshold: float,
     vb = vecs.select(F.col(id_col).alias("id_b"),
                      F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
     sim = (_dot(_as_double(F.col("__va")), _as_double(F.col("__vb")))
-           / (F.col("__na") * F.col("__nb")))
+           / F.greatest(F.col("__na") * F.col("__nb"), F.lit(1e-12)))
     out = (cand.join(va, "id_a").join(vb, "id_b")
            .withColumn("__sim", sim)
            .where(F.col("__sim") >= threshold))
@@ -457,6 +457,17 @@ def semantic_dedup(df: DataFrame, threshold: float, nlist: int = 8,
     asg = (df.select(F.col(id_col), home(F.col(vec_col)).alias("__h"))
            .select(id_col, F.col("__h.cell").alias("cell"),
                    F.col("__h.csim").alias("csim")))
+    # three independent consumers (pairing, members join, final left
+    # join) would each re-run the assignment matmul over the whole
+    # corpus — persist the small (id, cell, csim) table and materialize
+    # it with one full-parallelism count() BEFORE consumers fan out
+    # (per-partition cache-lock serialization otherwise; see CLAUDE.md).
+    # NOT track()ed yet: connected_components releases tracked caches
+    # when it checkpoints, and asg is consumed after that point —
+    # registered for deferred release at the end instead.
+    from pyspark.storagelevel import StorageLevel
+    asg = asg.persist(StorageLevel.MEMORY_AND_DISK)
+    asg.count()
     keyed = asg.select(F.col(id_col).alias("__id"),
                        F.col("cell").alias("band_key"))
     cand = (bucketed_pair_events(keyed, max_cell_size)
@@ -468,7 +479,7 @@ def semantic_dedup(df: DataFrame, threshold: float, nlist: int = 8,
     vb = vecs.select(F.col(id_col).alias("id_b"),
                      F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
     sim = (_dot(_as_double(F.col("__va")), _as_double(F.col("__vb")))
-           / (F.col("__na") * F.col("__nb")))
+           / F.greatest(F.col("__na") * F.col("__nb"), F.lit(1e-12)))
     edges = (cand.join(va, "id_a").join(vb, "id_b")
              .withColumn("__sim", sim)
              .where(F.col("__sim") >= threshold)
@@ -482,6 +493,8 @@ def semantic_dedup(df: DataFrame, threshold: float, nlist: int = 8,
                .select(id_col, "cluster_id", "cluster_size",
                        (F.col("__k") == F.struct("csim", id_col))
                        .alias("is_kept")))
+    from datasketches_rust_spark.cache import register
+    register(asg)  # released by the next pipeline/CC invocation
     return (asg.select(id_col, "cell").join(flagged, id_col, "left")
             .select(id_col, "cell", "cluster_id", "cluster_size",
                     F.coalesce("is_kept", F.lit(True)).alias("is_kept")))

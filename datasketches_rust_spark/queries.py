@@ -573,7 +573,11 @@ def q_chunk_dedup_clean(spark, sf_dir):
     most that one doc_id join, never a fingerprint exchange. Rewriting
     the corpus is inherently a full-scan + one co-partitioned join at
     100 TB; everything upstream of it ships ids only."""
-    docs = _t(spark, sf_dir, "documents")
+    # NULL-text contract: dropped on BOTH engines (the oracle's
+    # unnest(range(1, NULL)) silently emits no chunk rows, so without
+    # this filter Spark's left join would re-surface the doc and the
+    # gate would row-count-diff on any fixture with nullable text)
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     n_chunks = F.ceil(F.size(t) / F.lit(float(CHUNK_WORDS))).cast("int")
     chunks = docs.select(
@@ -1709,7 +1713,7 @@ ORACLE_SQL = {
         WITH d AS (
           SELECT doc_id, source,
                  string_split_regex(lower(trim(text)), '\s+') AS toks
-          FROM documents
+          FROM documents WHERE text IS NOT NULL
         ), c AS (
           SELECT doc_id, source,
                  cast(i AS INT) AS idx,

@@ -188,6 +188,12 @@ def test_semantic_dedup_crafted_centroids(spark):
         (4, [0.0, 1.0, 0.0, 0.1]),    # cell 1, exact dup of 5
         (5, [0.0, 1.0, 0.0, 0.1]),    # tie on csim -> min-id 4 kept
         (6, [0.05, 1.0, 0.2, 0.0]),   # cell 1, no dup at 0.99
+        # zero vectors: cosine denominator would be 0 -> NaN, and Spark
+        # orders NaN above every number (NaN >= t is TRUE) — the guarded
+        # denominator must keep them OUT of every dup group instead of
+        # merging all zero vectors into one
+        (7, [0.0, 0.0, 0.0, 0.0]),
+        (8, [0.0, 0.0, 0.0, 0.0]),
     ]
     df = spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in rows],
@@ -196,6 +202,8 @@ def test_semantic_dedup_crafted_centroids(spark):
            semantic_dedup(df, threshold=0.99, nlist=2,
                           centroids=cents).collect()}
     assert [out[i]["cell"] for i in range(1, 7)] == [0, 0, 0, 1, 1, 1]
+    for i in (7, 8):
+        assert out[i]["is_kept"] and out[i]["cluster_id"] is None
     # group {1,2}: csim(1)=1/sqrt(1.0025) > csim(2)=1/sqrt(1.0036)
     assert (out[1]["cluster_id"], out[1]["is_kept"]) == (1, False)
     assert (out[2]["cluster_id"], out[2]["is_kept"]) == (1, True)
