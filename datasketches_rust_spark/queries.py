@@ -1116,6 +1116,29 @@ def q_event_value_pivot(spark, sf_dir):
 
 
 
+def q_lineitem_measures_unpivot(spark, sf_dir):
+    """UNPIVOT (melt) operator class — the inverse of event_value_pivot:
+    the four lineitem measure columns melt into (measure, v) long form,
+    then aggregate per (returnflag, measure) — the reshape every metrics
+    pipeline runs before a generic per-measure report. The physical plan
+    is ONE Expand pass (rows x 4, produced in the scan stage, below the
+    aggregate's partial combine) + one grouped aggregate — no self-union
+    of four scans like the naive SQL formulation."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"))
+    m = li.unpivot(["l_returnflag"],
+                   ["quantity", "extendedprice", "discount", "tax"],
+                   "measure", "v")
+    return (m.groupBy("l_returnflag", "measure")
+            .agg(F.sum("v").alias("total"),
+                 F.avg("v").alias("mean"),
+                 F.count("*").alias("n")))
+
+
 def q_sql_api_theta_distinct(spark, sf_dir):
     """The spark.sql() API surface: sketch build + estimate registered as
     SQL functions (agg.register_sql_udfs) and used from a plain SQL
@@ -1400,6 +1423,7 @@ QUERIES = {
     "sales_cube": q_sales_cube,
     "customer_order_set_ops": q_customer_order_set_ops,
     "event_value_pivot": q_event_value_pivot,
+    "lineitem_measures_unpivot": q_lineitem_measures_unpivot,
     "sql_api_theta_distinct": q_sql_api_theta_distinct,
     "events_per_day": q_events_per_day,
     "range_join_shipments": q_range_join_shipments,
@@ -1929,6 +1953,21 @@ ORACLE_SQL = {
                sum(CASE WHEN event_type = 'view' THEN value END)
                  AS view_value
         FROM events GROUP BY user_id""",
+    "lineitem_measures_unpivot": """
+        WITH u AS (
+          SELECT l_returnflag, 'quantity' AS measure, l_quantity AS v
+          FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'extendedprice', l_extendedprice
+          FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'discount', l_discount FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'tax', l_tax FROM lineitem
+        )
+        SELECT l_returnflag, measure, sum(v) AS total, avg(v) AS mean,
+               count(*) AS n
+        FROM u GROUP BY l_returnflag, measure""",
     "sales_rollup": """
         SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
                count(*) AS n

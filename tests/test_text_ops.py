@@ -324,3 +324,53 @@ class TestSourceProfile:
         b = out["b"]
         assert (b["n_docs"], b["n_words"], b["p50_chars"], b["p90_chars"],
                 b["max_chars"], b["n_langs"]) == (1, 3, 77, 77, 77, 1)
+
+    def test_randomized_against_python_reference(self, spark, tmp_path):
+        """30 docs assembled from a small pool of chunk templates (plus
+        short tails) so fingerprint collisions are dense, compared
+        exactly against an independent python reference implementation
+        of the canonical-first-occurrence rule."""
+        import numpy as np
+        from datasketches_rust_spark.queries import (CHUNK_WORDS,
+                                                     q_chunk_dedup_clean)
+        rng = np.random.RandomState(7)
+        pool = [" ".join(f"w{p}_{i}" for i in range(CHUNK_WORDS))
+                for p in range(6)]
+        tails = [" ".join(f"t{p}_{i}" for i in range(5)) for p in range(3)]
+        rows = []
+        for d in range(30):
+            parts = [pool[rng.randint(6)]
+                     for _ in range(1 + rng.randint(4))]
+            if rng.rand() < 0.5:
+                parts.append(tails[rng.randint(3)])
+            rows.append((d, " ".join(parts), "s"))
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+        got = {r["doc_id"]: (r["n_chunks"], r["n_removed"], r["clean_text"])
+               for r in q_chunk_dedup_clean(spark, str(tmp_path)).collect()}
+
+        # reference: global first occurrence by (doc_id, idx)
+        seen = {}
+        for doc_id, text, _ in rows:
+            toks = text.lower().split()
+            for idx in range(1, -(-len(toks) // CHUNK_WORDS) + 1):
+                ch = " ".join(toks[(idx - 1) * CHUNK_WORDS:
+                                   idx * CHUNK_WORDS])
+                key = (doc_id, idx)
+                if ch not in seen or seen[ch] > key:
+                    seen[ch] = key
+        want = {}
+        for doc_id, text, _ in rows:
+            toks = text.lower().split()
+            n_chunks = -(-len(toks) // CHUNK_WORDS)
+            kept, removed = [], 0
+            for idx in range(1, n_chunks + 1):
+                ch = " ".join(toks[(idx - 1) * CHUNK_WORDS:
+                                   idx * CHUNK_WORDS])
+                if seen[ch] == (doc_id, idx):
+                    kept.append(ch)
+                else:
+                    removed += 1
+            want[doc_id] = (n_chunks, removed, " ".join(kept))
+        assert got == want
+        assert sum(r for _, r, _ in want.values()) > 0
