@@ -1278,6 +1278,53 @@ def q_event_sessions(spark, sf_dir):
                  F.count("*").alias("n_events")))
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Runs a REAL Structured Streaming job — gap-based stateful
+    sessionization (streaming/dedup.streaming_sessions,
+    applyInPandasWithState + EventTimeTimeout) over the events table via
+    availableNow into a memory sink — and returns the FINALIZED sessions
+    (watermark delay 0, so a session is closed iff its event-time
+    timeout last_event + gap lies behind the final watermark = max event
+    time). Deterministic end-to-end: timestamps emitted as unix micros,
+    so the result hash-matches a pure-SQL sessionization oracle
+    restricted by the same watermark rule. The second streaming query
+    under the driver's hash gate (next to streaming_exact_dedup)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from datasketches_rust_spark.streaming import streaming_sessions
+    ev_path = f"{sf_dir}/events.parquet"
+    src_dir = tempfile.mkdtemp(prefix="dsrs_ss_src_")
+    ck = tempfile.mkdtemp(prefix="dsrs_ss_ck_")
+    try:
+        os.symlink(os.path.abspath(ev_path),
+                   os.path.join(src_dir, "events.parquet"))
+        schema = spark.read.parquet(ev_path).schema
+        stream = (spark.readStream.schema(schema).parquet(src_dir)
+                  .select("user_id",
+                          F.col("ts").cast("timestamp").alias("ts")))
+        out = streaming_sessions(stream, ["user_id"], "ts",
+                                 gap="30 minutes", watermark="0 seconds")
+        name = "dsrs_ss_" + uuid.uuid4().hex[:8]
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_sessions did not finish within 300s")
+        return (spark.table(name)
+                .select("user_id",
+                        F.unix_micros("session_start").alias("start_us"),
+                        F.unix_micros("session_end").alias("end_us"),
+                        "n_events"))
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
 def q_curation_summary(spark, sf_dir):
     """End-to-end training-data curation funnel in ONE verified query:
     quality gate (char + token floors, JVM expressions) -> near-dup
@@ -1416,6 +1463,7 @@ QUERIES = {
     "cross_source_dup_pairs": q_cross_source_dup_pairs,
     "props_json_stats": q_props_json_stats,
     "streaming_exact_dedup": q_streaming_exact_dedup,
+    "streaming_sessions": q_streaming_sessions,
     "curation_summary": q_curation_summary,
     "event_sessions": q_event_sessions,
     "asof_last_purchase": q_asof_last_purchase,
@@ -2028,6 +2076,30 @@ ORACLE_SQL = {
         SELECT user_id, count(DISTINCT sess_id) AS n_sessions,
                count(*) AS n_events
         FROM sess GROUP BY user_id""",
+    "streaming_sessions": """
+        WITH e AS (
+          SELECT user_id, epoch_us(ts::TIMESTAMP) AS us FROM events
+        ), mx AS (SELECT max(us) AS m FROM e),
+        s AS (
+          SELECT user_id, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        ), g AS (
+          SELECT user_id, us,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s
+        ), sess AS (
+          SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+                 count(*) AS n_events
+          FROM g GROUP BY user_id, sid
+        )
+        -- finalized = the event-time timeout (last + gap) lies strictly
+        -- behind the final watermark (max event time; delay 0)
+        SELECT user_id, start_us, end_us, n_events
+        FROM sess, mx WHERE end_us + 1800000000 < m""",
     "curation_summary": """
         WITH RECURSIVE fdocs AS (
           SELECT doc_id, lower(text) AS t, source

@@ -13,6 +13,7 @@ from datasketches_rust_spark.streaming.dedup import (
     read_merged_sketches,
     sketch_stream,
     stateful_sketch_estimates,
+    streaming_sessions,
     windowed_sketch_estimates,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "read_merged_sketches",
     "sketch_stream",
     "stateful_sketch_estimates",
+    "streaming_sessions",
     "windowed_sketch_estimates",
 ]

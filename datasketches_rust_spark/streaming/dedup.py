@@ -205,6 +205,98 @@ _DUR_US = {"microsecond": 1, "millisecond": 1000, "second": 10**6,
            "day": 86400 * 10**6}
 
 
+def streaming_sessions(stream_df: DataFrame, key_cols: list[str],
+                       ts_col: str, gap: str = "30 minutes",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Gap-based stateful SESSIONIZATION — the streaming counterpart of
+    the batch ``event_sessions`` query: per key, events within ``gap``
+    of the last seen event extend the open session; a session closes
+    when the event-time watermark passes last_event + gap
+    (``EventTimeTimeout``), so closure doesn't wait for the key's next
+    event. Emits one row per FINALIZED session only:
+    key..., session_start, session_end, n_events.
+
+    Built-in windowed aggs can't express data-driven (gap) windows —
+    this is exactly the custom-stateful-operator case. State per key is
+    three longs (open-session start/last/count) — bounded by #active
+    keys, evicted at timeout. Semantics under disorder: events are
+    processed in event-time order WITHIN a micro-batch; a late event
+    arriving while its session is still open joins it (extending start
+    backward if needed, never regressing last); events later than the
+    watermark allowance are dropped by the engine upstream — the
+    inherent streaming-sessionization contract."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (LongType, StructField, StructType,
+                                   TimestampType)
+
+    gap_us = _duration_us(gap)
+    key_fields = [stream_df.schema[k] for k in key_cols]
+    out_schema = StructType(
+        key_fields
+        + [StructField("session_start", TimestampType()),
+           StructField("session_end", TimestampType()),
+           StructField("n_events", LongType())])
+    state_schema = StructType([StructField("start_us", LongType()),
+                               StructField("last_us", LongType()),
+                               StructField("n", LongType())])
+
+    # same tz discipline as windowed_sketch_estimates: naive pandas
+    # timestamps render in the session tz, but int64/timestamp() treat
+    # naive as UTC — localize before computing the timeout epoch
+    session_tz = stream_df.sparkSession.conf.get(
+        "spark.sql.session.timeZone")
+
+    def _epoch_ms(us: int) -> int:
+        ts = pd.Timestamp(us * 1000)  # ns, naive
+        return int(ts.tz_localize(session_tz).timestamp() * 1000)
+
+    def _row(key, start_us, last_us, n) -> dict:
+        row = dict(zip(key_cols, key))
+        row.update(session_start=pd.Timestamp(start_us * 1000),
+                   session_end=pd.Timestamp(last_us * 1000),
+                   n_events=n)
+        return row
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame([_row(key, start_us, last_us, n)])
+            return
+        ts_us = []
+        for pdf in pdfs:
+            ts_us.append(pdf[ts_col].astype("int64") // 1000)
+        ts_us = pd.concat(ts_us).sort_values().to_numpy()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = int(ts_us[0])
+            n = 1
+            ts_us = ts_us[1:]
+        closed = []
+        for t in ts_us:
+            t = int(t)
+            if t > last_us + gap_us:
+                closed.append(_row(key, start_us, last_us, n))
+                start_us = last_us = t
+                n = 1
+            else:
+                n += 1
+                last_us = max(last_us, t)
+                start_us = min(start_us, t)
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(_epoch_ms(last_us + gap_us))
+        if closed:
+            yield pd.DataFrame(closed)
+
+    wdf = stream_df.withWatermark(ts_col, watermark)
+    return (wdf.groupBy(*[F.col(k) for k in key_cols])
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "Update",
+                                    GroupStateTimeout.EventTimeTimeout))
+
+
 def _duration_us(s: str) -> int:
     """'10 seconds' / '1 hour' -> microseconds (Spark interval words)."""
     n, unit = s.strip().split()

@@ -254,3 +254,60 @@ def test_windowed_sketch_estimates_sliding(spark, tmp_path):
     # two ([50,70), [60,80)) must still be open
     finals = {o for o, rs in by_win.items() if any(r["final"] for r in rs)}
     assert finals == {-10, 0, 10, 20}
+
+
+def test_streaming_sessions(spark, tmp_path):
+    """Gap-based stateful sessionization over three micro-batches:
+    within-gap events extend a session across batches, a beyond-gap
+    event closes the old session and opens a new one, and the advancing
+    watermark finalizes idle sessions via event-time timeout."""
+    import datetime
+    from datasketches_rust_spark.streaming import streaming_sessions
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(user, *secs):
+        return [(base + datetime.timedelta(seconds=s), user) for s in secs]
+
+    src = str(tmp_path / "sess_src")
+    schema = "ts timestamp, user string"
+    # gap = 10 s. alice: events 0,4 | 8 (extends: 8-4 <= 10) | 40,41
+    # (40-8 > 10: closes session [0,8]x3, opens [40,41]x2).
+    # bob: 0,1 then silent -> finalized by the watermark advancing past
+    # 1+gap once later batches raise max event time.
+    batches = [
+        ev("alice", 0, 4) + ev("bob", 0, 1),
+        ev("alice", 8),
+        ev("alice", 40, 41) + ev("carol", 100),  # carol drives watermark
+    ]
+    for rows in batches:
+        spark.createDataFrame([(t, u) for t, u in rows], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_sessions(stream, ["user"], "ts",
+                             gap="10 seconds", watermark="5 seconds")
+    sink = str(tmp_path / "sess_out")
+
+    def emit(b, _bid):
+        b.write.mode("append").parquet(sink)
+
+    q = (out.writeStream.outputMode("update").foreachBatch(emit)
+         .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+
+    got = {}
+    for r in spark.read.parquet(sink).collect():
+        s = int((r["session_start"] - base).total_seconds())
+        e = int((r["session_end"] - base).total_seconds())
+        got.setdefault(r["user"], set()).add((s, e, r["n_events"]))
+
+    # alice's first session spans batches 1-2 and closes in batch 3;
+    # her second ([40,41]) ends 41+gap=51 < watermark 95 -> timed out
+    assert got["alice"] == {(0, 8, 3), (40, 41, 2)}
+    # bob went silent; the watermark (95 s after batch 3) passed 1+gap
+    assert got["bob"] == {(0, 1, 2)}
+    # carol's session is still open (100+gap > watermark) -> no row
+    assert "carol" not in got
