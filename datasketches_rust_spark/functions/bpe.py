@@ -87,6 +87,131 @@ def bpe_encode(pretoken: str,
     return seq
 
 
+def _apply_merge(seq: list[str], a: str, b: str) -> list[str]:
+    """Fuse all (a, b) adjacencies left-to-right, non-overlapping."""
+    out, i = [], 0
+    while i < len(seq):
+        if i < len(seq) - 1 and seq[i] == a and seq[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def _learn_local(wc: dict[str, int], num_merges: int,
+                 min_count: int) -> list[tuple[str, str, int]]:
+    """Classic BPE merge learning over a word-frequency dict: per round,
+    count adjacent symbol pairs (OVERLAPPING, weighted by word count),
+    take the most frequent (lexicographic tie-break), fuse it
+    non-overlapping. Reproduces the committed MERGES bit-for-bit when
+    run on the sf0.001 corpus (pinned in tests/test_bpe_learn.py)."""
+    syms = {w: list(w) for w in wc}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for w, cnt in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + cnt
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_count:
+            break
+        merges.append((a, b, c))
+        for w in syms:
+            syms[w] = _apply_merge(syms[w], a, b)
+    return merges
+
+
+def _learn_distributed(words: DataFrame, num_merges: int, min_count: int,
+                       checkpoint_every: int = 8
+                       ) -> list[tuple[str, str, int]]:
+    """The same greedy loop with the word table staying distributed:
+    per round ONE job (JVM pair explode -> weighted count -> global
+    argmax with lexicographic tie-break, collected as a single row —
+    the same bounded driver roundtrip as connected_components'
+    convergence flag), then the winning merge applied to the symbol
+    arrays by an Arrow-batched UDF; the table re-checkpoints every few
+    rounds so lineage doesn't accumulate a merge-per-round chain."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    # single-symbol words can never merge — drop them from the loop
+    # interior boundaries only — (?!^) alone also matches the END
+    # position and Spark's split(limit=-1) keeps the trailing empty
+    cur = (words.select(F.split(F.col("tok"), r"(?!^)(?=.)").alias("s"),
+                        F.col("cnt"))
+           .where(F.size("s") >= 2)
+           .localCheckpoint())
+    merges: list[tuple[str, str, int]] = []
+    for it in range(num_merges):
+        # overlapping adjacent pairs, weighted; words collapsed to one
+        # symbol contribute nothing (explode drops their empty array)
+        pairs = cur.select(
+            F.explode(F.when(
+                F.size("s") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("s") - 1),
+                    lambda i: F.struct(
+                        F.element_at("s", i).alias("a"),
+                        F.element_at("s", i + 1).alias("b")))
+            ).otherwise(F.array())).alias("p"),
+            "cnt")
+        best = (pairs.groupBy(F.col("p.a").alias("a"),
+                              F.col("p.b").alias("b"))
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.desc("c"), "a", "b").limit(1).collect())
+        if not best or best[0]["c"] < min_count:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merges.append((a, b, c))
+
+        def make_fuse(a: str, b: str):
+            @pandas_udf(ArrayType(StringType()))
+            def fuse(col: pd.Series) -> pd.Series:
+                return col.map(lambda s: _apply_merge(list(s), a, b))
+            return fuse
+
+        cur = cur.select(make_fuse(a, b)(F.col("s")).alias("s"), "cnt")
+        if (it + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint()
+    return merges
+
+
+def learn_bpe_merges(docs: DataFrame, num_merges: int = 64,
+                     text_col: str = "text", min_count: int = 2,
+                     collect_threshold: int = 2_000_000
+                     ) -> list[tuple[str, str, int]]:
+    """BPE vocabulary TRAINING (merge learning) — the induction step
+    that produced the committed MERGES, distributed where it matters:
+
+    the corpus-scale work is exactly ONE pretokenize -> word-count
+    aggregate (map-side combine; the corpus text never moves again).
+    BPE learning then needs only that Zipf-bounded word-frequency
+    table: ~10^8 distinct pretokens at crawl scale (~GBs), vs 10^12
+    corpus rows. When the table fits (`collect_threshold`), the greedy
+    merge loop runs driver-local on the collected dict — zero per-round
+    Spark jobs; above it, the loop stays distributed with one job per
+    round (`_learn_distributed`, equivalence-tested against the local
+    path). Returns [(left, right, pair_count)] in merge order —
+    feed [(l, r)] to ``bpe_token_counts(merges=...)`` / ``bpe_encode``.
+    """
+    from datasketches_rust_spark.functions.text import BPE_PRETOKEN_RE
+    words = (docs
+             .select(F.explode(F.regexp_extract_all(
+                 F.col(text_col), F.lit(BPE_PRETOKEN_RE),
+                 F.lit(0))).alias("tok"))
+             .groupBy("tok").agg(F.count("*").alias("cnt")))
+    n_vocab = words.count()
+    if n_vocab <= collect_threshold:
+        wc = {r["tok"]: r["cnt"] for r in words.collect()}
+        return _learn_local(wc, num_merges, min_count)
+    return _learn_distributed(words, num_merges, min_count)
+
+
 def bpe_token_counts(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
                      merges: list[tuple[str, str]] | None = None

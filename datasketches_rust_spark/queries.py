@@ -413,6 +413,24 @@ def q_bpe_tokens_per_doc(spark, sf_dir):
                     .alias("n_bpe_tokens")))
 
 
+def q_bpe_learned_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING on the corpus — the induction that
+    produced the engine's committed mini-vocab, as a driver-visible
+    query: one pretokenize -> word-count aggregate is the only
+    corpus-scale work, then the greedy merge loop runs over the
+    Zipf-bounded word-frequency table (driver-local when it fits,
+    distributed one-job-per-round otherwise; equivalence pinned in
+    tests/test_bpe_learn.py, which also reproduces the committed
+    MERGES bit-for-bit from the sf0.001 corpus). Rows-only: a greedy
+    sequential argmax loop is not SQL-expressible."""
+    from datasketches_rust_spark.functions.bpe import learn_bpe_merges
+    docs = _t(spark, sf_dir, "documents")
+    learned = learn_bpe_merges(docs, num_merges=32)
+    rows = [(i + 1, a, b, c) for i, (a, b, c) in enumerate(learned)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_count long")
+
+
 def q_doc_fingerprint_md5(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
@@ -1433,6 +1451,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,
     "bpe_tokens_per_doc": q_bpe_tokens_per_doc,
+    "bpe_learned_merges": q_bpe_learned_merges,
     "doc_fingerprint_md5": q_doc_fingerprint_md5,
     "repetition_flags": q_repetition_flags,
     "tfidf_top_terms": q_tfidf_top_terms,
