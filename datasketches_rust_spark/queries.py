@@ -1157,6 +1157,24 @@ def q_lineitem_measures_unpivot(spark, sf_dir):
                  F.count("*").alias("n")))
 
 
+def q_customers_without_orders(spark, sf_dir):
+    """ANTI JOIN operator class, first-class: customers with no URGENT
+    order (the classic existence-check report — every customer has SOME
+    order in the fixture, so the priority filter keeps the anti set
+    non-empty: 203 rows at sf0.01, a meaningful gate instead of a
+    vacuous 0-row match). Spark's left_anti is the built-in physical
+    form — one hash exchange per side on the join key, no
+    row-multiplication (output <= left side), the right side reduced to
+    distinct keys during the build, and the priority filter pushed into
+    the orders scan. The oracle is the equivalent NOT EXISTS."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = (_t(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") == "1-URGENT"))
+    return (cust.join(urgent, cust["c_custkey"] == urgent["o_custkey"],
+                      "left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
 def q_sql_api_theta_distinct(spark, sf_dir):
     """The spark.sql() API surface: sketch build + estimate registered as
     SQL functions (agg.register_sql_udfs) and used from a plain SQL
@@ -1491,6 +1509,7 @@ QUERIES = {
     "customer_order_set_ops": q_customer_order_set_ops,
     "event_value_pivot": q_event_value_pivot,
     "lineitem_measures_unpivot": q_lineitem_measures_unpivot,
+    "customers_without_orders": q_customers_without_orders,
     "sql_api_theta_distinct": q_sql_api_theta_distinct,
     "events_per_day": q_events_per_day,
     "range_join_shipments": q_range_join_shipments,
@@ -2035,6 +2054,12 @@ ORACLE_SQL = {
         SELECT l_returnflag, measure, sum(v) AS total, avg(v) AS mean,
                count(*) AS n
         FROM u GROUP BY l_returnflag, measure""",
+    "customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')""",
     "sales_rollup": """
         SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
                count(*) AS n
