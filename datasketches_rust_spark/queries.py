@@ -1157,6 +1157,33 @@ def q_lineitem_measures_unpivot(spark, sf_dir):
                  F.count("*").alias("n")))
 
 
+def q_daily_revenue_moving_avg(spark, sf_dir):
+    """Bounded window FRAME operator class: per-day order revenue with a
+    7-day trailing moving average and a running cumulative total —
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW / UNBOUNDED PRECEDING over
+    the day-aggregated series. Scale shape: the frame runs over the
+    DAY-level aggregate (one partial-agg exchange collapses the orders
+    table to ~#days rows), never over raw orders; a single
+    global-ordered window on thousands of day rows is trivially one
+    task. Day aligned to DATE on both engines. The running total is
+    carried in integer CENTS: a double cumsum over ~2000 days diverges
+    between engines by ~5e-6 (DuckDB evaluates window sums through a
+    segment tree, a different float addition order than Spark's
+    sequential running frame — measured on this exact query), while the
+    per-day sums and the 7-element ma7 frame match bit-for-bit."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (orders
+             .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(F.sum("o_totalprice").alias("revenue")))
+    w = Window.orderBy("day")
+    return daily.select(
+        "day", "revenue",
+        F.avg("revenue").over(w.rowsBetween(-6, 0)).alias("ma7"),
+        F.sum(F.round(F.col("revenue") * 100).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_rev_cents"))
+
+
 def q_customers_without_orders(spark, sf_dir):
     """ANTI JOIN operator class, first-class: customers with no URGENT
     order (the classic existence-check report — every customer has SOME
@@ -1510,6 +1537,7 @@ QUERIES = {
     "event_value_pivot": q_event_value_pivot,
     "lineitem_measures_unpivot": q_lineitem_measures_unpivot,
     "customers_without_orders": q_customers_without_orders,
+    "daily_revenue_moving_avg": q_daily_revenue_moving_avg,
     "sql_api_theta_distinct": q_sql_api_theta_distinct,
     "events_per_day": q_events_per_day,
     "range_join_shipments": q_range_join_shipments,
@@ -2054,6 +2082,20 @@ ORACLE_SQL = {
         SELECT l_returnflag, measure, sum(v) AS total, avg(v) AS mean,
                count(*) AS n
         FROM u GROUP BY l_returnflag, measure""",
+    "daily_revenue_moving_avg": """
+        WITH daily AS (
+          SELECT o_orderdate::DATE AS day,
+                 sum(o_totalprice) AS revenue
+          FROM orders GROUP BY 1
+        )
+        SELECT day, revenue,
+               avg(revenue) OVER (ORDER BY day
+                                  ROWS BETWEEN 6 PRECEDING
+                                       AND CURRENT ROW) AS ma7,
+               cast(sum(cast(round(revenue * 100) AS BIGINT))
+                    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_rev_cents
+        FROM daily""",
     "customers_without_orders": """
         SELECT c_custkey, c_name, c_mktsegment
         FROM customer c
