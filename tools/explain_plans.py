@@ -367,6 +367,31 @@ def main() -> None:
             lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p,
     })
 
+    # 16e. customers_without_orders: anti join with the priority filter
+    #      pushed into the orders scan
+    aj = Q.q_customers_without_orders(spark, SF_DIR)
+    failures += audit("customers_without_orders", aj, {
+        "LeftAnti hash join (no BroadcastNestedLoopJoin)":
+            lambda p: "LeftAnti" in p
+            and "BroadcastNestedLoopJoin" not in p,
+        "priority filter pushed to the orders parquet scan":
+            lambda p: re.search(r"PushedFilters: \[[^\]]*1-URGENT", p),
+    })
+
+    # 16f. daily_revenue_moving_avg: frames run over the day aggregate —
+    #      the orders table collapses in ONE partial-agg exchange first
+    ma = Q.q_daily_revenue_moving_avg(spark, SF_DIR)
+    failures += audit("daily_revenue_moving_avg", ma, {
+        "window input is the day aggregate (HashAggregate below Window)":
+            lambda p: "HashAggregate" in p and "Window" in p,
+        "at most 2 exchanges (day agg + the single-partition window)":
+            lambda p: len(re.findall(
+                r"^\(\d+\) Exchange", p.split("== Initial Plan ==")[0],
+                re.M)) <= 2,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
     # 17. balanced_sample: rates join back via BROADCAST; the corpus
     #     side is scan + map filter — no corpus-wide Exchange
     bs = Q.q_balanced_sample(spark, SF_DIR)
