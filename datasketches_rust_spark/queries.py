@@ -1157,6 +1157,59 @@ def q_lineitem_measures_unpivot(spark, sf_dir):
                  F.count("*").alias("n")))
 
 
+def q_data_quality_report(spark, sf_dir):
+    """Data-quality CONSTRAINT report (the deequ/dbt-test shape) — the
+    validation pass a pipeline runs before trusting an input snapshot:
+    null-key counts, primary-key uniqueness, referential integrity
+    (orders -> customer orphans), and a domain-range check, emitted as
+    one (check, table, n_bad, n_total) row each. Scale shape: every
+    check is a scan + aggregate (null/range checks fold into ONE pass
+    over each table; uniqueness is a count-vs-distinct delta, exact;
+    the FK check is a left anti join on the key) — no row ever leaves
+    an aggregate, so the report costs a few small exchanges regardless
+    of table size."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    o_stats = orders.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long").alias("null_custkey"),
+        (F.count("o_orderkey") - F.countDistinct("o_orderkey"))
+        .alias("dup_pk"))
+    orphans = (orders.join(cust,
+                           orders["o_custkey"] == cust["c_custkey"],
+                           "left_anti")
+               .agg(F.count("*").alias("n_orphans")))
+    li_stats = li.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when((F.col("l_quantity") <= 0)
+                     | (F.col("l_quantity") > 50), 1).otherwise(0))
+        .cast("long").alias("bad_qty"),
+        F.sum(F.when(F.col("l_discount").between(0, 1), 0).otherwise(1))
+        .cast("long").alias("bad_disc"))
+
+    def row(check, table, bad, total):
+        return F.struct(F.lit(check).alias("check"),
+                        F.lit(table).alias("table_name"),
+                        bad.cast("long").alias("n_bad"),
+                        total.cast("long").alias("n_total"))
+
+    o = o_stats.crossJoin(orphans).select(F.explode(F.array(
+        row("null_custkey", "orders", F.col("null_custkey"), F.col("n")),
+        row("pk_unique_orderkey", "orders", F.col("dup_pk"), F.col("n")),
+        row("fk_orders_customer", "orders", F.col("n_orphans"),
+            F.col("n")))).alias("r"))
+    l = li_stats.select(F.explode(F.array(
+        row("quantity_in_(0,50]", "lineitem", F.col("bad_qty"),
+            F.col("n")),
+        row("discount_in_[0,1]", "lineitem", F.col("bad_disc"),
+            F.col("n")))).alias("r"))
+    return o.unionByName(l).select("r.check", "r.table_name", "r.n_bad",
+                                   "r.n_total")
+
+
 def q_daily_revenue_moving_avg(spark, sf_dir):
     """Bounded window FRAME operator class: per-day order revenue with a
     7-day trailing moving average and a running cumulative total —
@@ -1538,6 +1591,7 @@ QUERIES = {
     "lineitem_measures_unpivot": q_lineitem_measures_unpivot,
     "customers_without_orders": q_customers_without_orders,
     "daily_revenue_moving_avg": q_daily_revenue_moving_avg,
+    "data_quality_report": q_data_quality_report,
     "sql_api_theta_distinct": q_sql_api_theta_distinct,
     "events_per_day": q_events_per_day,
     "range_join_shipments": q_range_join_shipments,
@@ -2082,6 +2136,38 @@ ORACLE_SQL = {
         SELECT l_returnflag, measure, sum(v) AS total, avg(v) AS mean,
                count(*) AS n
         FROM u GROUP BY l_returnflag, measure""",
+    "data_quality_report": """
+        WITH o AS (
+          SELECT count(*) AS n,
+                 sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nk,
+                 count(o_orderkey) - count(DISTINCT o_orderkey) AS dup
+          FROM orders),
+        orph AS (
+          SELECT count(*) AS x FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)),
+        l AS (
+          SELECT count(*) AS n,
+                 sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50
+                          THEN 1 ELSE 0 END) AS bq,
+                 sum(CASE WHEN l_discount BETWEEN 0 AND 1
+                          THEN 0 ELSE 1 END) AS bd
+          FROM lineitem)
+        SELECT 'null_custkey' AS check, 'orders' AS table_name,
+               cast(nk AS BIGINT) AS n_bad, cast(n AS BIGINT) AS n_total
+        FROM o
+        UNION ALL
+        SELECT 'pk_unique_orderkey', 'orders', cast(dup AS BIGINT),
+               cast(n AS BIGINT) FROM o
+        UNION ALL
+        SELECT 'fk_orders_customer', 'orders', cast(x AS BIGINT),
+               cast(n AS BIGINT) FROM orph, o
+        UNION ALL
+        SELECT 'quantity_in_(0,50]', 'lineitem', cast(bq AS BIGINT),
+               cast(n AS BIGINT) FROM l
+        UNION ALL
+        SELECT 'discount_in_[0,1]', 'lineitem', cast(bd AS BIGINT),
+               cast(n AS BIGINT) FROM l""",
     "daily_revenue_moving_avg": """
         WITH daily AS (
           SELECT o_orderdate::DATE AS day,
