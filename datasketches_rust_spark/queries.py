@@ -1078,6 +1078,48 @@ def q_unigram_logprob_scores(spark, sf_dir):
                  .alias("avg_logprob")))
 
 
+BIGRAM_K = 0.5  # add-k smoothing constant; mirrored in the oracle
+
+
+def q_bigram_logprob_scores(spark, sf_dir):
+    """Model-based quality scoring, conditional upgrade of the unigram
+    filter: every doc scored by its mean bigram log-probability
+    ln((c(p,w)+k) / (c(p)+k*V)) under add-k smoothing — the 2-gram
+    KenLM-style perplexity cut. All JVM: bigrams come from a
+    higher-order transform over the split array (no positional
+    self-join), stats are two aggregates folded into one (p,w)-keyed
+    table, and the scoring join is AGGREGATE-to-AGGREGATE — per-doc
+    bigram counts (each (p,w) at most once per doc) against the stats
+    table — so raw Zipf-skewed bigrams never reach a join, the same
+    discipline as tfidf_top_terms. Self-scoring means every doc bigram
+    exists in the stats table (no unseen-mass handling needed)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bg = (docs.select(
+        "doc_id",
+        F.explode(F.when(F.size(t) >= 2, F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(F.element_at(t, i).alias("p"),
+                               F.element_at(t, i + 1).alias("w")))
+        ).otherwise(F.array())).alias("b"))
+        .select("doc_id", "b.p", "b.w"))
+    cbg = bg.groupBy("p", "w").agg(F.count("*").alias("cbg"))
+    cp = cbg.groupBy("p").agg(F.sum("cbg").alias("cp"))
+    v = (docs.select(F.explode(t).alias("u"))
+         .agg(F.countDistinct("u").alias("v")))
+    stats = (cbg.join(cp, "p").crossJoin(F.broadcast(v))
+             .select("p", "w",
+                     F.log((F.col("cbg") + F.lit(BIGRAM_K))
+                           / (F.col("cp") + F.lit(BIGRAM_K) * F.col("v")))
+                     .alias("logp")))
+    per_doc = bg.groupBy("doc_id", "p", "w").agg(F.count("*").alias("n"))
+    return (per_doc.join(stats, ["p", "w"])
+            .groupBy("doc_id")
+            .agg(F.sum("n").cast("long").alias("n_bigrams"),
+                 (F.sum(F.col("n") * F.col("logp")) / F.sum("n"))
+                 .alias("avg_logprob")))
+
+
 def q_cross_source_dup_pairs(spark, sf_dir):
     """Dataset-lineage analysis: verified near-dup pairs counted per
     unordered source pair — 'which ingestion sources duplicate each
@@ -1577,6 +1619,7 @@ QUERIES = {
     "contamination_check": q_contamination_check,
     "contamination_check_bloom": q_contamination_check_bloom,
     "unigram_logprob_scores": q_unigram_logprob_scores,
+    "bigram_logprob_scores": q_bigram_logprob_scores,
     "cross_source_dup_pairs": q_cross_source_dup_pairs,
     "props_json_stats": q_props_json_stats,
     "streaming_exact_dedup": q_streaming_exact_dedup,
@@ -2099,6 +2142,25 @@ ORACLE_SQL = {
                avg(ln(c * 1.0 / t)) AS avg_logprob
         FROM toks JOIN vocab USING (w) CROSS JOIN total
         GROUP BY doc_id""",
+    "bigram_logprob_scores": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        bg AS (
+          SELECT doc_id, tk[i] AS p, tk[i + 1] AS w
+          FROM d, unnest(range(1, len(tk))) AS t(i)),
+        cbg AS (SELECT p, w, count(*) AS cbg FROM bg GROUP BY 1, 2),
+        cp AS (SELECT p, sum(cbg) AS cp FROM cbg GROUP BY 1),
+        v AS (SELECT count(DISTINCT u) AS v
+              FROM (SELECT unnest(tk) AS u FROM d)),
+        stats AS (
+          SELECT p, w, ln((cbg + 0.5) / (cp + 0.5 * v)) AS logp
+          FROM cbg JOIN cp USING (p) CROSS JOIN v),
+        pd AS (SELECT doc_id, p, w, count(*) AS n FROM bg GROUP BY 1, 2, 3)
+        SELECT doc_id, cast(sum(n) AS BIGINT) AS n_bigrams,
+               sum(n * logp) / sum(n) AS avg_logprob
+        FROM pd JOIN stats USING (p, w) GROUP BY doc_id""",
     "cross_source_dup_pairs": _SHINGLE_PAIRS_CTE + """
         SELECT least(da.source, db.source) AS source_a,
                greatest(da.source, db.source) AS source_b,
