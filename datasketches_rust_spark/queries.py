@@ -1483,6 +1483,53 @@ def q_streaming_sessions(spark, sf_dir):
         shutil.rmtree(ck, ignore_errors=True)
 
 
+def q_streaming_windowed_topk(spark, sf_dir):
+    """REAL streaming windowed TOP-K (trending items): daily event-time
+    windows over the events stream, one frequent-items sketch of state
+    per window, run availableNow into a memory sink. Deterministic
+    end-to-end because the source is one file -> ONE data micro-batch
+    (every window's running top-3 reflects its full day) plus the
+    engine's cleanup batch firing the event-time timeouts (final rows
+    for every window behind the final watermark = max event time,
+    delay 0). Exact, not approximate: 5 distinct event types is far
+    below the sketch's 0.75*max_map_size purge load. Hash-matches a
+    pure-SQL daily-top-3 oracle that mirrors the finalization rule."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from datasketches_rust_spark.streaming import windowed_topk
+    ev_path = f"{sf_dir}/events.parquet"
+    src_dir = tempfile.mkdtemp(prefix="dsrs_wtk_src_")
+    ck = tempfile.mkdtemp(prefix="dsrs_wtk_ck_")
+    try:
+        os.symlink(os.path.abspath(ev_path),
+                   os.path.join(src_dir, "events.parquet"))
+        schema = spark.read.parquet(ev_path).schema
+        stream = (spark.readStream.schema(schema).parquet(src_dir)
+                  .select(F.col("ts").cast("timestamp").alias("ts"),
+                          "event_type"))
+        out = windowed_topk(stream, [], "ts", "event_type",
+                            window_duration="1 day",
+                            watermark="0 seconds", k=3)
+        name = "dsrs_wtk_" + uuid.uuid4().hex[:8]
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_windowed_topk did not finish within 300s")
+        return (spark.table(name)
+                .select(F.unix_micros("window_start").alias("ws_us"),
+                        F.unix_micros("window_end").alias("we_us"),
+                        "rank", "item", "est", "final"))
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
 def q_curation_summary(spark, sf_dir):
     """End-to-end training-data curation funnel in ONE verified query:
     quality gate (char + token floors, JVM expressions) -> near-dup
@@ -1624,6 +1671,7 @@ QUERIES = {
     "props_json_stats": q_props_json_stats,
     "streaming_exact_dedup": q_streaming_exact_dedup,
     "streaming_sessions": q_streaming_sessions,
+    "streaming_windowed_topk": q_streaming_windowed_topk,
     "curation_summary": q_curation_summary,
     "event_sessions": q_event_sessions,
     "asof_last_purchase": q_asof_last_purchase,
@@ -2310,6 +2358,30 @@ ORACLE_SQL = {
         SELECT user_id, count(DISTINCT sess_id) AS n_sessions,
                count(*) AS n_events
         FROM sess GROUP BY user_id""",
+    "streaming_windowed_topk": """
+        WITH e AS (
+          SELECT epoch_us(ts::TIMESTAMP) AS us, event_type FROM events
+        ), mx AS (SELECT max(us) AS m FROM e),
+        c AS (
+          SELECT (us - us % 86400000000) AS ws, event_type AS item,
+                 count(*) AS est
+          FROM e GROUP BY 1, 2
+        ), t AS (
+          SELECT ws, item, est,
+                 cast(row_number() OVER (PARTITION BY ws
+                                         ORDER BY est DESC, item)
+                      AS INT) AS rank
+          FROM c QUALIFY rank <= 3
+        )
+        -- one data micro-batch: every window emits its running top-3
+        SELECT ws AS ws_us, ws + 86400000000 AS we_us, rank, item, est,
+               false AS final
+        FROM t
+        UNION ALL
+        -- cleanup batch: event-time timeouts fire for every window
+        -- whose end lies strictly behind the final watermark (delay 0)
+        SELECT ws, ws + 86400000000, rank, item, est, true
+        FROM t, mx WHERE ws + 86400000000 < m""",
     "streaming_sessions": """
         WITH e AS (
           SELECT user_id, epoch_us(ts::TIMESTAMP) AS us FROM events

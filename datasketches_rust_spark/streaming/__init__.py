@@ -15,6 +15,7 @@ from datasketches_rust_spark.streaming.dedup import (
     stateful_sketch_estimates,
     streaming_sessions,
     windowed_sketch_estimates,
+    windowed_topk,
 )
 
 __all__ = [
@@ -25,4 +26,5 @@ __all__ = [
     "stateful_sketch_estimates",
     "streaming_sessions",
     "windowed_sketch_estimates",
+    "windowed_topk",
 ]

@@ -400,15 +400,28 @@ def windowed_sketch_estimates(stream_df: DataFrame, key_cols: list[str],
                    rows_seen=rows_seen, final=False)
         yield pd.DataFrame([row])
 
-    # applyInPandasWithState groups on resolved columns, not the window()
-    # grouping expression — materialize the window struct as a projection
-    # column first. Tumbling (slide=None) is the 1-row-1-window case and
-    # projects directly; sliding fans each row into its ceil(W/S) covering
-    # windows with an integer-exact epoch-aligned explode (each row then
-    # updates that many window states — the inherent sliding-window cost).
-    # Either way, project the window BEFORE tagging the watermark: a
-    # column derived from an already-watermarked timestamp inherits the
-    # event-time tag and Spark rejects streams with two event-time columns.
+    return _windowed_state_apply(stream_df, key_cols, ts_col, fn,
+                                 out_schema, state_schema,
+                                 window_duration, watermark, slide)
+
+
+def _windowed_state_apply(stream_df, key_cols, ts_col, fn, out_schema,
+                          state_schema, window_duration, watermark,
+                          slide):
+    """Shared (window, key)-grouped applyInPandasWithState plumbing for
+    the windowed operators (sketch estimates, top-k).
+
+    applyInPandasWithState groups on resolved columns, not the window()
+    grouping expression — materialize the window struct as a projection
+    column first. Tumbling (slide=None) is the 1-row-1-window case and
+    projects directly; sliding fans each row into its ceil(W/S) covering
+    windows with an integer-exact epoch-aligned explode (each row then
+    updates that many window states — the inherent sliding-window cost).
+    Either way, project the window BEFORE tagging the watermark: a
+    column derived from an already-watermarked timestamp inherits the
+    event-time tag and Spark rejects streams with two event-time
+    columns."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
     if slide is None:
         windowed = stream_df.withColumn(
             "__win", F.window(F.col(ts_col), window_duration))
@@ -434,3 +447,86 @@ def windowed_sketch_estimates(stream_df: DataFrame, key_cols: list[str],
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "Update",
                                     GroupStateTimeout.EventTimeTimeout))
+
+
+def windowed_topk(stream_df: DataFrame, key_cols: list[str],
+                  ts_col: str, item_col: str,
+                  window_duration: str = "1 hour",
+                  watermark: str = "10 minutes", k: int = 5,
+                  max_map_size: int = 256,
+                  slide: str | None = None) -> DataFrame:
+    """Event-time windowed TOP-K items — the trending-items analytics
+    shape: one Misra-Gries frequent-items sketch of engine-managed
+    state per (window, key); every micro-batch emits the running top-k
+    (``final=false``, rank 1..k), and when the watermark passes the
+    window end the closing top-k is emitted (``final=true``) and the
+    state evicted. EXACT (not approximate) whenever a window holds
+    fewer than 0.75*max_map_size distinct items — the sketch only
+    purges above that load. State per open window is one bounded
+    sketch blob regardless of stream volume. Ties on estimate order by
+    item string, so output ranks are deterministic.
+    Output: window_start, window_end, key..., rank, item, est, final.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (BooleanType, IntegerType, LongType,
+                                   StringType, StructField, StructType,
+                                   TimestampType)
+    from datasketches_rust_spark import agg
+
+    kd = agg.sketch_kind("freqitems", max_map_size=max_map_size)
+    key_fields = [stream_df.schema[c] for c in key_cols]
+    out_schema = StructType(
+        [StructField("window_start", TimestampType()),
+         StructField("window_end", TimestampType())]
+        + key_fields
+        + [StructField("rank", IntegerType()),
+           StructField("item", StringType()),
+           StructField("est", LongType()),
+           StructField("final", BooleanType())])
+    from pyspark.sql.types import BinaryType
+    state_schema = StructType([StructField("sketch", BinaryType())])
+
+    session_tz = stream_df.sparkSession.conf.get(
+        "spark.sql.session.timeZone")
+
+    def _epoch_ms(ts) -> int:
+        if ts.tzinfo is None:
+            ts = ts.tz_localize(session_tz)
+        return int(ts.timestamp() * 1000)
+
+    def fn(key, pdfs, state):
+        win = key[0]
+        start, end = win["start"], win["end"]
+
+        def rows(sk, final):
+            base = dict(zip(key_cols, key[1:]))
+            recs = [{**base, "window_start": start, "window_end": end,
+                     "rank": i + 1, "item": str(it), "est": int(est),
+                     "final": final}
+                    for i, (it, est, _lb, _ub)
+                    in enumerate(sk.frequent_items()[:k])]
+            return pd.DataFrame(recs) if recs else None
+
+        if state.hasTimedOut:
+            (blob,) = state.get
+            sk = kd.deserialize(bytes(blob))
+            state.remove()
+            out = rows(sk, True)
+            if out is not None:
+                yield out
+            return
+        if state.exists:
+            sk = kd.deserialize(bytes(state.get[0]))
+        else:
+            sk = kd.build()
+        for pdf in pdfs:
+            kd.update(sk, pdf[item_col])
+        state.update((bytearray(sk.serialize()),))
+        state.setTimeoutTimestamp(_epoch_ms(end))
+        out = rows(sk, False)
+        if out is not None:
+            yield out
+
+    return _windowed_state_apply(stream_df, key_cols, ts_col, fn,
+                                 out_schema, state_schema,
+                                 window_duration, watermark, slide)

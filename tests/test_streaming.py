@@ -311,3 +311,59 @@ def test_streaming_sessions(spark, tmp_path):
     assert got["bob"] == {(0, 1, 2)}
     # carol's session is still open (100+gap > watermark) -> no row
     assert "carol" not in got
+
+
+def test_windowed_topk(spark, tmp_path):
+    """Windowed trending items: known per-window frequencies over three
+    micro-batches; the watermark finalizes the first window with its
+    EXACT top-3 (distinct items far below the sketch's purge load), the
+    newest window stays open (running rows only)."""
+    import datetime
+    from datasketches_rust_spark.streaming import windowed_topk
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def batch(sec, items):
+        return [(base + datetime.timedelta(seconds=sec + i % 10), it)
+                for i, it in enumerate(items)]
+
+    src = str(tmp_path / "topk_src")
+    schema = "ts timestamp, item string"
+    # window [0,10): a x5, b x3, c x1; window [60,70): z x2
+    batches = [
+        batch(0, ["a", "a", "b", "c", "a"]),
+        batch(0, ["a", "b", "b", "a"]),
+        batch(60, ["z", "z"]),
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = windowed_topk(stream, [], "ts", "item",
+                        window_duration="10 seconds",
+                        watermark="5 seconds", k=3, max_map_size=64)
+    sink = str(tmp_path / "topk_out")
+
+    def emit(b, _bid):
+        b.write.mode("append").parquet(sink)
+
+    q = (out.writeStream.outputMode("update").foreachBatch(emit)
+         .option("checkpointLocation", str(tmp_path / "topk_ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+
+    got = spark.read.parquet(sink).collect()
+    finals = sorted(
+        ((r["rank"], r["item"], r["est"]) for r in got
+         if r["final"] and int((r["window_start"] - base)
+                               .total_seconds()) == 0))
+    # batch 3 (max ts 69) advances the watermark past window[0,10).end
+    # -> finalized with exact counts a=5, b=3, c=1
+    assert finals == [(1, "a", 5), (2, "b", 3), (3, "c", 1)]
+    # the 60s window never closes: running rows only
+    assert not [r for r in got if r["final"]
+                and int((r["window_start"] - base).total_seconds()) == 60]
+    running_z = [r for r in got if not r["final"] and r["item"] == "z"]
+    assert running_z and max(r["est"] for r in running_z) == 2
