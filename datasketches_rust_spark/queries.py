@@ -1530,6 +1530,49 @@ def q_streaming_windowed_topk(spark, sf_dir):
         shutil.rmtree(ck, ignore_errors=True)
 
 
+def q_streaming_windowed_quantiles(spark, sf_dir):
+    """REAL streaming windowed QUANTILES (p50/p95 event value per day)
+    — the observability-metric shape with mergeable bounded t-digest
+    state instead of per-trigger percentile_approx recomputation.
+    Rows-only: t-digest mid-range quantiles are approximate, so
+    cross-engine floats can't hash; accuracy is pytest-gated vs numpy
+    on known distributions (tests/test_streaming.py)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from datasketches_rust_spark.streaming import windowed_quantiles
+    ev_path = f"{sf_dir}/events.parquet"
+    src_dir = tempfile.mkdtemp(prefix="dsrs_wq_src_")
+    ck = tempfile.mkdtemp(prefix="dsrs_wq_ck_")
+    try:
+        os.symlink(os.path.abspath(ev_path),
+                   os.path.join(src_dir, "events.parquet"))
+        schema = spark.read.parquet(ev_path).schema
+        stream = (spark.readStream.schema(schema).parquet(src_dir)
+                  .select(F.col("ts").cast("timestamp").alias("ts"),
+                          "value"))
+        out = windowed_quantiles(stream, [], "ts", "value",
+                                 window_duration="1 day",
+                                 watermark="0 seconds",
+                                 quantiles=(0.5, 0.95))
+        name = "dsrs_wq_" + uuid.uuid4().hex[:8]
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_windowed_quantiles did not finish within 300s")
+        return (spark.table(name)
+                .select(F.unix_micros("window_start").alias("ws_us"),
+                        "n", "p50", "p95", "final"))
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
 def q_curation_summary(spark, sf_dir):
     """End-to-end training-data curation funnel in ONE verified query:
     quality gate (char + token floors, JVM expressions) -> near-dup
@@ -1672,6 +1715,7 @@ QUERIES = {
     "streaming_exact_dedup": q_streaming_exact_dedup,
     "streaming_sessions": q_streaming_sessions,
     "streaming_windowed_topk": q_streaming_windowed_topk,
+    "streaming_windowed_quantiles": q_streaming_windowed_quantiles,
     "curation_summary": q_curation_summary,
     "event_sessions": q_event_sessions,
     "asof_last_purchase": q_asof_last_purchase,

@@ -14,6 +14,7 @@ from datasketches_rust_spark.streaming.dedup import (
     sketch_stream,
     stateful_sketch_estimates,
     streaming_sessions,
+    windowed_quantiles,
     windowed_sketch_estimates,
     windowed_topk,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "sketch_stream",
     "stateful_sketch_estimates",
     "streaming_sessions",
+    "windowed_quantiles",
     "windowed_sketch_estimates",
     "windowed_topk",
 ]

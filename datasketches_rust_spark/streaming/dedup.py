@@ -297,6 +297,83 @@ def streaming_sessions(stream_df: DataFrame, key_cols: list[str],
                                     GroupStateTimeout.EventTimeTimeout))
 
 
+def windowed_quantiles(stream_df: DataFrame, key_cols: list[str],
+                       ts_col: str, value_col: str,
+                       window_duration: str = "1 hour",
+                       watermark: str = "10 minutes",
+                       quantiles: tuple = (0.5, 0.95, 0.99),
+                       k: int = 200,
+                       slide: str | None = None) -> DataFrame:
+    """Event-time windowed QUANTILES — the observability metric shape
+    (p50/p95/p99 per window): one t-digest of engine-managed state per
+    (window, key), updated each micro-batch with running rows
+    (``final=false``), watermark-finalized at EventTimeTimeout. The
+    built-in windowed agg offers only percentile_approx recomputed per
+    trigger; the t-digest state is MERGEABLE, bounded (~k centroids
+    regardless of window volume), and the same blob the batch engine
+    checkpoints. Output: window_start, window_end, key..., n, one
+    column per requested quantile (p50, p95, ...), final."""
+    import pandas as pd
+    from pyspark.sql.types import (BooleanType, DoubleType, LongType,
+                                   StructField, StructType,
+                                   TimestampType, BinaryType)
+    from datasketches_rust_spark import agg
+
+    kd = agg.sketch_kind("tdigest", k=k)
+    qnames = [f"p{q * 100:g}".replace(".", "_") for q in quantiles]
+    key_fields = [stream_df.schema[c] for c in key_cols]
+    out_schema = StructType(
+        [StructField("window_start", TimestampType()),
+         StructField("window_end", TimestampType())]
+        + key_fields
+        + [StructField("n", LongType())]
+        + [StructField(qn, DoubleType()) for qn in qnames]
+        + [StructField("final", BooleanType())])
+    state_schema = StructType([StructField("sketch", BinaryType()),
+                               StructField("n", LongType())])
+
+    session_tz = stream_df.sparkSession.conf.get(
+        "spark.sql.session.timeZone")
+
+    def _epoch_ms(ts) -> int:
+        if ts.tzinfo is None:
+            ts = ts.tz_localize(session_tz)
+        return int(ts.timestamp() * 1000)
+
+    def fn(key, pdfs, state):
+        win = key[0]
+        start, end = win["start"], win["end"]
+
+        def row(sk, n, final):
+            r = dict(zip(key_cols, key[1:]))
+            r.update(window_start=start, window_end=end, n=n, final=final)
+            for q, qn in zip(quantiles, qnames):
+                r[qn] = float(sk.quantile(q))
+            return pd.DataFrame([r])
+
+        if state.hasTimedOut:
+            blob, n = state.get
+            sk = kd.deserialize(bytes(blob))
+            state.remove()
+            yield row(sk, n, True)
+            return
+        if state.exists:
+            blob, n = state.get
+            sk = kd.deserialize(bytes(blob))
+        else:
+            sk, n = kd.build(), 0
+        for pdf in pdfs:
+            kd.update(sk, pdf[value_col])
+            n += len(pdf)
+        state.update((bytearray(sk.serialize()), n))
+        state.setTimeoutTimestamp(_epoch_ms(end))
+        yield row(sk, n, False)
+
+    return _windowed_state_apply(stream_df, key_cols, ts_col, fn,
+                                 out_schema, state_schema,
+                                 window_duration, watermark, slide)
+
+
 def _duration_us(s: str) -> int:
     """'10 seconds' / '1 hour' -> microseconds (Spark interval words)."""
     n, unit = s.strip().split()

@@ -367,3 +367,58 @@ def test_windowed_topk(spark, tmp_path):
                 and int((r["window_start"] - base).total_seconds()) == 60]
     running_z = [r for r in got if not r["final"] and r["item"] == "z"]
     assert running_z and max(r["est"] for r in running_z) == 2
+
+
+def test_windowed_quantiles(spark, tmp_path):
+    """Windowed p50/p95 over three micro-batches: the finalized first
+    window's quantiles come from its FULL cross-batch value set (state
+    merges across batches), within t-digest tolerance of numpy; the
+    newest window stays open."""
+    import datetime
+    import numpy as np
+    from datasketches_rust_spark.streaming import windowed_quantiles
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def batch(sec, vals):
+        return [(base + datetime.timedelta(seconds=sec + i % 10),
+                 float(v)) for i, v in enumerate(vals)]
+
+    rng = np.random.RandomState(3)
+    w0a = rng.exponential(10, 120)          # window [0,10), batch 1
+    w0b = rng.exponential(10, 80)           # window [0,10), batch 2
+    w6 = rng.exponential(10, 40)            # window [60,70), batch 3
+    src = str(tmp_path / "wq_src")
+    schema = "ts timestamp, v double"
+    for rows in (batch(0, w0a), batch(0, w0b), batch(60, w6)):
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = windowed_quantiles(stream, [], "ts", "v",
+                             window_duration="10 seconds",
+                             watermark="5 seconds",
+                             quantiles=(0.5, 0.95))
+    sink = str(tmp_path / "wq_out")
+
+    def emit(b, _bid):
+        b.write.mode("append").parquet(sink)
+
+    q = (out.writeStream.outputMode("update").foreachBatch(emit)
+         .option("checkpointLocation", str(tmp_path / "wq_ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+
+    got = spark.read.parquet(sink).collect()
+    fin = [r for r in got if r["final"]
+           and int((r["window_start"] - base).total_seconds()) == 0]
+    assert len(fin) == 1 and fin[0]["n"] == 200
+    full = np.concatenate([w0a, w0b])
+    for qv, col in ((0.5, "p50"), (0.95, "p95")):
+        truth = float(np.quantile(full, qv))
+        assert abs(fin[0][col] - truth) / truth < 0.08, (col, truth)
+    # the 60s window never closes; its running row covers all 40 values
+    open_rows = [r for r in got if not r["final"]
+                 and int((r["window_start"] - base).total_seconds()) == 60]
+    assert open_rows and max(r["n"] for r in open_rows) == 40
