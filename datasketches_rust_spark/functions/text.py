@@ -322,3 +322,37 @@ def winnow_fingerprints_udf(cfg: DedupConfig, window: int = 8):
         return pd.Series(out)
 
     return _udf
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (pure JVM regex — no Python in the hot path)
+# ---------------------------------------------------------------------------
+# Patterns restricted to the Java-regex / RE2 common subset (character
+# classes, bounded repetition, ASCII \b; no lookaround, no backreferences)
+# so the Spark query and a DuckDB oracle interpret them identically.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_columns(t):
+    """PII scan over a text Column: match counts per category plus the
+    redacted rewrite (emails -> <EMAIL>, phones -> <PHONE>, IPv4 ->
+    <IP>). All whole-stage-codegen JVM expressions (regexp_count /
+    regexp_replace) — the shape that survives 100 TB: a pure map, no
+    explode, no Python. Patterns don't overlap (phones have no dots,
+    IPs no hyphens, the email local part can't swallow either), so the
+    three replacements compose order-independently; we fix the order
+    email -> phone -> ip anyway for determinism.
+    """
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE, "<PHONE>"),
+        PII_IP_RE, "<IP>")
+    return {
+        "n_emails": F.regexp_count(t, F.lit(PII_EMAIL_RE)),
+        "n_phones": F.regexp_count(t, F.lit(PII_PHONE_RE)),
+        "n_ips": F.regexp_count(t, F.lit(PII_IP_RE)),
+        "clean": clean,
+    }

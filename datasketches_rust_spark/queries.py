@@ -30,6 +30,11 @@ from datasketches_rust_spark.pipeline import (cluster_assignments,
 CFG = DedupConfig()
 STOPWORDS_SQL = "['the','a','an','of','to','and','in','is','on','for']"
 
+# PII patterns shared by the Spark query and the DuckDB oracle — see
+# functions.text for the Java-regex/RE2 common-subset constraint.
+from datasketches_rust_spark.functions.text import (  # noqa: E402
+    PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE, pii_columns)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -1652,6 +1657,109 @@ def q_streaming_exact_dedup(spark, sf_dir):
         shutil.rmtree(ck, ignore_errors=True)
 
 
+def q_orders_with_returns_semi(spark, sf_dir):
+    """SEMI JOIN operator class, first-class (TPC-H Q4 shape): orders per
+    priority that have AT LEAST ONE returned lineitem — the exact-row
+    counterpart of the sketch-approximate ``bloom_semijoin_parts``.
+    Spark's left_semi is the built-in physical form: the probe side
+    (orders) emits each row at most once regardless of how many
+    lineitems match, the build side carries ONLY the join key (the
+    returnflag filter is pushed into the lineitem scan and every other
+    lineitem column is pruned before the exchange), and no
+    row-multiplication ever happens — where a naive join+distinct would
+    first materialize orders x matching-lineitems. One hash exchange
+    per side on the bigint orderkey; the oracle is the equivalent
+    EXISTS."""
+    orders = _t(spark, sf_dir, "orders")
+    returned = (_t(spark, sf_dir, "lineitem")
+                .where(F.col("l_returnflag") == "R")
+                .select("l_orderkey"))
+    return (orders
+            .join(returned, orders["o_orderkey"] == returned["l_orderkey"],
+                  "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders")))
+
+
+def q_theta_monthly_rollup(spark, sf_dir):
+    """Sketch RE-AGGREGATION — the warehouse rollup pattern that is the
+    reference sketches' signature property (theta unions are associative
+    and lossless-in-exact-mode, theta/sketch.rs union semantics): build
+    one theta partial PER DAY (the granularity a warehouse would
+    persist as a blob column), then answer the month-level distinct
+    question by MERGING the ~30 daily blobs per month — never
+    re-touching the raw fact table. At 100 TB this is the whole point:
+    the fact scan happens once at ingest, and any coarser rollup
+    (month, quarter, arbitrary date range) is a merge over a few
+    kilobyte-sized blobs instead of a full rescan + re-distinct. Scale
+    shape: the per-day partial agg is map-side-combined mapInPandas,
+    the month merge groups ~#days blob rows, and n_days comes from the
+    SAME daily partial table (one tiny join of two day-level
+    aggregates). lg_k=16 keeps every sketch in exact mode at fixture
+    NDV, so the estimates hash-match the exact COUNT(DISTINCT) oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = agg.sketch_agg(
+        orders.withColumn("day", F.col("o_orderdate").cast("date")),
+        ["day"], "o_custkey", "theta", lg_k=16)
+    daily = daily.withColumn("month", F.date_format("day", "yyyy-MM"))
+    monthly = agg.merge_sketch_col(daily, ["month"], "theta", lg_k=16)
+    n_days = daily.groupBy("month").agg(F.count("*").alias("n_days"))
+    est = agg.estimate_udf("theta", as_long=True, lg_k=16)
+    return (monthly.join(n_days, "month")
+            .select("month", "n_days",
+                    est("sketch").alias("distinct_custs")))
+
+
+def q_pii_redaction_stats(spark, sf_dir):
+    """PII detection + redaction — the privacy pass every training-data
+    pipeline runs before release: regex-match emails, US-style phone
+    numbers, and IPv4 addresses, rewrite them to typed placeholders, and
+    report per-source detection/rewrite stats. The fixture corpus is
+    synthetic-clean (zero matches — a vacuous gate), so the query first
+    APPENDS a deterministic contact footer derived from doc_id (email on
+    doc_id%3=0, phone on %5=0, IP on %7=0 — overlapping, so per-doc
+    match counts vary 0..3); the oracle mirrors the construction exactly
+    and the hash gate then genuinely checks cross-engine regex parity of
+    both the match COUNTS and the redacted-character totals. Patterns
+    are restricted to the Java-regex/RE2 common subset (module constants
+    above). Scale shape: detection and redaction are a pure JVM map
+    (regexp_count/regexp_replace inside whole-stage codegen — no Python,
+    no explode), and the only exchange is the final few-rows per-source
+    aggregate under map-side combine."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    footer = [
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" call 555-"),
+                        F.lpad((did % 1000).cast("string"), 3, "0"),
+                        F.lit("-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0"))
+               ).otherwise(F.lit("")),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" from 10."), (did % 256).cast("string"),
+                        F.lit("."),
+                        F.expr("(doc_id div 256) % 256").cast("string"),
+                        F.lit(".1"))).otherwise(F.lit("")),
+    ]
+    t = F.concat(F.col("text"), *footer)
+    pii = pii_columns(t)
+    per_doc = docs.select(
+        "source", pii["n_emails"].alias("ne"), pii["n_phones"].alias("np"),
+        pii["n_ips"].alias("ni"),
+        (F.length(t) - F.length(pii["clean"])).alias("removed"))
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ne").alias("n_emails"),
+        F.sum("np").alias("n_phones"),
+        F.sum("ni").alias("n_ips"),
+        F.sum(F.when(F.col("ne") + F.col("np") + F.col("ni") > 0, 1)
+              .otherwise(0)).cast("long").alias("n_docs_with_pii"),
+        F.sum("removed").alias("redacted_chars"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1664,6 +1772,7 @@ QUERIES = {
     "theta_intersect_custkeys": q_theta_intersect_custkeys,
     "theta_anotb_custkeys": q_theta_anotb_custkeys,
     "theta_jaccard_event_types": q_theta_jaccard_event_types,
+    "theta_monthly_rollup": q_theta_monthly_rollup,
     "hll_distinct_orders": q_hll_distinct_orders,
     "cpc_distinct_orders": q_cpc_distinct_orders,
     "freq_top_event_types": q_freq_top_event_types,
@@ -1684,6 +1793,7 @@ QUERIES = {
     "bpe_learned_merges": q_bpe_learned_merges,
     "doc_fingerprint_md5": q_doc_fingerprint_md5,
     "repetition_flags": q_repetition_flags,
+    "pii_redaction_stats": q_pii_redaction_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "chunk_dedup_stats": q_chunk_dedup_stats,
     "chunk_dedup_clean": q_chunk_dedup_clean,
@@ -1725,6 +1835,7 @@ QUERIES = {
     "event_value_pivot": q_event_value_pivot,
     "lineitem_measures_unpivot": q_lineitem_measures_unpivot,
     "customers_without_orders": q_customers_without_orders,
+    "orders_with_returns_semi": q_orders_with_returns_semi,
     "daily_revenue_moving_avg": q_daily_revenue_moving_avg,
     "data_quality_report": q_data_quality_report,
     "sql_api_theta_distinct": q_sql_api_theta_distinct,
@@ -1766,7 +1877,61 @@ _EMB_PAIRS_SQL = """
               / (sqrt(list_dot_product(a.e, a.e))
                  * sqrt(list_dot_product(b.e, b.e))) >= 0.45"""
 
+_PII_ORACLE = """
+        WITH p AS (
+          SELECT source,
+                 text
+                 || CASE WHEN doc_id % 3 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com' ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                    THEN ' call 555-'
+                         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                         || '-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                    THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                         || CAST((doc_id // 256) % 256 AS VARCHAR) || '.1'
+                    ELSE '' END AS t
+          FROM documents),
+        m AS (
+          SELECT source, t,
+                 len(regexp_extract_all(t, '{EMAIL}')) AS ne,
+                 len(regexp_extract_all(t, '{PHONE}')) AS np,
+                 len(regexp_extract_all(t, '{IP}')) AS ni,
+                 length(t) - length(
+                   regexp_replace(regexp_replace(regexp_replace(
+                     t, '{EMAIL}', '<EMAIL>', 'g'),
+                     '{PHONE}', '<PHONE>', 'g'),
+                     '{IP}', '<IP>', 'g')) AS removed
+          FROM p)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(ne) AS BIGINT) AS n_emails,
+               CAST(sum(np) AS BIGINT) AS n_phones,
+               CAST(sum(ni) AS BIGINT) AS n_ips,
+               CAST(sum(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_with_pii,
+               CAST(sum(removed) AS BIGINT) AS redacted_chars
+        FROM m GROUP BY source
+""".replace("{EMAIL}", PII_EMAIL_RE) \
+   .replace("{PHONE}", PII_PHONE_RE) \
+   .replace("{IP}", PII_IP_RE)
+
 ORACLE_SQL = {
+    "pii_redaction_stats": _PII_ORACLE,
+    "orders_with_returns_semi": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_returnflag = 'R')
+        GROUP BY o_orderpriority""",
+    "theta_monthly_rollup": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               count(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+               count(DISTINCT o_custkey) AS distinct_custs
+        FROM orders GROUP BY 1""",
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,

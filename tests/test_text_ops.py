@@ -374,3 +374,32 @@ class TestSourceProfile:
             want[doc_id] = (n_chunks, removed, " ".join(kept))
         assert got == want
         assert sum(r for _, r, _ in want.values()) > 0
+
+
+class TestPiiColumns:
+    def test_crafted_matches_and_redaction(self, spark):
+        # The sf-fixture gate exercises cross-engine regex parity on the
+        # synthetic footer; this pins the Spark-side semantics on known
+        # text: counts per category, multi-match, and the exact rewrite.
+        from datasketches_rust_spark.functions.text import pii_columns
+        import pyspark.sql.functions as F
+
+        rows = [
+            (1, "mail a@b.com and c.d+x@e.org, call 555-123-4567"),
+            (2, "server 10.0.0.1 talked to 192.168.1.255 twice: 10.0.0.1"),
+            (3, "clean text, no pii; 1234-567-8901 has 4-digit prefix"),
+        ]
+        df = spark.createDataFrame(rows, ["id", "t"])
+        pii = pii_columns(F.col("t"))
+        got = {r["id"]: r for r in df.select(
+            "id", pii["n_emails"].alias("ne"), pii["n_phones"].alias("np"),
+            pii["n_ips"].alias("ni"), pii["clean"].alias("clean")
+        ).collect()}
+
+        assert (got[1]["ne"], got[1]["np"], got[1]["ni"]) == (2, 1, 0)
+        assert got[1]["clean"] == "mail <EMAIL> and <EMAIL>, call <PHONE>"
+        assert (got[2]["ne"], got[2]["np"], got[2]["ni"]) == (0, 0, 3)
+        assert got[2]["clean"] == ("server <IP> talked to <IP> twice: <IP>")
+        # \b guards: a 4-digit run adjoining the phone shape must not match
+        assert (got[3]["ne"], got[3]["np"], got[3]["ni"]) == (0, 0, 0)
+        assert got[3]["clean"] == rows[2][1]
