@@ -254,6 +254,45 @@ def q_dedup_clusters(spark, sf_dir):
         .select("doc_id", "cluster_id")
 
 
+# md5-hex-prefix split boundaries: < f0 -> train (240/256 = 93.75%),
+# [f0, f8) -> val (3.125%), >= f8 -> test (3.125%). Lexicographic compare
+# of the lowercase hex prefix is the one uniform both engines compute
+# bit-identically (no hex->int conversion needed).
+SPLIT_TRAIN_HEX = "f0"
+SPLIT_VAL_HEX = "f8"
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split — the eval-contamination guard
+    every pretraining pipeline needs: a doc-level random split leaks
+    whenever two near-duplicates land on opposite sides (the model
+    effectively trains on its eval set), so the split is assigned at
+    the NEAR-DUP-CLUSTER level — hash the cluster representative id,
+    not the doc id — and every member of a cluster lands in the same
+    split by construction. Membership is md5-deterministic (stable
+    run-to-run, engine-to-engine, and under re-partitioning; no
+    rand()), keyed with a salt string so this split is independent of
+    every other md5-derived decision in the pipeline.
+
+    Scale shape: given cluster assignments (the LSH->CC pipeline this
+    repo already runs at 2M rows with 0.92 scaling efficiency), the
+    split itself is a pure JVM map over the assignment table — zero
+    additional shuffles, no per-split sort, no driver state; at 10^12
+    rows the split is free. The 93.75/3.125/3.125 boundaries are exact
+    byte-prefix fractions; any /256-granular mix works the same way."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = cluster_assignments(docs, CFG, "doc_id", "text") \
+        .select("doc_id", "cluster_id")
+    b = F.substring(
+        F.md5(F.concat(F.lit("split:"),
+                       F.col("cluster_id").cast("string"))), 1, 2)
+    return clusters.withColumn(
+        "split",
+        F.when(b < SPLIT_TRAIN_HEX, "train")
+         .when(b < SPLIT_VAL_HEX, "val")
+         .otherwise("test"))
+
+
 BATCH_MOD = 5  # doc_id % 5 == 0 -> "incoming batch"; the rest -> index
 
 
@@ -1784,6 +1823,7 @@ QUERIES = {
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "dedup_against_index": q_dedup_against_index,
     "dedup_clusters": q_dedup_clusters,
+    "leakage_safe_split": q_leakage_safe_split,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_near_docs": q_simhash_near_docs,
     "lang_id_counts": q_lang_id_counts,
@@ -2056,6 +2096,26 @@ ORACLE_SQL = {
           SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s)
         SELECT src AS doc_id, min(dst) AS cluster_id
         FROM reach GROUP BY src""",
+    "leakage_safe_split": _SHINGLE_PAIRS_CTE + """,
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM jpairs
+          UNION ALL SELECT id_b, id_a FROM jpairs),
+        reach AS (
+          SELECT doc_id AS src, doc_id AS dst FROM documents
+          UNION
+          SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s),
+        cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+               FROM reach GROUP BY src)
+        SELECT doc_id, cluster_id,
+               CASE WHEN substring(md5('split:'
+                          || CAST(cluster_id AS VARCHAR)), 1, 2)
+                         < '{TRAIN}' THEN 'train'
+                    WHEN substring(md5('split:'
+                          || CAST(cluster_id AS VARCHAR)), 1, 2)
+                         < '{VAL}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM cl""".replace("{TRAIN}", SPLIT_TRAIN_HEX)
+                  .replace("{VAL}", SPLIT_VAL_HEX),
     "ngram_jaccard_pairs": """
         WITH docs AS (
           SELECT doc_id,

@@ -403,3 +403,36 @@ class TestPiiColumns:
         # \b guards: a 4-digit run adjoining the phone shape must not match
         assert (got[3]["ne"], got[3]["np"], got[3]["ni"]) == (0, 0, 0)
         assert got[3]["clean"] == rows[2][1]
+
+
+class TestLeakageSafeSplit:
+    def test_cluster_members_share_split_and_deterministic(self, spark,
+                                                           tmp_path):
+        from datasketches_rust_spark.queries import q_leakage_safe_split
+
+        # 3 near-dup pairs + singletons; each pair must co-locate in one
+        # split regardless of where the doc-level hash would have put them.
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark quiet forest tonight")
+        rows = []
+        for i in range(3):
+            rows.append((10 * i + 1, base + f" variant {i}", "web"))
+            rows.append((10 * i + 2, base + f" variant {i}!", "web"))
+        for i in range(5):
+            rows.append((100 + i, f"totally unrelated document number {i} "
+                         f"with its own words {i * 7} {i * 13}", "web"))
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+
+        out = q_leakage_safe_split(spark, str(tmp_path)).collect()
+        split_of = {r["doc_id"]: r["split"] for r in out}
+        cluster_of = {r["doc_id"]: r["cluster_id"] for r in out}
+        assert len(out) == len(rows)
+        for i in range(3):
+            a, b = 10 * i + 1, 10 * i + 2
+            assert cluster_of[a] == cluster_of[b]  # near-dups clustered
+            assert split_of[a] == split_of[b]      # ...and never straddle
+        # split is a pure function of cluster_id -> rerun is identical
+        again = {r["doc_id"]: r["split"]
+                 for r in q_leakage_safe_split(spark, str(tmp_path)).collect()}
+        assert again == split_of
