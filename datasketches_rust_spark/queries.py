@@ -404,6 +404,58 @@ def q_ngram_jaccard_pairs(spark, sf_dir, df_cap: int = NGRAM_DF_CAP):
             .select("id_a", "id_b"))
 
 
+CONTAINMENT_T = 0.9  # |A ∩ B| / min(|A|, |B|) threshold
+
+
+def q_containment_dup_pairs(spark, sf_dir, df_cap: int = NGRAM_DF_CAP):
+    """ASYMMETRIC near-dup detection via shingle CONTAINMENT — the dedup
+    axis Jaccard misses: a short doc quoted verbatim inside a much
+    longer one has tiny Jaccard (the union is dominated by the long
+    doc) but containment |A∩B|/min(|A|,|B|) ~ 1. This is the
+    quote-inclusion / page-within-crawl case every curation pipeline
+    also filters. Char 5-gram shingles (the MinHash config's shingle
+    space), exact intersection counts.
+
+    Same single-exchange candidate shape as ngram_jaccard_pairs (window
+    df on one repartition('g'), hot-gram cap on the join side only,
+    collect-and-pair JVM expansion — see that docstring for why a
+    self-join or standalone groupBy loses at scale); doc sizes are a
+    pure map (size of the distinct-gram array), never an aggregate.
+    The df cap is containment-safe for the same reason it is
+    Jaccard-safe: dropping a shared gram only lowers the measured
+    intersection, so no false positives; with the default cap above
+    fixture df the DuckDB oracle is exactly equal."""
+    from datasketches_rust_spark.operators.lsh import _pairs_expr
+    docs = _t(spark, sf_dir, "documents")
+    grams = F.expr(
+        "array_distinct(transform("
+        "  sequence(1, greatest(length(lower(text)) - 4, 1)),"
+        "  i -> substring(lower(text), i, 5)))")
+    ex = (docs.select(F.col("doc_id").alias("__id"),
+                      F.explode(grams).alias("g"))
+          .repartition("g"))
+    rare = (ex.withColumn("__df", F.count("*").over(
+                Window.partitionBy("g")))
+            .where(F.col("__df") <= df_cap))
+    sizes = docs.select("doc_id", F.size(grams).alias("n"))
+    members = (rare.groupBy("g")
+               .agg(F.array_sort(F.collect_list(F.struct(F.col("__id"))))
+                    .alias("__m"))
+               .where(F.size("__m") >= 2))
+    inter = (members
+             .select(F.explode(_pairs_expr("__m", ["__id"])).alias("__p"))
+             .groupBy(F.col("__p.__id_a").alias("id_a"),
+                      F.col("__p.__id_b").alias("id_b"))
+             .agg(F.count("*").alias("c")))
+    sa = sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb")
+    cont = F.col("c") / F.least(F.col("na"), F.col("nb"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .where(cont >= CONTAINMENT_T)
+            .select("id_a", "id_b", F.col("c").alias("n_common"),
+                    cont.alias("containment")))
+
+
 def q_simhash_near_docs(spark, sf_dir):
     """SimHash hamming<=3 candidate pairs — no SQL oracle (pytest)."""
     from datasketches_rust_spark.cache import track
@@ -1414,6 +1466,105 @@ def q_events_per_day(spark, sf_dir):
                  F.count_distinct("user_id").alias("n_users")))
 
 
+def q_event_funnel_daily(spark, sf_dir):
+    """Sequential-step FUNNEL analytics (view -> click -> purchase per
+    user-day): the product-analytics query class where step N only
+    counts if it happens strictly AFTER step N-1 — inexpressible as
+    independent conditional aggregates. Implemented as ONE shuffle: the
+    per-(user, day) event list is sorted (array_sort over (ts, type)
+    structs) and folded with a JVM higher-order F.aggregate whose state
+    is the (ta, tb, tc) stage-timestamp struct — first view sets ta,
+    first click strictly after ta sets tb, first purchase strictly
+    after tb sets tc. Equal-timestamp ties resolve identically to the
+    oracle's strict-> min() formulation because the fold also requires
+    ts strictly greater. The day-level rollup is a second, trivially
+    small exchange over (user, day)-grain rows.
+
+    Scale note: per-(user, day) lists are bounded by one user's daily
+    activity — the natural funnel grain; the alternative 3-chained
+    aggregate-join shape costs three exchanges of the filtered event
+    stream and wins only if single (user, day) cells are pathological
+    (bot traffic), which an upstream rate cap handles anyway."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("view", "click", "purchase"))
+          .select("user_id", F.col("ts").cast("date").alias("day"),
+                  "ts", "event_type"))
+    grain = (ev.groupBy("user_id", "day")
+             .agg(F.array_sort(F.collect_list(
+                 F.struct("ts", "event_type"))).alias("evs")))
+    init = F.struct(
+        F.lit(None).cast("timestamp").alias("ta"),
+        F.lit(None).cast("timestamp").alias("tb"),
+        F.lit(None).cast("timestamp").alias("tc"))
+    st = F.aggregate(
+        "evs", init,
+        lambda s, e: F.struct(
+            F.when(s["ta"].isNull() & (e["event_type"] == "view"),
+                   e["ts"]).otherwise(s["ta"]).alias("ta"),
+            F.when(s["tb"].isNull() & s["ta"].isNotNull()
+                   & (e["event_type"] == "click") & (e["ts"] > s["ta"]),
+                   e["ts"]).otherwise(s["tb"]).alias("tb"),
+            F.when(s["tc"].isNull() & s["tb"].isNotNull()
+                   & (e["event_type"] == "purchase") & (e["ts"] > s["tb"]),
+                   e["ts"]).otherwise(s["tc"]).alias("tc")))
+    staged = grain.select("day", st.alias("st")).where(
+        F.col("st.ta").isNotNull())
+    return (staged.groupBy("day").agg(
+        F.count("*").alias("n_viewed"),
+        F.sum(F.col("st.tb").isNotNull().cast("int"))
+         .cast("long").alias("n_clicked"),
+        F.sum(F.col("st.tc").isNotNull().cast("int"))
+         .cast("long").alias("n_purchased")))
+
+
+# deterministic "v2 snapshot" mutation rule shared with the oracle:
+# doc_id % 11 == 0 -> deleted; % 13 == 0 -> text edited; % 17 == 0 ->
+# re-added as a NEW doc at doc_id + 1_000_000.
+SNAPSHOT_DEL_MOD, SNAPSHOT_EDIT_MOD, SNAPSHOT_ADD_MOD = 11, 13, 17
+
+
+def q_dataset_snapshot_diff(spark, sf_dir):
+    """Dataset VERSION DIFF — the data-lineage op behind every
+    incremental curation run ("what changed between snapshot v1 and
+    v2?"): added / removed / modified rows classified fingerprint-first.
+    The fixture ships one snapshot, so v2 is derived by a deterministic
+    doc_id-keyed mutation (delete %11, edit %13, add %17 at shifted
+    ids) mirrored exactly in the oracle; the hash gate then checks the
+    full-outer-join classification logic cross-engine.
+
+    Scale shape: both sides reduce to (doc_id, source, md5(text))
+    BEFORE the join — the text column never reaches an exchange (the
+    exact_dedup fingerprint-first discipline); one full outer join on
+    the bigint PK (bucketed storage would make it co-located / zero
+    shuffle), and 'unchanged' rows — the overwhelming majority in a
+    real incremental diff — are filtered before any further hop."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    v1 = docs.select("doc_id", "source", F.md5("text").alias("fp"))
+    v2 = (docs.where(did % SNAPSHOT_DEL_MOD != 0)
+          .select("doc_id", "source",
+                  F.md5(F.when(did % SNAPSHOT_EDIT_MOD == 0,
+                               F.concat(F.col("text"), F.lit(" [edited]")))
+                        .otherwise(F.col("text"))).alias("fp"))
+          .unionByName(
+              docs.where(did % SNAPSHOT_ADD_MOD == 0)
+              .select((did + 1_000_000).alias("doc_id"), "source",
+                      F.md5(F.concat(F.lit("new "), F.col("text")))
+                      .alias("fp"))))
+    o, n = v1.alias("o"), v2.alias("n")
+    j = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    change = (F.when(F.col("o.fp").isNull(), "added")
+              .when(F.col("n.fp").isNull(), "removed")
+              .otherwise("modified"))
+    return (j.where(F.col("o.fp").isNull() | F.col("n.fp").isNull()
+                    | (F.col("o.fp") != F.col("n.fp")))
+            .select(F.coalesce(F.col("o.doc_id"), F.col("n.doc_id"))
+                    .alias("doc_id"),
+                    F.coalesce(F.col("o.source"), F.col("n.source"))
+                    .alias("source"),
+                    change.alias("change")))
+
+
 def q_range_join_shipments(spark, sf_dir):
     """Point-in-interval range join surfaced in the gate: for every
     order, how many lineitems (any order) shipped in the 7 days from its
@@ -1825,6 +1976,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "leakage_safe_split": q_leakage_safe_split,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "containment_dup_pairs": q_containment_dup_pairs,
     "simhash_near_docs": q_simhash_near_docs,
     "lang_id_counts": q_lang_id_counts,
     "text_quality": q_text_quality,
@@ -1880,6 +2032,8 @@ QUERIES = {
     "data_quality_report": q_data_quality_report,
     "sql_api_theta_distinct": q_sql_api_theta_distinct,
     "events_per_day": q_events_per_day,
+    "event_funnel_daily": q_event_funnel_daily,
+    "dataset_snapshot_diff": q_dataset_snapshot_diff,
     "range_join_shipments": q_range_join_shipments,
 }
 
@@ -2116,6 +2270,65 @@ ORACLE_SQL = {
                     ELSE 'test' END AS split
         FROM cl""".replace("{TRAIN}", SPLIT_TRAIN_HEX)
                   .replace("{VAL}", SPLIT_VAL_HEX),
+    "containment_dup_pairs": """
+        WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+        sh_pos AS (
+          SELECT doc_id, t,
+                 unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+          FROM docs),
+        sh AS (SELECT DISTINCT doc_id, substring(t, i, 5) AS g
+               FROM sh_pos),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b USING (g)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b, c AS n_common,
+               c * 1.0 / least(sa.n, sb.n) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / least(sa.n, sb.n) >= 0.9""",
+    "event_funnel_daily": """
+        WITH f AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts
+          FROM events
+          WHERE event_type IN ('view', 'click', 'purchase')),
+        a AS (SELECT user_id, day, min(ts) AS ta FROM f
+              WHERE event_type = 'view' GROUP BY 1, 2),
+        b AS (SELECT f.user_id, f.day, min(ts) AS tb
+              FROM f JOIN a USING (user_id, day)
+              WHERE event_type = 'click' AND ts > ta GROUP BY 1, 2),
+        c AS (SELECT f.user_id, f.day, min(ts) AS tc
+              FROM f JOIN b USING (user_id, day)
+              WHERE event_type = 'purchase' AND ts > tb GROUP BY 1, 2)
+        SELECT a.day, count(*) AS n_viewed,
+               CAST(sum(CASE WHEN b.tb IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clicked,
+               CAST(sum(CASE WHEN c.tc IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchased
+        FROM a
+        LEFT JOIN b ON a.user_id = b.user_id AND a.day = b.day
+        LEFT JOIN c ON a.user_id = c.user_id AND a.day = c.day
+        GROUP BY 1""",
+    "dataset_snapshot_diff": """
+        WITH v1 AS (SELECT doc_id, source, md5(text) AS fp
+                    FROM documents),
+        v2 AS (
+          SELECT doc_id, source,
+                 md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [edited]'
+                          ELSE text END) AS fp
+          FROM documents WHERE doc_id % 11 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, source, md5('new ' || text)
+          FROM documents WHERE doc_id % 17 = 0)
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+               coalesce(v1.source, v2.source) AS source,
+               CASE WHEN v1.fp IS NULL THEN 'added'
+                    WHEN v2.fp IS NULL THEN 'removed'
+                    ELSE 'modified' END AS change
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        WHERE v1.fp IS NULL OR v2.fp IS NULL OR v1.fp <> v2.fp""",
     "ngram_jaccard_pairs": """
         WITH docs AS (
           SELECT doc_id,

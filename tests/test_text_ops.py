@@ -436,3 +436,90 @@ class TestLeakageSafeSplit:
         again = {r["doc_id"]: r["split"]
                  for r in q_leakage_safe_split(spark, str(tmp_path)).collect()}
         assert again == split_of
+
+
+class TestContainmentPairs:
+    def test_quote_inclusion_detected_where_jaccard_misses(self, spark,
+                                                           tmp_path):
+        from datasketches_rust_spark.queries import q_containment_dup_pairs
+
+        quote = "the five boxing wizards jump quickly over it"
+        long_doc = ("a very long surrounding article with many distinct "
+                    "words that begins here " + quote +
+                    " and then continues with plenty of additional "
+                    "unrelated prose padding the shingle set far beyond "
+                    "the quoted span so the union is large")
+        rows = [(1, quote, "web"), (2, long_doc, "web"),
+                (3, "completely different text about other topics", "web")]
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+
+        out = {(r["id_a"], r["id_b"]): r
+               for r in q_containment_dup_pairs(spark, str(tmp_path))
+               .collect()}
+        assert (1, 2) in out and len(out) == 1
+        r = out[(1, 2)]
+        assert r["containment"] >= 0.9
+        # the same pair under Jaccard is far below any dedup threshold —
+        # that asymmetry is the point of the containment axis
+        na = len({quote.lower()[i:i + 5]
+                  for i in range(max(len(quote) - 4, 1))})
+        nb = len({long_doc.lower()[i:i + 5]
+                  for i in range(max(len(long_doc) - 4, 1))})
+        jac = r["n_common"] / (na + nb - r["n_common"])
+        assert jac < 0.5
+
+
+class TestEventFunnelDaily:
+    def test_strict_ordering_and_day_grain(self, spark, tmp_path):
+        from datetime import datetime as DT
+
+        from datasketches_rust_spark.queries import q_event_funnel_daily
+
+        d1 = lambda h, m=0, s=0: DT(2024, 3, 1, h, m, s)
+        d2 = lambda h: DT(2024, 3, 2, h)
+        rows = [
+            # u1: full funnel in order -> counts at every stage
+            (1, d1(9), "view"), (1, d1(10), "click"), (1, d1(11), "purchase"),
+            # u2: purchase BEFORE click BEFORE view -> viewed only
+            (2, d1(9), "purchase"), (2, d1(10), "click"), (2, d1(11), "view"),
+            # u3: view+click day 1, purchase day 2 -> no purchase credit
+            (3, d1(9), "view"), (3, d1(10), "click"), (3, d2(9), "purchase"),
+            # u4: click at the SAME timestamp as the first view -> strict
+            # "after" fails, click not counted
+            (4, d1(9), "view"), (4, d1(9), "click"),
+            # u5: click-then-view-then-click -> second click counts
+            (5, d1(8), "click"), (5, d1(9), "view"), (5, d1(10), "click"),
+            # noise the funnel ignores
+            (1, d1(12), "error"), (2, d1(12), "signup"),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+        got = {str(r["day"]): (r["n_viewed"], r["n_clicked"],
+                               r["n_purchased"])
+               for r in q_event_funnel_daily(spark, str(tmp_path)).collect()}
+        # day 1: u1..u5 all viewed; clicked = u1, u3, u5; purchased = u1
+        assert got["2024-03-01"] == (5, 3, 1)
+        # day 2: u3's lone purchase has no view that day -> no grain row
+        assert "2024-03-02" not in got
+
+
+class TestSnapshotDiff:
+    def test_classification(self, spark, tmp_path):
+        from datasketches_rust_spark.queries import q_dataset_snapshot_diff
+
+        # ids crafted against the mods (11 delete, 13 edit, 17 add):
+        # 11 -> removed; 13 -> modified; 17 -> unchanged BUT re-added at
+        # 1000017; 143 = 11*13 -> removed (delete wins over edit);
+        # 187 = 11*17 -> removed AND re-added; 1 -> unchanged.
+        rows = [(i, f"text of doc {i}", "web")
+                for i in (1, 11, 13, 17, 143, 187)]
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+
+        got = {r["doc_id"]: r["change"]
+               for r in q_dataset_snapshot_diff(spark, str(tmp_path))
+               .collect()}
+        assert got == {11: "removed", 13: "modified", 143: "removed",
+                       187: "removed", 1000017: "added", 1000187: "added"}

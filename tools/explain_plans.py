@@ -439,6 +439,69 @@ def main() -> None:
             lambda p: "Divide" not in p,
     })
 
+    # 19. containment_dup_pairs: same single-exchange discipline as
+    #     ngram_jaccard_pairs (shared window-df + collect-and-pair)
+    cp = Q.q_containment_dup_pairs(spark, SF_DIR)
+    failures += audit("containment_dup_pairs", cp, {
+        "exactly ONE exchange on g":
+            lambda p: len(re.findall(r"hashpartitioning\(g#", p)) == 1,
+        "no join on g anywhere":
+            lambda p: not re.search(r"Join.*\[g#", p),
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    # 20. event_funnel_daily: the sequential fold is JVM higher-order —
+    #     one (user, day) exchange + the tiny day rollup, nothing else
+    ef = Q.q_event_funnel_daily(spark, SF_DIR)
+    failures += audit("event_funnel_daily", ef, {
+        "at most 2 exchanges (grain groupBy + day rollup)":
+            lambda p: len(re.findall(
+                r"^\(\d+\) Exchange", p.split("== Initial Plan ==")[0],
+                re.M)) <= 2,
+        "event_type filter pushed to the scan":
+            r"PushedFilters: \[.*event_type.*\]",
+        "no Python UDF in the plan (fold is F.aggregate)":
+            lambda p: "EvalPython" not in p,
+    })
+
+    # 21. dataset_snapshot_diff: fingerprint-first — the text column is
+    #     md5'd below every exchange and never shuffles
+    sd = Q.q_dataset_snapshot_diff(spark, SF_DIR)
+    failures += audit("dataset_snapshot_diff", sd, {
+        "text never reaches an exchange":
+            lambda p: not re.search(
+                r"Exchange hashpartitioning\([^)]*text", p),
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    # 22. pii_redaction_stats: pure JVM regex map + one tiny aggregate
+    # (regexp_count/regexp_extract_all stay interpreted-JVM — no codegen
+    # span check; no-Python + single exchange are the scale claims)
+    pii = Q.q_pii_redaction_stats(spark, SF_DIR)
+    failures += audit("pii_redaction_stats", pii, {
+        "partial aggregation before exchange":
+            lambda p: p.index("HashAggregate") < p.index("Exchange"),
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+        "exactly 1 exchange (the per-source rollup)":
+            lambda p: len(re.findall(
+                r"^\(\d+\) Exchange", p.split("== Initial Plan ==")[0],
+                re.M)) == 1,
+    })
+
+    # 23. orders_with_returns_semi: semi join keeps the build side at
+    #     the join key; returnflag filter pushed into the lineitem scan
+    sj = Q.q_orders_with_returns_semi(spark, SF_DIR)
+    failures += audit("orders_with_returns_semi", sj, {
+        "LeftSemi join in the plan": r"LeftSemi",
+        "lineitem scan pruned to orderkey+returnflag":
+            r"ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>",
+        "returnflag filter pushed down":
+            r"PushedFilters: \[.*l_returnflag.*\]",
+    })
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")
