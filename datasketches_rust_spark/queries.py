@@ -1565,6 +1565,74 @@ def q_dataset_snapshot_diff(spark, sf_dir):
                     change.alias("change")))
 
 
+def q_cdc_apply_reconstruction(spark, sf_dir):
+    """MERGE INTO / CDC-apply semantics — the upsert write path of a
+    lakehouse table: given snapshot v1 and a change feed (delete /
+    update / insert rows, the output shape of q_dataset_snapshot_diff
+    extended with the new fingerprint), reconstruct v2 with one MERGE:
+    matched+delete drops the row, matched+update rewrites it, unmatched
+    insert appends. The gate proves apply(v1, changes) == the directly
+    derived v2 cross-engine — i.e. the MERGE join/classification logic
+    itself, since both engines build the same change feed.
+
+    Scale shape: the standard MERGE physical plan — one equi-join of
+    the base table against the (much smaller) change feed on the PK
+    (broadcast when the feed fits, AQE decides here), fingerprints not
+    text under the join, inserts unioned in afterwards without touching
+    the base scan. Bucketed/Iceberg storage would make the join
+    co-located; this is exactly what `MERGE INTO` compiles to."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    v1 = docs.select("doc_id", "source", F.md5("text").alias("fp"))
+    # change feed, deterministically derived (same mods as snapshot_diff)
+    deletes = (docs.where(did % SNAPSHOT_DEL_MOD == 0)
+               .select("doc_id", F.lit("delete").alias("op"),
+                       F.lit(None).cast("string").alias("fp_new"),
+                       F.lit(None).cast("string").alias("src_new")))
+    updates = (docs.where((did % SNAPSHOT_DEL_MOD != 0)
+                          & (did % SNAPSHOT_EDIT_MOD == 0))
+               .select("doc_id", F.lit("update").alias("op"),
+                       F.md5(F.concat(F.col("text"), F.lit(" [edited]")))
+                       .alias("fp_new"),
+                       F.col("source").alias("src_new")))
+    inserts = (docs.where(did % SNAPSHOT_ADD_MOD == 0)
+               .select((did + 1_000_000).alias("doc_id"),
+                       F.lit("insert").alias("op"),
+                       F.md5(F.concat(F.lit("new "), F.col("text")))
+                       .alias("fp_new"),
+                       F.col("source").alias("src_new")))
+    changes = deletes.unionByName(updates)
+    # MERGE: base LEFT JOIN feed; delete drops, update rewrites,
+    # no-match passes through; inserts append (never touch the base).
+    merged = (v1.join(changes, "doc_id", "left")
+              .where(F.coalesce(F.col("op") != "delete", F.lit(True)))
+              .select("doc_id",
+                      F.coalesce("src_new", "source").alias("source"),
+                      F.when(F.col("op") == "update", F.col("fp_new"))
+                      .otherwise(F.col("fp")).alias("fp")))
+    return merged.unionByName(
+        inserts.select("doc_id", F.col("src_new").alias("source"),
+                       F.col("fp_new").alias("fp")))
+
+
+def q_cluster_size_histogram(spark, sf_dir):
+    """The dedup REPORT a user reads first: how much duplication is in
+    the corpus, as a cluster-size histogram — (cluster_size, n_clusters,
+    n_docs) — from the same LSH->CC assignment the dedup queries use.
+    Two aggregate hops over the (doc, cluster) table: sizes per cluster,
+    then clusters per size; both map-side combined, the second operates
+    on cluster-count rows (already corpus-fraction small), and the
+    histogram itself is at most #distinct-sizes rows regardless of
+    corpus size. The recursive-CTE oracle recomputes the clusters and
+    the same double aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    cl = cluster_assignments(docs, CFG, "doc_id", "text")
+    sizes = cl.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return (sizes.groupBy(F.col("sz").alias("cluster_size"))
+            .agg(F.count("*").alias("n_clusters"),
+                 F.sum("sz").alias("n_docs")))
+
+
 def q_range_join_shipments(spark, sf_dir):
     """Point-in-interval range join surfaced in the gate: for every
     order, how many lineitems (any order) shipped in the 7 days from its
@@ -2034,6 +2102,8 @@ QUERIES = {
     "events_per_day": q_events_per_day,
     "event_funnel_daily": q_event_funnel_daily,
     "dataset_snapshot_diff": q_dataset_snapshot_diff,
+    "cdc_apply_reconstruction": q_cdc_apply_reconstruction,
+    "cluster_size_histogram": q_cluster_size_histogram,
     "range_join_shipments": q_range_join_shipments,
 }
 
@@ -2311,6 +2381,28 @@ ORACLE_SQL = {
         LEFT JOIN b ON a.user_id = b.user_id AND a.day = b.day
         LEFT JOIN c ON a.user_id = c.user_id AND a.day = c.day
         GROUP BY 1""",
+    "cdc_apply_reconstruction": """
+        SELECT doc_id, source,
+               md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [edited]'
+                        ELSE text END) AS fp
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, source, md5('new ' || text)
+        FROM documents WHERE doc_id % 17 = 0""",
+    "cluster_size_histogram": _SHINGLE_PAIRS_CTE + """,
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM jpairs
+          UNION ALL SELECT id_b, id_a FROM jpairs),
+        reach AS (
+          SELECT doc_id AS src, doc_id AS dst FROM documents
+          UNION
+          SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s),
+        cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+               FROM reach GROUP BY src),
+        csz AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1)
+        SELECT sz AS cluster_size, count(*) AS n_clusters,
+               CAST(sum(sz) AS BIGINT) AS n_docs
+        FROM csz GROUP BY 1""",
     "dataset_snapshot_diff": """
         WITH v1 AS (SELECT doc_id, source, md5(text) AS fp
                     FROM documents),

@@ -294,3 +294,32 @@ def test_ngram_hot_gram_guard(spark, tmp_path):
     # grams, so r1/r2 measure (13-3)/(13+13-10) = 0.625 >= 0.5 and pair.
     # Boilerplate-only docs never pair: their only shared grams are hot.
     assert pairs == {("r1", "r2")}
+
+
+def test_event_funnel_bot_grain_completes_and_is_exact(spark, tmp_path):
+    """The funnel's one risk at scale is a pathological (user, day) cell
+    (bot traffic) inflating the collect_list; 20k events in ONE cell
+    must still fold correctly — and the fold must pick the FIRST
+    qualifying event of each stage, not any later one."""
+    from datetime import datetime, timedelta
+
+    from datasketches_rust_spark.queries import q_event_funnel_daily
+
+    t0 = datetime(2024, 6, 1, 0, 0, 0)
+    rows = []
+    # bot: 20k alternating view/click events, purchase exactly once in
+    # the middle; first view is event 0, first click-after-view event 1
+    for i in range(20000):
+        rows.append((7, t0 + timedelta(seconds=i),
+                     "view" if i % 2 == 0 else "click"))
+    rows.append((7, t0 + timedelta(seconds=10000, microseconds=500000),
+                 "purchase"))
+    # a normal user for contrast: view only
+    rows.append((8, t0 + timedelta(hours=1), "view"))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    (row,) = q_event_funnel_daily(spark, str(tmp_path)).collect()
+    assert str(row["day"]) == "2024-06-01"
+    assert (row["n_viewed"], row["n_clicked"], row["n_purchased"]) \
+        == (2, 1, 1)

@@ -523,3 +523,26 @@ class TestSnapshotDiff:
                .collect()}
         assert got == {11: "removed", 13: "modified", 143: "removed",
                        187: "removed", 1000017: "added", 1000187: "added"}
+
+
+class TestCdcApply:
+    def test_merge_semantics(self, spark, tmp_path):
+        from datasketches_rust_spark.queries import q_cdc_apply_reconstruction
+
+        rows = [(i, f"text of doc {i}", f"src{i % 2}")
+                for i in (1, 11, 13, 17, 143)]
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+
+        out = {r["doc_id"]: r for r in
+               q_cdc_apply_reconstruction(spark, str(tmp_path)).collect()}
+        # deletes really delete (11, 143); updates rewrite in place (13);
+        # untouched rows pass through (1, 17); inserts append (1000017)
+        assert set(out) == {1, 13, 17, 1000017}
+        import hashlib
+        md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+        assert out[1]["fp"] == md5("text of doc 1")
+        assert out[13]["fp"] == md5("text of doc 13 [edited]")
+        assert out[17]["fp"] == md5("text of doc 17")
+        assert out[1000017]["fp"] == md5("new text of doc 17")
+        assert out[1000017]["source"] == "src1"
