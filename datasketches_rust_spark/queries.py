@@ -1793,6 +1793,60 @@ def q_streaming_windowed_topk(spark, sf_dir):
         shutil.rmtree(ck, ignore_errors=True)
 
 
+def q_streaming_windowed_distinct(spark, sf_dir):
+    """REAL streaming windowed DISTINCT-COUNT (daily active users per
+    event type): one THETA sketch of engine-managed state per
+    (event-time window, key) on the shared _windowed_state_apply
+    plumbing — the streaming shape the built-in windowed agg cannot
+    carry, because approx_count_distinct state is not exposed and exact
+    count_distinct in update mode keeps every id; the theta blob is a
+    few KB per open window regardless of stream volume AND merges
+    across micro-batches. lg_k=16 keeps every window's sketch in exact
+    mode at fixture NDV (150 users), so the running and finalized
+    estimates hash-match the exact COUNT(DISTINCT) oracle — the same
+    exact-mode discipline as theta_monthly_rollup. Deterministic
+    end-to-end: one file -> one data micro-batch (running rows reflect
+    each window's full day), then the engine's cleanup batch fires the
+    event-time timeouts (final rows for windows behind the final
+    watermark = max event time, delay 0)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from datasketches_rust_spark.streaming import windowed_sketch_estimates
+    ev_path = f"{sf_dir}/events.parquet"
+    src_dir = tempfile.mkdtemp(prefix="dsrs_wd_src_")
+    ck = tempfile.mkdtemp(prefix="dsrs_wd_ck_")
+    try:
+        os.symlink(os.path.abspath(ev_path),
+                   os.path.join(src_dir, "events.parquet"))
+        schema = spark.read.parquet(ev_path).schema
+        stream = (spark.readStream.schema(schema).parquet(src_dir)
+                  .select(F.col("ts").cast("timestamp").alias("ts"),
+                          "event_type", "user_id"))
+        out = windowed_sketch_estimates(stream, ["event_type"], "ts",
+                                        "user_id",
+                                        window_duration="1 day",
+                                        watermark="0 seconds",
+                                        kind="theta", lg_k=16)
+        name = "dsrs_wd_" + uuid.uuid4().hex[:8]
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_windowed_distinct did not finish within 300s")
+        return (spark.table(name)
+                .select(F.unix_micros("window_start").alias("ws_us"),
+                        F.unix_micros("window_end").alias("we_us"),
+                        "event_type", "estimate", "rows_seen", "final"))
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
 def q_streaming_windowed_quantiles(spark, sf_dir):
     """REAL streaming windowed QUANTILES (p50/p95 event value per day)
     — the observability-metric shape with mergeable bounded t-digest
@@ -2085,6 +2139,7 @@ QUERIES = {
     "streaming_exact_dedup": q_streaming_exact_dedup,
     "streaming_sessions": q_streaming_sessions,
     "streaming_windowed_topk": q_streaming_windowed_topk,
+    "streaming_windowed_distinct": q_streaming_windowed_distinct,
     "streaming_windowed_quantiles": q_streaming_windowed_quantiles,
     "curation_summary": q_curation_summary,
     "event_sessions": q_event_sessions,
@@ -2932,6 +2987,26 @@ ORACLE_SQL = {
         SELECT user_id, count(DISTINCT sess_id) AS n_sessions,
                count(*) AS n_events
         FROM sess GROUP BY user_id""",
+    "streaming_windowed_distinct": """
+        WITH e AS (
+          SELECT epoch_us(ts::TIMESTAMP) AS us, event_type, user_id
+          FROM events
+        ), mx AS (SELECT max(us) AS m FROM e),
+        c AS (
+          SELECT (us - us % 86400000000) AS ws, event_type,
+                 CAST(count(DISTINCT user_id) AS DOUBLE) AS estimate,
+                 count(*) AS rows_seen
+          FROM e GROUP BY 1, 2)
+        -- one data micro-batch: every window emits its running row
+        SELECT ws AS ws_us, ws + 86400000000 AS we_us, event_type,
+               estimate, rows_seen, false AS final
+        FROM c
+        UNION ALL
+        -- cleanup batch: timeouts fire for windows strictly behind the
+        -- final watermark (max event time, delay 0)
+        SELECT ws, ws + 86400000000, event_type, estimate, rows_seen,
+               true
+        FROM c, mx WHERE ws + 86400000000 < m""",
     "streaming_windowed_topk": """
         WITH e AS (
           SELECT epoch_us(ts::TIMESTAMP) AS us, event_type FROM events

@@ -52,11 +52,48 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
     return spark.read.parquet(ref)
 
 
-def write_table(df: DataFrame, ref: str, mode: str = "overwrite") -> None:
+def write_bucketed_table(df: DataFrame, name: str, path: str,
+                         buckets: int, key_cols: list[str],
+                         sort: bool = True,
+                         mode: str = "overwrite") -> None:
+    """Write a BUCKETED (and by default sort-within-bucket) parquet
+    table registered in the session catalog — the storage layout that
+    makes repeated large-table equi-joins and aggregations on
+    ``key_cols`` exchange-free: both sides of a join bucketed by the
+    same keys into the same bucket count are read already
+    co-partitioned, so the join plans with ZERO Exchange nodes (and
+    zero Sort nodes when ``sort=True``) — at 100 TB this converts every
+    fact-to-fact join on the bucket key from a full-data shuffle into a
+    local merge per bucket. The Iceberg equivalent is a ``bucket(N,
+    col)`` partition transform; this is the vanilla-Spark form
+    (catalog-tracked external parquet table at ``path``).
+
+    Trade-off a caller should know: bucket count is fixed at write time
+    (pick it for the target cluster's task granularity), and writes
+    shuffle into the buckets — you pay one exchange at ingest to delete
+    one from every subsequent join/agg."""
+    w = df.write.mode(mode).option("path", path) \
+        .bucketBy(buckets, *key_cols)
+    if sort:
+        w = w.sortBy(*key_cols)
+    w.format("parquet").saveAsTable(name)
+
+
+def write_table(df: DataFrame, ref: str, mode: str = "overwrite",
+                partition_by: list[str] | None = None) -> None:
     """mode: 'overwrite' (full replace) or 'append'. Iceberg writes are
     atomic snapshot commits; the parquet fallback inherits Spark's
     directory-commit semantics (the checkpoint layer adds its own
-    write-then-rename meta for atomicity where it matters)."""
+    write-then-rename meta for atomicity where it matters).
+
+    ``partition_by`` lays the table out hive-style (one directory per
+    partition value): any later read filtered on those columns prunes
+    whole partitions at planning time (PartitionFilters in the scan —
+    the listing never touches excluded directories), which is the
+    difference between scanning a day and scanning 100 TB for
+    time-ranged queries. Iceberg gets the same via its partition spec;
+    pick LOW-cardinality columns (day, source), never high-cardinality
+    ids (a million tiny directories is its own scale failure)."""
     if ref.startswith(ICEBERG_PREFIX):
         name = _require_iceberg(df.sparkSession, ref)
         w = df.writeTo(name)
@@ -65,4 +102,7 @@ def write_table(df: DataFrame, ref: str, mode: str = "overwrite") -> None:
         else:
             w.createOrReplace()
         return
-    df.write.mode(mode).parquet(ref)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(ref)
