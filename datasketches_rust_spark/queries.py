@@ -802,6 +802,59 @@ def q_balanced_sample(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+def q_mixture_sample_plan(spark, sf_dir):
+    """DATA-MIXING plan + application — alpha-temperature source
+    reweighting (the multilingual/pretraining mixture scheme, alpha=0.5:
+    sample source i proportional to sqrt(N_i), flattening the head
+    without drowning the tail), distinct from balanced_sample's
+    equalize-counts rule. The whole plan is EXACT INTEGER math so both
+    engines agree bit-for-bit: weights are isqrt(n_tokens) (sqrt of an
+    int is correctly rounded, floor is exact), the token budget is
+    total div 2, per-source targets are (budget * w) div total_w capped
+    at n_tokens, and the md5-uniform keep threshold is
+    (target * 2^32) div n_tokens — no float ever enters an aggregate,
+    so no cross-engine addition-order divergence (the CLAUDE.md float
+    window-sum lesson). Membership is salted ('mix:') so this sample is
+    independent of every other md5-derived decision.
+
+    Scale shape: one corpus scan computes per-doc token counts; the
+    source-level plan is a ~#sources-row aggregate (broadcast back
+    explicitly), and application is a pure map filter — no corpus
+    shuffle, no per-source sort. Products stay under 2^63 until
+    ~10^18 token-weight scale; past that, lift the two products to
+    DECIMAL(38,0) (both engines support it) — noted here so the
+    overflow is a documented boundary, not a silent wrap."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count_col(F.col("text")).alias("nt"))
+    per = (docs.groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("nt").alias("n_tokens"))
+           .withColumn("w", F.floor(F.sqrt(F.col("n_tokens")))
+                       .cast("long")))
+    tot = per.agg(F.sum("w").alias("tw"), F.sum("n_tokens").alias("tt"))
+    plan = (per.crossJoin(F.broadcast(tot))
+            .withColumn("target_tokens",
+                        F.expr("least(n_tokens, ((tt div 2) * w) div tw)"))
+            .withColumn("thresh",
+                        F.expr("(target_tokens * 4294967296)"
+                               " div n_tokens")))
+    u32 = F.conv(F.substring(F.md5(F.concat(
+        F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long")
+    kept = (docs.join(F.broadcast(plan.select("source", "thresh")),
+                      "source")
+            .where(u32 < F.col("thresh"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_kept_docs"),
+                 F.sum("nt").alias("n_kept_tokens")))
+    return (plan.join(kept, "source", "left")
+            .select("source", "n_docs", "n_tokens", "target_tokens",
+                    F.coalesce("n_kept_docs", F.lit(0)).cast("long")
+                    .alias("n_kept_docs"),
+                    F.coalesce("n_kept_tokens", F.lit(0)).cast("long")
+                    .alias("n_kept_tokens")))
+
+
 SEQ_LEN = 512     # tokens per packed training sequence
 PACK_SHARDS = 16  # parallel packing streams per source
 
@@ -2097,6 +2150,7 @@ QUERIES = {
     "dedup_against_index": q_dedup_against_index,
     "dedup_clusters": q_dedup_clusters,
     "leakage_safe_split": q_leakage_safe_split,
+    "mixture_sample_plan": q_mixture_sample_plan,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "containment_dup_pairs": q_containment_dup_pairs,
     "simhash_near_docs": q_simhash_near_docs,
@@ -2675,6 +2729,38 @@ ORACLE_SQL = {
         SELECT b.source, n_docs, n_words, p50_chars, p90_chars,
                max_chars, n_langs
         FROM base b JOIN pct USING (source)""",
+    "mixture_sample_plan": """
+        WITH t AS (
+          SELECT doc_id, source,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+'))
+                 END AS nt
+          FROM documents),
+        per AS (SELECT source, count(*) AS n_docs,
+                       CAST(sum(nt) AS BIGINT) AS n_tokens
+                FROM t GROUP BY 1),
+        perw AS (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w
+                 FROM per),
+        tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+                       CAST(sum(n_tokens) AS BIGINT) AS tt FROM perw),
+        plan AS (
+          SELECT source, n_docs, n_tokens,
+                 least(n_tokens, ((tt // 2) * w) // tw) AS target_tokens
+          FROM perw CROSS JOIN tot),
+        pl2 AS (SELECT *,
+                       (target_tokens * 4294967296) // n_tokens AS thresh
+                FROM plan),
+        kept AS (
+          SELECT t.source, count(*) AS n_kept_docs,
+                 CAST(sum(t.nt) AS BIGINT) AS n_kept_tokens
+          FROM t JOIN pl2 USING (source)
+          WHERE ('0x' || substr(md5('mix:' || cast(t.doc_id AS VARCHAR)),
+                                1, 8))::BIGINT < thresh
+          GROUP BY 1)
+        SELECT p.source, p.n_docs, p.n_tokens, p.target_tokens,
+               coalesce(k.n_kept_docs, 0) AS n_kept_docs,
+               coalesce(k.n_kept_tokens, 0) AS n_kept_tokens
+        FROM pl2 p LEFT JOIN kept k USING (source)""",
     "balanced_sample": """
         WITH counts AS (
           SELECT source, count(*) AS cnt FROM documents GROUP BY source

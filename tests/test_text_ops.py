@@ -546,3 +546,30 @@ class TestCdcApply:
         assert out[17]["fp"] == md5("text of doc 17")
         assert out[1000017]["fp"] == md5("new text of doc 17")
         assert out[1000017]["source"] == "src1"
+
+
+class TestMixtureSamplePlan:
+    def test_alpha_half_flattens_head(self, spark, tmp_path):
+        from datasketches_rust_spark.queries import q_mixture_sample_plan
+
+        # source A: 9 docs x 100 tokens = 900; B: 1 doc x 100 tokens.
+        # w = isqrt: (30, 10); budget = 1000 div 2 = 500; total_w = 40.
+        # target_A = min(900, 500*30 div 40) = 375
+        # target_B = min(100, 500*10 div 40) = 100 (cap binds)
+        rows = [(i, " ".join(f"w{i}x{j}" for j in range(100)), "A")
+                for i in range(9)]
+        rows.append((99, " ".join(f"y{j}" for j in range(100)), "B"))
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+
+        got = {r["source"]: r for r in
+               q_mixture_sample_plan(spark, str(tmp_path)).collect()}
+        a, b = got["A"], got["B"]
+        assert (a["n_tokens"], b["n_tokens"]) == (900, 100)
+        assert (a["target_tokens"], b["target_tokens"]) == (375, 100)
+        # alpha=0.5 flattening: the big source is downsampled harder
+        assert a["target_tokens"] / a["n_tokens"] \
+            < b["target_tokens"] / b["n_tokens"]
+        # cap-bound source keeps everything (thresh = 2^32)
+        assert (b["n_kept_docs"], b["n_kept_tokens"]) == (1, 100)
+        assert 0 <= a["n_kept_tokens"] <= 900
