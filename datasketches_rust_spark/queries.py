@@ -855,6 +855,82 @@ def q_mixture_sample_plan(spark, sf_dir):
                     .alias("n_kept_tokens")))
 
 
+FEATURE_HASH_DIM = 64  # hashed-feature space size (2^6 buckets)
+
+
+def q_feature_hash_features(spark, sf_dir):
+    """FEATURE HASHING (the hashing-trick vectorizer, sklearn
+    HashingVectorizer / VW class): map each token to one of
+    FEATURE_HASH_DIM buckets by hash and emit per-doc sparse counts
+    (doc_id, bucket, n) — the fixed-dimension, vocabulary-free text
+    featurization for downstream ML, where the whole point at 10^12
+    docs is that NO vocabulary table is ever built, broadcast, or
+    joined (collisions are the accepted trade). The bucket hash is the
+    repo's cross-engine md5-uniform (first 8 hex chars as u32, mod D)
+    so the DuckDB oracle reproduces every bucket id exactly.
+
+    Scale shape: tokenize + bucket in the scan stage (pure JVM split /
+    md5 / conv), then ONE groupBy on (doc_id, bucket) whose shuffle
+    rows are two longs + a count — map-side combine collapses each
+    doc's repeats before the exchange (tokens repeat within docs; Zipf
+    across docs is irrelevant because doc_id is in the key, so no hot
+    reducer)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bucket = (F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+              .cast("long") % FEATURE_HASH_DIM)
+    return (docs
+            .where(F.length(F.trim(F.col("text"))) > 0)
+            .select("doc_id", F.explode(toks).alias("tok"))
+            .select("doc_id", bucket.alias("bucket"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count("*").alias("n")))
+
+
+def q_price_decile_bins(spark, sf_dir):
+    """QUANTILE BINNING (equi-height feature bins — the ML feature-prep
+    discretization): exact decile cut points over lineitem price, then
+    every row bucketed 0..9 by how many cuts it clears, reported as
+    per-bin (rows, lo, hi, sum). Money is handled in integers
+    throughout (cents = round(price*100), binned on whole dollars) so
+    the gate is hash-exact — no float percentile, no float sum.
+
+    Scale shape: the cut computation is source_profile's bounded-
+    cardinality histogram walk — (dollar, count) aggregate first
+    (map-side combined; cardinality bounded by the price DOMAIN, not
+    the row count), cumulative window over that tiny table, the q-th
+    cut = smallest value whose running count reaches floor((n-1)q)+1.
+    The 9 cuts then travel to the fact scan as ONE broadcast array row
+    and binning is a pure JVM map (size(filter(cuts, c <= v))) — the
+    raw table never sorts and never shuffles except the final 10-row
+    aggregate. percentile_approx would avoid even the histogram pass
+    at the cost of exactness; this is the exact path."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        .alias("cents"))
+    li = li.withColumn("v", F.expr("cents div 100"))
+    n = li.agg(F.count("*").alias("n"))
+    cum = (li.groupBy("v").agg(F.count("*").alias("c"))
+           .withColumn("cum", F.sum("c").over(
+               Window.orderBy("v"))))
+    qs = [i / 10 for i in range(1, 10)]
+    cuts_row = (cum.crossJoin(F.broadcast(n)).agg(*[
+        F.min(F.when(F.col("cum") >= F.floor((F.col("n") - 1)
+                                             * F.lit(q)) + 1,
+                     F.col("v"))).alias(f"c{i}")
+        for i, q in enumerate(qs)]))
+    cuts = cuts_row.select(F.array(*[F.col(f"c{i}")
+                                     for i in range(9)]).alias("cs"))
+    binned = (li.crossJoin(F.broadcast(cuts))
+              .withColumn("bin", F.size(F.filter(
+                  "cs", lambda c: c <= F.col("v")))))
+    return (binned.groupBy("bin")
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("v").alias("lo_dollars"),
+                 F.max("v").alias("hi_dollars"),
+                 F.sum("cents").alias("sum_cents")))
+
+
 SEQ_LEN = 512     # tokens per packed training sequence
 PACK_SHARDS = 16  # parallel packing streams per source
 
@@ -1900,6 +1976,56 @@ def q_streaming_windowed_distinct(spark, sf_dir):
         shutil.rmtree(ck, ignore_errors=True)
 
 
+def q_streaming_windowed_sliding(spark, sf_dir):
+    """REAL streaming SLIDING-window distinct count (2-day window, 1-day
+    slide — the rolling-active-users shape): exercises the sliding path
+    of _windowed_state_apply under the driver hash gate — each event
+    fans into its ceil(W/S)=2 covering windows via the integer-exact
+    epoch-aligned explode, every covering window keeps its own theta
+    state, and overlapping windows therefore report overlapping (not
+    partitioned) user sets — the semantics a tumbling window cannot
+    express. lg_k=16 exact mode again makes running + finalized rows
+    hash-match the exact COUNT(DISTINCT) oracle, whose SQL mirrors the
+    two covering starts per row (d and d - 1 day) and the
+    behind-final-watermark finalization rule."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from datasketches_rust_spark.streaming import windowed_sketch_estimates
+    ev_path = f"{sf_dir}/events.parquet"
+    src_dir = tempfile.mkdtemp(prefix="dsrs_ws_src_")
+    ck = tempfile.mkdtemp(prefix="dsrs_ws_ck_")
+    try:
+        os.symlink(os.path.abspath(ev_path),
+                   os.path.join(src_dir, "events.parquet"))
+        schema = spark.read.parquet(ev_path).schema
+        stream = (spark.readStream.schema(schema).parquet(src_dir)
+                  .select(F.col("ts").cast("timestamp").alias("ts"),
+                          "user_id"))
+        out = windowed_sketch_estimates(stream, [], "ts", "user_id",
+                                        window_duration="2 days",
+                                        watermark="0 seconds",
+                                        kind="theta", lg_k=16,
+                                        slide="1 day")
+        name = "dsrs_ws_" + uuid.uuid4().hex[:8]
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_windowed_sliding did not finish within 300s")
+        return (spark.table(name)
+                .select(F.unix_micros("window_start").alias("ws_us"),
+                        F.unix_micros("window_end").alias("we_us"),
+                        "estimate", "rows_seen", "final"))
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
 def q_streaming_windowed_quantiles(spark, sf_dir):
     """REAL streaming windowed QUANTILES (p50/p95 event value per day)
     — the observability-metric shape with mergeable bounded t-digest
@@ -2151,6 +2277,8 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "leakage_safe_split": q_leakage_safe_split,
     "mixture_sample_plan": q_mixture_sample_plan,
+    "feature_hash_features": q_feature_hash_features,
+    "price_decile_bins": q_price_decile_bins,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "containment_dup_pairs": q_containment_dup_pairs,
     "simhash_near_docs": q_simhash_near_docs,
@@ -2194,6 +2322,7 @@ QUERIES = {
     "streaming_sessions": q_streaming_sessions,
     "streaming_windowed_topk": q_streaming_windowed_topk,
     "streaming_windowed_distinct": q_streaming_windowed_distinct,
+    "streaming_windowed_sliding": q_streaming_windowed_sliding,
     "streaming_windowed_quantiles": q_streaming_windowed_quantiles,
     "curation_summary": q_curation_summary,
     "event_sessions": q_event_sessions,
@@ -2729,6 +2858,42 @@ ORACLE_SQL = {
         SELECT b.source, n_docs, n_words, p50_chars, p90_chars,
                max_chars, n_langs
         FROM base b JOIN pct USING (source)""",
+    "price_decile_bins": """
+        WITH li AS (
+          SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) // 100
+                   AS v
+          FROM lineitem),
+        nn AS (SELECT count(*) AS n FROM li),
+        cum AS (
+          SELECT v, count(*) AS c,
+                 sum(count(*)) OVER (ORDER BY v
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM li GROUP BY v),
+        cuts AS (
+          SELECT list(cut ORDER BY cut) AS cs FROM (
+            SELECT min(CASE WHEN cum >= floor((n - 1) * q.q) + 1
+                            THEN v END) AS cut
+            FROM cum CROSS JOIN nn
+            CROSS JOIN (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6,
+                                       0.7, 0.8, 0.9]) AS q) q
+            GROUP BY q.q))
+        SELECT len(list_filter(cs, c -> c <= v)) AS bin,
+               count(*) AS n_rows,
+               min(v) AS lo_dollars, max(v) AS hi_dollars,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM li CROSS JOIN cuts
+        GROUP BY 1""",
+    "feature_hash_features": """
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                   AS tok
+          FROM documents WHERE length(trim(text)) > 0)
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+               count(*) AS n
+        FROM t GROUP BY 1, 2""",
     "mixture_sample_plan": """
         WITH t AS (
           SELECT doc_id, source,
@@ -3073,6 +3238,27 @@ ORACLE_SQL = {
         SELECT user_id, count(DISTINCT sess_id) AS n_sessions,
                count(*) AS n_events
         FROM sess GROUP BY user_id""",
+    "streaming_windowed_sliding": """
+        WITH e AS (
+          SELECT epoch_us(ts::TIMESTAMP) AS us, user_id FROM events
+        ), mx AS (SELECT max(us) AS m FROM e),
+        -- each row belongs to its 2 covering windows (W=2d, S=1d):
+        -- starts d and d - 1 day, d = epoch-aligned day of the event
+        w AS (
+          SELECT unnest([us - us % 86400000000,
+                         us - us % 86400000000 - 86400000000]) AS ws,
+                 user_id
+          FROM e),
+        c AS (
+          SELECT ws, CAST(count(DISTINCT user_id) AS DOUBLE) AS estimate,
+                 count(*) AS rows_seen
+          FROM w GROUP BY 1)
+        SELECT ws AS ws_us, ws + 172800000000 AS we_us,
+               estimate, rows_seen, false AS final
+        FROM c
+        UNION ALL
+        SELECT ws, ws + 172800000000, estimate, rows_seen, true
+        FROM c, mx WHERE ws + 172800000000 < m""",
     "streaming_windowed_distinct": """
         WITH e AS (
           SELECT epoch_us(ts::TIMESTAMP) AS us, event_type, user_id

@@ -573,3 +573,48 @@ class TestMixtureSamplePlan:
         # cap-bound source keeps everything (thresh = 2^32)
         assert (b["n_kept_docs"], b["n_kept_tokens"]) == (1, 100)
         assert 0 <= a["n_kept_tokens"] <= 900
+
+
+class TestFeatureHashing:
+    def test_buckets_match_reference_hash_and_counts(self, spark,
+                                                     tmp_path):
+        import hashlib
+
+        from datasketches_rust_spark.queries import (FEATURE_HASH_DIM,
+                                                     q_feature_hash_features)
+
+        rows = [(1, "apple banana apple Cherry cherry cherry", "web"),
+                (2, "", "web")]  # empty doc contributes nothing
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+
+        got = {(r["doc_id"], r["bucket"]): r["n"] for r in
+               q_feature_hash_features(spark, str(tmp_path)).collect()}
+        bucket = lambda t: int(
+            hashlib.md5(t.encode()).hexdigest()[:8], 16) % FEATURE_HASH_DIM
+        want = {}
+        for t, n in (("apple", 2), ("banana", 1), ("cherry", 3)):
+            want[(1, bucket(t))] = want.get((1, bucket(t)), 0) + n
+        assert got == want
+
+
+class TestPriceDecileBins:
+    def test_hand_computed_deciles(self, spark, tmp_path):
+        from datasketches_rust_spark.queries import q_price_decile_bins
+
+        # prices 1.00 .. 100.00; n=100, cut_q = value at floor(99q)+1
+        # -> cuts [10, 20, ..., 90]; bin b = #cuts <= v
+        rows = [(i, float(i)) for i in range(1, 101)]
+        df = spark.createDataFrame(rows, ["l_orderkey", "l_extendedprice"])
+        df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+        got = {r["bin"]: r for r in
+               q_price_decile_bins(spark, str(tmp_path)).collect()}
+        assert set(got) == set(range(10))
+        assert (got[0]["n_rows"], got[0]["lo_dollars"],
+                got[0]["hi_dollars"]) == (9, 1, 9)
+        assert (got[1]["n_rows"], got[1]["lo_dollars"],
+                got[1]["hi_dollars"]) == (10, 10, 19)
+        assert (got[9]["n_rows"], got[9]["lo_dollars"],
+                got[9]["hi_dollars"]) == (11, 90, 100)
+        assert got[9]["sum_cents"] == sum(i * 100 for i in range(90, 101))

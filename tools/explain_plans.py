@@ -502,6 +502,23 @@ def main() -> None:
             r"PushedFilters: \[.*l_returnflag.*\]",
     })
 
+    # 24. mixture_sample_plan: the source-level plan broadcasts back to
+    #     the corpus — application is a map filter, no corpus shuffle on
+    #     source, no Python anywhere
+    mx = Q.q_mixture_sample_plan(spark, SF_DIR)
+    failures += audit("mixture_sample_plan", mx, {
+        "plan/thresh joins are broadcast (2+ BroadcastExchange)":
+            lambda p: len(re.findall(r"BroadcastExchange", p)) >= 2,
+        "no SortMergeJoin (corpus never shuffles on source)":
+            lambda p: "SortMergeJoin" not in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+        "text column pruned below every exchange (token counts are "
+        "computed in the scan stage)":
+            lambda p: not re.search(r"Exchange hashpartitioning\([^)]*text",
+                                    p),
+    })
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")
