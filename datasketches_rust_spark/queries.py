@@ -254,6 +254,47 @@ def q_dedup_clusters(spark, sf_dir):
         .select("doc_id", "cluster_id")
 
 
+def q_dup_graph_triangles(spark, sf_dir):
+    """GRAPH ANALYTICS beyond connected components: triangle count and
+    global clustering coefficient of the near-dup graph — the shape
+    diagnostic that tells a curation run whether its dup clusters are
+    cliques (true duplicates: transitive, safe to collapse) or chains
+    (threshold-straddling drift: collapsing merges non-dups). Edges are
+    the SAME verified pairs the dedup pipeline emits (already
+    hash-gated in minhash_dup_pairs), oriented a<b.
+
+    The classic distributed formulation: candidate paths by joining
+    the a<b edge list with itself on the middle vertex (the a<b<c
+    ordering makes each triangle counted exactly ONCE), closed by
+    probing the (a,c) edge — both joins carry two longs. Wedges (for
+    the coefficient's denominator) never need a join at all: W = sum
+    over vertices of C(deg, 2) from the degree aggregate. At scale the
+    known hazard is a hot vertex (deg d -> d^2 candidate paths) — the
+    SAME hazard the pipeline's hot-bucket star degrade already caps
+    upstream: a star hub's neighbors get no edges among themselves, so
+    the degrade composes safely here. coeff = 3*T / W, one division of
+    two exact integers. One declarative plan, no driver-side loop."""
+    docs = _t(spark, sf_dir, "documents")
+    e = (dedup_pairs(docs, CFG, "doc_id", "text")
+         .select("id_a", "id_b"))
+    x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
+    tri = (x.join(y, F.col("x.id_b") == F.col("y.id_a"))
+           .join(z, (F.col("x.id_a") == F.col("z.id_a"))
+                 & (F.col("y.id_b") == F.col("z.id_b")))
+           .agg(F.count("*").alias("n_triangles")))
+    deg = (e.select(F.col("id_a").alias("v"))
+           .unionAll(e.select(F.col("id_b").alias("v")))
+           .groupBy("v").agg(F.count("*").alias("d")))
+    stats = deg.agg(
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"))
+    return (stats.crossJoin(tri)
+            .select("n_edges", "n_wedges", "n_triangles",
+                    F.when(F.col("n_wedges") > 0,
+                           3 * F.col("n_triangles") / F.col("n_wedges"))
+                    .otherwise(F.lit(0.0)).alias("clustering_coeff")))
+
+
 # md5-hex-prefix split boundaries: < f0 -> train (240/256 = 93.75%),
 # [f0, f8) -> val (3.125%), >= f8 -> test (3.125%). Lexicographic compare
 # of the lowercase hex prefix is the one uniform both engines compute
@@ -2275,6 +2316,7 @@ QUERIES = {
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "dedup_against_index": q_dedup_against_index,
     "dedup_clusters": q_dedup_clusters,
+    "dup_graph_triangles": q_dup_graph_triangles,
     "leakage_safe_split": q_leakage_safe_split,
     "mixture_sample_plan": q_mixture_sample_plan,
     "feature_hash_features": q_feature_hash_features,
@@ -2558,6 +2600,25 @@ ORACLE_SQL = {
           SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s)
         SELECT src AS doc_id, min(dst) AS cluster_id
         FROM reach GROUP BY src""",
+    "dup_graph_triangles": _SHINGLE_PAIRS_CTE + """,
+        tri AS (
+          SELECT count(*) AS n_triangles
+          FROM jpairs x
+          JOIN jpairs y ON x.id_b = y.id_a
+          JOIN jpairs z ON z.id_a = x.id_a AND z.id_b = y.id_b),
+        deg AS (
+          SELECT v, count(*) AS d FROM (
+            SELECT id_a AS v FROM jpairs
+            UNION ALL SELECT id_b FROM jpairs) GROUP BY v),
+        st AS (
+          SELECT CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+                 CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+          FROM deg)
+        SELECT n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges > 0
+                    THEN 3 * n_triangles / n_wedges
+                    ELSE 0.0 END AS clustering_coeff
+        FROM st CROSS JOIN tri""",
     "leakage_safe_split": _SHINGLE_PAIRS_CTE + """,
         edges AS (
           SELECT id_a AS s, id_b AS d FROM jpairs

@@ -618,3 +618,26 @@ class TestPriceDecileBins:
         assert (got[9]["n_rows"], got[9]["lo_dollars"],
                 got[9]["hi_dollars"]) == (11, 90, 100)
         assert got[9]["sum_cents"] == sum(i * 100 for i in range(90, 101))
+
+
+class TestDupGraphTriangles:
+    def test_clique_and_pair_counts(self, spark, tmp_path):
+        from datasketches_rust_spark.queries import q_dup_graph_triangles
+
+        # 4 identical docs -> K4 (6 edges, 12 wedges, 4 triangles);
+        # 2 identical docs -> K2 (1 edge, no wedge); singletons add nothing
+        quad = ("the quick brown fox jumps over the lazy dog near the "
+                "quiet river bank at dawn every single day")
+        pair = ("an entirely different duplicated document about tensor "
+                "compilers and kernel fusion strategies in depth")
+        rows = [(i, quad, "web") for i in range(4)]
+        rows += [(10, pair, "web"), (11, pair, "web")]
+        rows += [(20 + i, f"unique filler text number {i} with words "
+                  f"{i * 3} {i * 7} {i * 11}", "web") for i in range(3)]
+        d = tmp_path / "documents.parquet"
+        _docs(spark, rows).write.mode("overwrite").parquet(str(d))
+
+        (row,) = q_dup_graph_triangles(spark, str(tmp_path)).collect()
+        assert (row["n_edges"], row["n_wedges"], row["n_triangles"]) \
+            == (7, 12, 4)
+        assert row["clustering_coeff"] == 1.0
