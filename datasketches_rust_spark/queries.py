@@ -1563,6 +1563,119 @@ def q_customers_without_orders(spark, sf_dir):
             .select("c_custkey", "c_name", "c_mktsegment"))
 
 
+def q_tpch_q5_local_supplier(spark, sf_dir):
+    """Multi-way join operator class (TPC-H Q5 shape): revenue per nation
+    from ASIA-region customers served by a supplier in their OWN nation,
+    over one order year. This is the canonical star-ish 6-table plan and
+    the query whose physical shape matters most at 100 TB: the ONLY big
+    exchanges are the two fact joins (lineitem<->orders on orderkey,
+    orders<->customer on custkey); region+nation collapse into a
+    broadcast dim, supplier joins as a broadcast hash join carrying just
+    (s_suppkey, s_nationkey, n_name), and the "local supplier" predicate
+    c_nationkey = s_nationkey rides that broadcast join instead of
+    forcing any extra shuffle. The one-year date filter is pushed into
+    the orders parquet scan BEFORE the orderkey exchange (Catalyst
+    PushedFilters), so the big join moves one year of orders, not seven.
+    Revenue is emitted in integer CENTS (per-row round, then integer
+    sum) so the cross-engine hash is exact regardless of float addition
+    order; the oracle is the classic flat-WHERE form whose join order
+    DuckDB's optimizer rediscovers."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = (_t(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate")
+                      >= F.lit("1996-01-01").cast("timestamp"))
+                     & (F.col("o_orderdate")
+                        < F.lit("1997-01-01").cast("timestamp"))))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nat = _t(spark, sf_dir, "nation")
+    sup = _t(spark, sf_dir, "supplier")
+    dim = (nat.join(F.broadcast(reg),
+                    nat["n_regionkey"] == reg["r_regionkey"])
+           .select("n_nationkey", "n_name"))
+    sup_d = (sup.join(F.broadcast(dim),
+                      sup["s_nationkey"] == dim["n_nationkey"])
+             .select("s_suppkey", "s_nationkey", "n_name"))
+    o_c = (orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+           .select("o_orderkey", "c_nationkey"))
+    joined = (li.select("l_orderkey", "l_suppkey",
+                        "l_extendedprice", "l_discount")
+              .join(o_c, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(sup_d),
+                    (F.col("l_suppkey") == F.col("s_suppkey"))
+                    & (F.col("c_nationkey") == F.col("s_nationkey"))))
+    return (joined.groupBy("n_name")
+            .agg(F.sum(F.round(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")) * 100)
+                       .cast("long")).alias("revenue_cents"),
+                 F.count("*").alias("n_items"))
+            .select(F.col("n_name").alias("nation"),
+                    "revenue_cents", "n_items"))
+
+
+def q_daily_gapfill_ffill(spark, sf_dir):
+    """Time-series RESAMPLE + forward-fill operator class (gap-fill): the
+    daily revenue series of in-progress ('P') orders per priority is
+    re-gridded onto a dense calendar spine and missing days carry the
+    last observed value forward — the standard shape for turning sparse
+    event data into an aligned daily panel (feature tables, monitoring
+    dashboards). Scale shape: the corpus-sized work is exactly one
+    (priority, day) partial aggregate; the spine is dims x days (a few
+    thousand rows per series key — bounded by TIME, not by data volume)
+    built from a literal F.sequence, so the left join's right side is
+    the tiny one and the ffill window runs per-priority over ~2.4k day
+    rows. last(ignorenulls) over ROWS UNBOUNDED PRECEDING is the
+    forward-fill primitive; days before a series' first observation
+    stay NULL on both engines (29 rows at sf0.01 — the non-vacuous
+    leading-edge case). Revenue carried in integer cents so the copied
+    fill values hash exactly."""
+    orders = (_t(spark, sf_dir, "orders")
+              .where(F.col("o_orderstatus") == "P"))
+    daily = (orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+             .alias("rev_cents")))
+    days = (spark.range(1).select(F.explode(F.sequence(
+        F.lit("1995-01-01").cast("date"), F.lit("2001-08-01").cast("date"),
+        F.expr("interval 1 day"))).alias("day")))
+    priorities = orders.select(
+        F.col("o_orderpriority").alias("priority")).distinct()
+    spine = priorities.crossJoin(F.broadcast(days))
+    w = (Window.partitionBy("priority").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (spine.join(daily, ["priority", "day"], "left")
+            .select("priority", "day",
+                    F.col("rev_cents").isNotNull().alias("observed"),
+                    F.last("rev_cents", ignorenulls=True).over(w)
+                    .alias("rev_cents_ffill")))
+
+
+def q_small_quantity_revenue(spark, sf_dir):
+    """Correlated scalar subquery operator class (TPC-H Q17 shape):
+    revenue from lineitems whose quantity is below 20% of THAT part's
+    average quantity. The naive semantics re-run an aggregate per outer
+    row; the scale shape is full decorrelation — ONE per-part aggregate
+    (map-side combine collapses lineitem to |parts| rows), then an
+    aggregate-to-fact equi-join on l_partkey where the fact side is
+    pruned to 3 columns before the exchange. Quantities are
+    integer-valued doubles, so the per-part avg is bit-identical across
+    engines (exact integer partial sums / count) and the 0.2*avg
+    threshold comparison is deterministic; revenue again in integer
+    cents. A brand-filtered variant would broadcast the filtered part
+    list into the lineitem scan first — unfiltered here to exercise the
+    aggregate join at full fact cardinality."""
+    li = _t(spark, sf_dir, "lineitem")
+    pavg = (li.groupBy("l_partkey")
+            .agg((F.avg("l_quantity") * F.lit(0.2)).alias("qlim")))
+    return (li.select("l_partkey", "l_quantity", "l_extendedprice")
+            .join(pavg, "l_partkey")
+            .where(F.col("l_quantity") < F.col("qlim"))
+            .agg(F.count("*").alias("n_small"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                 .alias("rev_cents")))
+
+
 def q_sql_api_theta_distinct(spark, sf_dir):
     """The spark.sql() API surface: sketch build + estimate registered as
     SQL functions (agg.register_sql_udfs) and used from a plain SQL
@@ -2377,6 +2490,9 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "orders_with_returns_semi": q_orders_with_returns_semi,
     "daily_revenue_moving_avg": q_daily_revenue_moving_avg,
+    "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+    "daily_gapfill_ffill": q_daily_gapfill_ffill,
+    "small_quantity_revenue": q_small_quantity_revenue,
     "data_quality_report": q_data_quality_report,
     "sql_api_theta_distinct": q_sql_api_theta_distinct,
     "events_per_day": q_events_per_day,
@@ -3233,6 +3349,47 @@ ORACLE_SQL = {
                     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
                     AS BIGINT) AS cum_rev_cents
         FROM daily""",
+    "tpch_q5_local_supplier": """
+        SELECT n_name AS nation,
+               cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents,
+               count(*) AS n_items
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name""",
+    "daily_gapfill_ffill": """
+        WITH daily AS (
+          SELECT o_orderpriority AS priority, o_orderdate::DATE AS day,
+                 cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS rev_cents
+          FROM orders WHERE o_orderstatus = 'P' GROUP BY 1, 2),
+        spine AS (
+          SELECT p.priority, cast(u.d AS DATE) AS day
+          FROM (SELECT DISTINCT o_orderpriority AS priority
+                FROM orders WHERE o_orderstatus = 'P') p,
+               unnest(range(DATE '1995-01-01', DATE '2001-08-02',
+                            INTERVAL 1 DAY)) AS u(d))
+        SELECT s.priority, s.day,
+               (d.rev_cents IS NOT NULL) AS observed,
+               last_value(d.rev_cents IGNORE NULLS) OVER (
+                 PARTITION BY s.priority ORDER BY s.day
+                 ROWS UNBOUNDED PRECEDING) AS rev_cents_ffill
+        FROM spine s
+        LEFT JOIN daily d ON s.priority = d.priority AND s.day = d.day""",
+    "small_quantity_revenue": """
+        WITH pavg AS (
+          SELECT l_partkey, avg(l_quantity) * 0.2 AS qlim
+          FROM lineitem GROUP BY 1)
+        SELECT cast(count(*) AS BIGINT) AS n_small,
+               cast(sum(cast(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem l JOIN pavg p ON l.l_partkey = p.l_partkey
+        WHERE l.l_quantity < p.qlim""",
     "customers_without_orders": """
         SELECT c_custkey, c_name, c_mktsegment
         FROM customer c

@@ -392,6 +392,57 @@ def main() -> None:
             lambda p: "EvalPython" not in p,
     })
 
+    # 16g. tpch_q5_local_supplier: the 6-table join — dims broadcast,
+    #      date filter pushed into the orders scan, fact columns pruned
+    q5 = Q.q_tpch_q5_local_supplier(spark, SF_DIR)
+    failures += audit("tpch_q5_local_supplier", q5, {
+        "order-year filter pushed to the orders parquet scan":
+            lambda p: re.search(r"PushedFilters: \[[^\]]*o_orderdate", p),
+        "region/nation/supplier side is broadcast (>=2 BroadcastExchange)":
+            lambda p: len(re.findall(r"BroadcastExchange", p)) >= 2,
+        "no cartesian / nested-loop join":
+            lambda p: "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+        "lineitem scan pruned (unused measure columns absent)":
+            lambda p: not re.search(r"ReadSchema:.*l_tax", p)
+            and not re.search(r"ReadSchema:.*l_shipdate", p),
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    # 16h. daily_gapfill_ffill: spine = broadcast literal days x tiny
+    #      priority list; corpus work is ONE (priority, day) aggregate;
+    #      ffill window runs over the spine, never raw orders
+    gf = Q.q_daily_gapfill_ffill(spark, SF_DIR)
+    failures += audit("daily_gapfill_ffill", gf, {
+        "status filter pushed to the orders parquet scan":
+            lambda p: re.search(r"PushedFilters: \[[^\]]*o_orderstatus", p),
+        "ffill window present over the day-level rows":
+            lambda p: "Window" in p,
+        "calendar spine side is broadcast":
+            lambda p: "BroadcastExchange" in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+        "orders scan pruned to the 3 used columns":
+            lambda p: not re.search(r"ReadSchema:.*o_custkey", p),
+    })
+
+    # 16i. small_quantity_revenue: decorrelated Q17 — one per-part
+    #      aggregate, equi-join back on l_partkey, fact side pruned
+    sq = Q.q_small_quantity_revenue(spark, SF_DIR)
+    failures += audit("small_quantity_revenue", sq, {
+        "equi-join on l_partkey (no nested-loop / cartesian)":
+            lambda p: "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+        "lineitem scans pruned (no flags/dates read)":
+            lambda p: not re.search(r"ReadSchema:.*l_returnflag", p)
+            and not re.search(r"ReadSchema:.*l_shipdate", p),
+        "per-part aggregate below the join (HashAggregate present)":
+            lambda p: "HashAggregate" in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
     # 17. balanced_sample: rates join back via BROADCAST; the corpus
     #     side is scan + map filter — no corpus-wide Exchange
     bs = Q.q_balanced_sample(spark, SF_DIR)
