@@ -2029,6 +2029,60 @@ def q_streaming_sessions(spark, sf_dir):
         shutil.rmtree(ck, ignore_errors=True)
 
 
+def q_streaming_interval_join(spark, sf_dir):
+    """Runs a REAL Structured Streaming job — a STREAM-STREAM interval
+    join (streaming/dedup.interval_join_streams): every click pairs with
+    the same user's purchases landing within the following hour, both
+    sides arriving as watermarked streams, availableNow into a memory
+    sink. The time-range condition + double watermark is what bounds the
+    join state at scale (each side buffers ~1 hour per key, not its full
+    history). Deterministic: inner-join matches are emitted exactly once
+    regardless of micro-batching, timestamps exported as the integer
+    gap in microseconds, so the result hash-matches the plain SQL
+    interval self-join oracle (33 pairs at sf0.01 — non-vacuous)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from datasketches_rust_spark.streaming import interval_join_streams
+    ev_path = f"{sf_dir}/events.parquet"
+    src_dir = tempfile.mkdtemp(prefix="dsrs_sij_src_")
+    ck = tempfile.mkdtemp(prefix="dsrs_sij_ck_")
+    try:
+        os.symlink(os.path.abspath(ev_path),
+                   os.path.join(src_dir, "events.parquet"))
+        schema = spark.read.parquet(ev_path).schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        clicks = (stream.where(F.col("event_type") == "click")
+                  .select(F.col("user_id").alias("user_id"),
+                          F.col("event_id").alias("click_id"),
+                          F.col("ts").cast("timestamp").alias("click_ts")))
+        purchases = (stream.where(F.col("event_type") == "purchase")
+                     .select(F.col("user_id").alias("p_user_id"),
+                             F.col("event_id").alias("purchase_id"),
+                             F.col("ts").cast("timestamp")
+                             .alias("purchase_ts")))
+        out = (interval_join_streams(
+            clicks, purchases, [("user_id", "p_user_id")],
+            "click_ts", "purchase_ts", max_delay="1 hour")
+            .select("user_id", "click_id", "purchase_id",
+                    (F.unix_micros("purchase_ts")
+                     - F.unix_micros("click_ts")).alias("gap_us")))
+        name = "dsrs_sij_" + uuid.uuid4().hex[:8]
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_interval_join did not finish within 300s")
+        return spark.table(name)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
 def q_streaming_windowed_topk(spark, sf_dir):
     """REAL streaming windowed TOP-K (trending items): daily event-time
     windows over the events stream, one frequent-items sketch of state
@@ -2475,6 +2529,7 @@ QUERIES = {
     "props_json_stats": q_props_json_stats,
     "streaming_exact_dedup": q_streaming_exact_dedup,
     "streaming_sessions": q_streaming_sessions,
+    "streaming_interval_join": q_streaming_interval_join,
     "streaming_windowed_topk": q_streaming_windowed_topk,
     "streaming_windowed_distinct": q_streaming_windowed_distinct,
     "streaming_windowed_sliding": q_streaming_windowed_sliding,
@@ -3276,6 +3331,15 @@ ORACLE_SQL = {
         GROUP BY 1, 2""",
     "streaming_exact_dedup": """
         SELECT DISTINCT md5(text) AS fp FROM documents""",
+    "streaming_interval_join": """
+        SELECT a.user_id AS user_id,
+               a.event_id AS click_id,
+               b.event_id AS purchase_id,
+               epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""",
     "sql_api_theta_distinct": """
         SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts
         FROM lineitem GROUP BY l_returnflag""",

@@ -10,6 +10,7 @@ engine, replay-safe, and the same bytes the batch pipeline checkpoints.
 from datasketches_rust_spark.streaming.dedup import (
     exact_dedup_stream,
     incremental_dedup_foreach_batch,
+    interval_join_streams,
     read_merged_sketches,
     sketch_stream,
     stateful_sketch_estimates,
@@ -22,6 +23,7 @@ from datasketches_rust_spark.streaming.dedup import (
 __all__ = [
     "exact_dedup_stream",
     "incremental_dedup_foreach_batch",
+    "interval_join_streams",
     "read_merged_sketches",
     "sketch_stream",
     "stateful_sketch_estimates",

@@ -36,6 +36,49 @@ from datasketches_rust_spark.functions.text import (exact_jaccard_udf,
                                                     minhash_struct_udf)
 
 
+def interval_join_streams(left: DataFrame, right: DataFrame,
+                          keys: list[tuple[str, str]],
+                          left_ts: str, right_ts: str,
+                          max_delay: str = "1 hour",
+                          watermark: str = "0 seconds") -> DataFrame:
+    """Stream-stream INNER interval join: each left row matches right
+    rows with the same key whose event time lies in
+    ``[left_ts, left_ts + max_delay]`` (inclusive both ends).
+
+    This is the attribution shape (click -> purchase within the hour)
+    that batch as-of/range joins (operators/asof.py, range_join.py)
+    express offline — here both sides ARRIVE as streams, so the engine
+    must buffer rows waiting for their counterpart. The time-range
+    predicate plus a watermark on BOTH sides is what makes that state
+    bounded (the 100 TB requirement): Spark derives per-side state
+    watermarks from the join condition — a buffered left row is
+    droppable once the global watermark passes ``left_ts + max_delay``,
+    a right row once it passes ``right_ts`` — so state holds only
+    ~``max_delay`` worth of each stream per key instead of the full
+    history. The join itself is one hash exchange per side on the key
+    columns (same physical shape as the batch equi-join); matches emit
+    in the micro-batch where the later side arrives (append mode — the
+    only mode stream-stream joins support).
+
+    ``keys`` is a list of (left_col, right_col) pairs — callers rename
+    columns so the two sides are disjoint (both streams often derive
+    from the same source, and disjoint names keep the self-join lineage
+    unambiguous). Timestamps compare as event time; ``max_delay`` is any
+    SQL interval string."""
+    import functools
+    import operator
+
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    key_eq = [F.col(lc) == F.col(rc) for lc, rc in keys]
+    cond = functools.reduce(operator.and_, key_eq)
+    cond = (cond
+            & (F.col(right_ts) >= F.col(left_ts))
+            & (F.col(right_ts)
+               <= F.col(left_ts) + F.expr(f"interval {max_delay}")))
+    return lw.join(rw, cond, "inner")
+
+
 def exact_dedup_stream(stream_df: DataFrame, id_col: str, text_col: str,
                        ts_col: str, watermark: str = "10 minutes"
                        ) -> DataFrame:

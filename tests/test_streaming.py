@@ -422,3 +422,60 @@ def test_windowed_quantiles(spark, tmp_path):
     open_rows = [r for r in got if not r["final"]
                  and int((r["window_start"] - base).total_seconds()) == 60]
     assert open_rows and max(r["n"] for r in open_rows) == 40
+
+
+def test_interval_join_streams_cross_batch(spark, tmp_path):
+    """Stream-stream interval join across micro-batches: a click buffered
+    in batch-1 state must still match a purchase arriving in batch 2
+    (within the delay bound), while out-of-window and wrong-key
+    purchases never match."""
+    import datetime
+    from datasketches_rust_spark.streaming import interval_join_streams
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def row(kind, user, sec, eid):
+        return (base + datetime.timedelta(seconds=sec), user, kind, eid)
+
+    src = str(tmp_path / "sij_src")
+    schema = "ts timestamp, user string, kind string, id long"
+    batches = [
+        # click + a same-batch purchase 100 s later
+        [row("click", "alice", 0, 1), row("purchase", "alice", 100, 2),
+         row("purchase", "bob", 10, 5)],          # wrong user: no match
+        # cross-batch purchase at 1800 s (inside the hour) and one at
+        # 4000 s (outside 3600 s): the click must still be in state
+        [row("purchase", "alice", 1800, 3),
+         row("purchase", "alice", 4000, 4)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    clicks = (stream.where("kind = 'click'")
+              .selectExpr("user AS c_user", "id AS click_id",
+                          "ts AS click_ts"))
+    purchases = (stream.where("kind = 'purchase'")
+                 .selectExpr("user AS p_user", "id AS purchase_id",
+                             "ts AS purchase_ts"))
+    out = interval_join_streams(clicks, purchases,
+                                [("c_user", "p_user")],
+                                "click_ts", "purchase_ts",
+                                max_delay="1 hour")
+    sink = str(tmp_path / "sij_out")
+
+    def emit(b, _bid):
+        b.write.mode("append").parquet(sink)
+
+    q = (out.writeStream.outputMode("append").foreachBatch(emit)
+         .option("checkpointLocation", str(tmp_path / "sij_ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+
+    got = {(r["click_id"], r["purchase_id"])
+           for r in spark.read.parquet(sink).collect()}
+    # same-batch match (1,2) and cross-batch match (1,3); the 4000 s
+    # purchase is beyond max_delay and bob's is a different key
+    assert got == {(1, 2), (1, 3)}
