@@ -2459,6 +2459,202 @@ def q_pii_redaction_stats(spark, sf_dir):
         F.sum("removed").alias("redacted_chars"))
 
 
+def q_event_ohlc_daily(spark, sf_dir):
+    """Time-series bar downsampling (OHLC resample) — the financial /
+    observability shape: per (day, event_type), open = value of the
+    FIRST event, close = the LAST, plus low/high/count/volume. The
+    scale-right formulation is ONE groupBy over the fact table with
+    open/close as struct-min/max argmin aggregates ((ts, event_id,
+    cents) tuples — event_id breaks ts ties deterministically), never a
+    per-group window sort: the window form sorts every partition's full
+    event stream, while the struct-min partial-aggregates map-side and
+    shuffles one 24-byte tuple per (day, type, mapper). Money stays in
+    integer cents end-to-end (double sums are order-sensitive
+    cross-engine; see daily_revenue_moving_avg)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    e = ev.select(F.to_date("ts").alias("day"), "event_type",
+                  "ts", "event_id", cents.alias("cents"))
+    tup = F.struct("ts", "event_id", "cents")
+    return (e.groupBy("day", "event_type").agg(
+        F.min(tup)["cents"].alias("open_cents"),
+        F.max(tup)["cents"].alias("close_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max("cents").alias("high_cents"),
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("volume_cents")))
+
+
+def q_event_outlier_counts(spark, sf_dir):
+    """Per-group z-score anomaly screen (3-sigma rule) — the data-quality
+    / monitoring shape: one groupBy derives each event_type's (sum,
+    sum-of-squares, n); mean and population std come from those three
+    numbers with the SAME arithmetic expression on both engines (plain
+    group-by double sums match DuckDB bit-for-bit, unlike window
+    cumsums — see daily_revenue_moving_avg), and the 5-row stats table
+    broadcasts back onto the fact scan. Total cost at any scale: one
+    map-side-combined aggregate + one broadcast-join pass; the fact
+    table never shuffles. Fixture margin check: the closest |v-mean| to
+    the 3*std boundary is 0.112, so a last-ulp sum difference can never
+    flip a count."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.sum("value").alias("sv"),
+        F.sum(F.col("value") * F.col("value")).alias("sq"),
+        F.count("*").alias("n"))
+    mean = F.col("sv") / F.col("n")
+    std = F.sqrt(F.col("sq") / F.col("n") - mean * mean)
+    stats = stats.select("event_type", mean.alias("mean"), std.alias("std"))
+    return (ev.join(F.broadcast(stats), "event_type")
+            .groupBy("event_type").agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.when(F.abs(F.col("value") - F.col("mean"))
+                             > 3 * F.col("std"), 1).otherwise(0))
+                .cast("long").alias("n_outliers")))
+
+
+def q_fuzzy_part_name_pairs(spark, sf_dir):
+    """Entity resolution by blocked fuzzy match — the catalog/record-
+    linkage shape (Levenshtein edit distance <= 3 between product
+    names). Scale discipline: a name column is a bounded VOCABULARY
+    (10^6 distinct names under 10^12 catalog rows), so the corpus
+    collapses to a (name, n_parts) aggregate FIRST (map-side combine;
+    raw rows never join), and the quadratic Levenshtein term runs over
+    that vocabulary table self-joined within first-character blocks —
+    |block|^2 over distinct names, never over rows. Both the blocking
+    key and the distance are JVM builtins (whole-stage codegen, no
+    Python)."""
+    names = (_t(spark, sf_dir, "part")
+             .groupBy("p_name").agg(F.count("*").alias("n_parts"))
+             .withColumn("blk", F.substring("p_name", 1, 1)))
+    a, b = names.alias("a"), names.alias("b")
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.p_name") < F.col("b.p_name")))
+            .select(F.col("a.p_name").alias("name_a"),
+                    F.col("b.p_name").alias("name_b"),
+                    F.levenshtein("a.p_name", "b.p_name").alias("dist"),
+                    F.col("a.n_parts").alias("n_a"),
+                    F.col("b.n_parts").alias("n_b"))
+            .where(F.col("dist") <= 3))
+
+
+def q_event_markov_transitions(spark, sf_dir):
+    """First-order Markov transition counts over per-user event
+    sequences — the behavioral-model / next-event-prediction statistic.
+    One exchange total: collect each user's (ts, event_id, event_type)
+    stream into an array_sort'ed array (ts then event_id — fully
+    deterministic ordering), then a JVM transform pairs each element
+    with its successor and a bounded groupBy counts the 5x5 transition
+    matrix. The window-lag formulation needs the same single exchange
+    but adds a per-partition sort of the whole fact table; here the
+    sort is per-user (bounded by a user's event count) inside the
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    seq = (ev.groupBy("user_id")
+           .agg(F.array_sort(F.collect_list(
+               F.struct("ts", "event_id", "event_type"))).alias("s")))
+    pairs = seq.select(F.explode(F.expr(
+        "transform(slice(s, 1, size(s) - 1), (x, i) -> "
+        "struct(x.event_type AS prev_type, "
+        "s[i + 1].event_type AS next_type))")).alias("p"))
+    return (pairs.select("p.prev_type", "p.next_type")
+            .groupBy("prev_type", "next_type")
+            .agg(F.count("*").alias("n_transitions")))
+
+
+_ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def q_doc_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document — a
+    gibberish / encoding-noise quality signal (low entropy = repeated
+    chars, high = uniform noise). Shuffle-free PURE MAP: letter counts
+    come from the length(replace(...)) bounded-alphabet trick (26 JVM
+    expressions over the row, no explode/groupBy), folded through
+    F.aggregate so codegen emits a LOOP over the count array — the
+    straight-line 26-term formulation blows janino's 64KB method limit
+    and drops the stage to interpreted eval. The left-fold adds float
+    terms in alphabet order, the same order as the oracle's explicit
+    `+` chain (ln differs by at most 1 ulp cross-engine; the driver
+    rounds to 9 digits)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.lower(F.col("text")).alias("t"))
+    counts = [(F.length("t") - F.length(F.replace(F.col("t"), F.lit(c))))
+              .cast("double") for c in _ENTROPY_ALPHABET]
+    arr = F.array(*counts)
+    total = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    ent = F.aggregate(
+        arr, F.lit(0.0),
+        lambda a, c: a + F.when(
+            c > 0, -(c / total) * F.log(c / total)).otherwise(F.lit(0.0)))
+    return (d.select("doc_id", total.cast("long").alias("n_letters"),
+                     ent.alias("entropy_nats"))
+            .where(F.col("n_letters") > 0))
+
+
+def _entropy_oracle_sql() -> str:
+    cnt = ("(length(t) - length(replace(t, '{c}', '')))::DOUBLE"
+           .replace("{c}", "%s"))
+    counts = [cnt % c for c in _ENTROPY_ALPHABET]
+    total = " + ".join(counts)
+    terms = " + ".join(
+        f"CASE WHEN {c} > 0 THEN -({c} / n_letters) * ln({c} / n_letters) "
+        f"ELSE 0.0 END" for c in counts)
+    return f"""
+        WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        tot AS (SELECT doc_id, t, {total} AS n_letters FROM d)
+        SELECT doc_id, CAST(n_letters AS BIGINT) AS n_letters,
+               {terms} AS entropy_nats
+        FROM tot WHERE n_letters > 0"""
+
+
+def q_pagerank_dup_docs(spark, sf_dir):
+    """ITERATIVE GRAPH ALGORITHM under the hash gate: PageRank over the
+    near-dup graph (operators/pagerank.py — one shuffle per iteration,
+    adjacency persisted on its own partitioning, fixed 15 iterations,
+    zero driver round-trips in the loop). Centrality ranks the
+    boilerplate hubs / template families a curation run inspects
+    first. The oracle unrolls the same fixed-iteration update into 15
+    chained SQL CTEs over the exact dup-pair edge list (candidate
+    recall is exactly 1.0 at fixture config, as minhash_dup_pairs
+    proves) — both engines compute the same expression tree per step;
+    addition-order float drift (~1e-14) is absorbed by rounding ranks
+    to a 7-decimal grid on BOTH sides."""
+    from datasketches_rust_spark.operators.pagerank import pagerank
+    docs = _t(spark, sf_dir, "documents")
+    edges = dedup_pairs(docs, CFG, "doc_id", "text").select("id_a", "id_b")
+    pr = pagerank(edges)
+    return pr.select(F.col("u").alias("doc_id"),
+                     F.round("r", 7).alias("rank_r7"))
+
+
+def q_orders_settled_returns(spark, sf_dir):
+    """COMBINED SEMI + ANTI join on the same fact table (TPC-H Q21's
+    EXISTS ... AND NOT EXISTS pattern): orders with at least one
+    RETURNED lineitem ('R') and NO still-pending lineitem ('N') — the
+    'return fully settled' report, per priority. Spark plans the two
+    correlated subqueries as one left_semi and one left_anti hash join;
+    each build side is the flag-filtered orderkey column ONLY (filter
+    pushed into the lineitem scan, every other column pruned), and the
+    orders row is never multiplied — a naive join+distinct would
+    materialize orders x matching-lineitems first."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    returned = (li.where(F.col("l_returnflag") == "R")
+                .select("l_orderkey"))
+    pending = (li.where(F.col("l_returnflag") == "N")
+               .select("l_orderkey"))
+    return (orders
+            .join(returned, orders["o_orderkey"] == returned["l_orderkey"],
+                  "left_semi")
+            .join(pending, orders["o_orderkey"] == pending["l_orderkey"],
+                  "left_anti")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("total_cents")))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -2556,6 +2752,13 @@ QUERIES = {
     "cdc_apply_reconstruction": q_cdc_apply_reconstruction,
     "cluster_size_histogram": q_cluster_size_histogram,
     "range_join_shipments": q_range_join_shipments,
+    "event_ohlc_daily": q_event_ohlc_daily,
+    "event_outlier_counts": q_event_outlier_counts,
+    "fuzzy_part_name_pairs": q_fuzzy_part_name_pairs,
+    "event_markov_transitions": q_event_markov_transitions,
+    "doc_char_entropy": q_doc_char_entropy,
+    "pagerank_dup_docs": q_pagerank_dup_docs,
+    "orders_settled_returns": q_orders_settled_returns,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -3720,3 +3923,109 @@ GROUP BY p.doc_id"""
 
 
 ORACLE_SQL["bpe_tokens_per_doc"] = _bpe_oracle_sql()
+ORACLE_SQL["doc_char_entropy"] = _entropy_oracle_sql()
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unroll the fixed-iteration PageRank update into chained CTEs over
+    the exact dup-pair edge list — the same expression tree per step as
+    operators/pagerank.py (init 1/N, step base + d*sum(r/deg)); float
+    literals are written so DuckDB parses the identical doubles."""
+    from datasketches_rust_spark.operators.pagerank import (
+        PAGERANK_DAMPING, PAGERANK_ITERS)
+    d = repr(PAGERANK_DAMPING)
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    # reference, so without it every r_i re-evaluates the whole shingle
+    # self-join — exponential blowup across 15 chained steps.
+    head = _SHINGLE_PAIRS_CTE + f""",
+sym AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM jpairs
+        UNION ALL SELECT id_b AS u, id_a AS v FROM jpairs),
+deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+nn AS (SELECT count(*) AS n FROM deg),
+consts AS MATERIALIZED (SELECT 1.0::DOUBLE / n AS init,
+                  (1.0::DOUBLE - {d}::DOUBLE) / n AS base FROM nn),
+r0 AS MATERIALIZED (SELECT u, (SELECT init FROM consts) AS r FROM deg)"""
+    steps = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        steps.append(f"""
+r{i} AS MATERIALIZED (
+  SELECT s.v AS u,
+         (SELECT base FROM consts) + {d}::DOUBLE * sum(p.r / dg.deg) AS r
+  FROM sym s JOIN r{i - 1} p ON p.u = s.u JOIN deg dg ON dg.u = s.u
+  GROUP BY s.v)""")
+    return (head + "," + ",".join(steps)
+            + f"\nSELECT u AS doc_id, round(r, 7) AS rank_r7"
+              f" FROM r{PAGERANK_ITERS}")
+
+
+ORACLE_SQL["pagerank_dup_docs"] = _pagerank_oracle_sql()
+
+ORACLE_SQL["orders_settled_returns"] = """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'N')
+    GROUP BY o_orderpriority"""
+
+ORACLE_SQL["event_ohlc_daily"] = """
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    ranked AS (
+      SELECT day, event_type, cents,
+             row_number() OVER (PARTITION BY day, event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY day, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e)
+    SELECT day, event_type,
+           max(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+           max(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+           min(cents) AS low_cents,
+           max(cents) AS high_cents,
+           count(*) AS n_events,
+           sum(cents) AS volume_cents
+    FROM ranked GROUP BY day, event_type"""
+
+ORACLE_SQL["event_outlier_counts"] = """
+    WITH s AS (
+      SELECT event_type, sum(value) AS sv,
+             sum(value * value) AS sq, count(*) AS n
+      FROM events GROUP BY event_type),
+    st AS (SELECT event_type, sv / n AS mean,
+                  sqrt(sq / n - (sv / n) * (sv / n)) AS std
+           FROM s)
+    SELECT e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN abs(e.value - st.mean) > 3 * st.std
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN st USING (event_type)
+    GROUP BY e.event_type"""
+
+ORACLE_SQL["fuzzy_part_name_pairs"] = """
+    WITH names AS (
+      SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+           a.n_parts AS n_a, b.n_parts AS n_b
+    FROM names a JOIN names b
+      ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3"""
+
+ORACLE_SQL["event_markov_transitions"] = """
+    WITH o AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events)
+    SELECT event_type AS prev_type, nxt AS next_type,
+           count(*) AS n_transitions
+    FROM o WHERE nxt IS NOT NULL
+    GROUP BY event_type, nxt"""

@@ -570,6 +570,60 @@ def main() -> None:
                                     p),
     })
 
+    # 25. event_ohlc_daily: ONE exchange total (the day/type groupBy);
+    #     open/close come from struct-min/max partial aggregates, never
+    #     a per-group window sort
+    ohlc = Q.q_event_ohlc_daily(spark, SF_DIR)
+    failures += audit("event_ohlc_daily", ohlc, {
+        "exactly one exchange (struct-argmin, no window)":
+            lambda p: len(re.findall(
+                r"^\(\d+\) Exchange", p.split("== Initial Plan ==")[0],
+                re.M)) == 1,
+        "no Window operator": lambda p: "Window" not in p,
+        "partial aggregation before the exchange":
+            lambda p: p.index("HashAggregate") < p.index("Exchange"),
+        "props/user_id pruned from the events scan":
+            lambda p: "props" not in p and "user_id" not in p,
+    })
+
+    # 26. event_outlier_counts: the 5-row stats table broadcasts back
+    #     onto the fact scan — the fact table itself never shuffles
+    outl = Q.q_event_outlier_counts(spark, SF_DIR)
+    failures += audit("event_outlier_counts", outl, {
+        "stats side is broadcast": r"BroadcastExchange",
+        "no SortMergeJoin (fact never shuffles for the join)":
+            lambda p: "SortMergeJoin" not in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    # 27. fuzzy_part_name_pairs: the Levenshtein self-join runs over the
+    #     (name, n) AGGREGATE, so partial aggregation happens below the
+    #     join on both sides; no Python
+    fz = Q.q_fuzzy_part_name_pairs(spark, SF_DIR)
+    failures += audit("fuzzy_part_name_pairs", fz, {
+        "aggregate below the join (vocab-first discipline)":
+            lambda p: p.index("HashAggregate") < p.index("Join"),
+        "levenshtein evaluated JVM-side (no Python)":
+            lambda p: "EvalPython" not in p,
+        "part scan pruned to p_name only":
+            r"ReadSchema: struct<p_name:string>",
+    })
+
+    # 28. doc_char_entropy: shuffle-free pure map with codegen intact
+    #     (the F.aggregate loop form keeps the stage under janino's
+    #     64KB method limit — the straight-line form did not)
+    ent = Q.q_doc_char_entropy(spark, SF_DIR)
+    failures += audit("doc_char_entropy", ent, {
+        "NO exchange anywhere (pure map)":
+            lambda p: "Exchange" not in p,
+        "whole-stage codegen spans present": r"\[codegen id : \d+\]",
+        "scan pruned to doc_id+text":
+            r"ReadSchema: struct<doc_id:bigint,text:string>",
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")
