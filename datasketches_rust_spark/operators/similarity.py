@@ -333,6 +333,11 @@ def ann_recall_report(df: DataFrame, k: int = 3, id_col: str = "vec_id",
         ("ivf_8x6", ann_ivf_topk(df, k, id_col, vec_col, nlist=8,
                                  nprobe=6, seed=seed)),
     ]
+    # lazy import: operators.pq imports this module at load time
+    from datasketches_rust_spark.operators.pq import ann_ivfpq_topk
+    runs.append(
+        ("ivfpq_16x16x64", ann_ivfpq_topk(df, k, id_col, vec_col,
+                                          seed=seed, dim=dim)))
     got = None
     for name, res in runs:
         tagged = res.select(F.lit(name).alias("method"),

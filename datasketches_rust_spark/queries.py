@@ -2608,6 +2608,19 @@ def _entropy_oracle_sql() -> str:
         FROM tot WHERE n_letters > 0"""
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (operators/pq.py) — the memory-bounded index shape for
+    10^9+ vectors: vectors compress to m=16 one-byte subspace codes
+    (16-64x memory cut), IVF cells propose candidates (ids only), ADC
+    table lookups prune each query to a 64-id shortlist, exact cosine
+    re-ranks. No SQL oracle (approximate by construction) — recall is
+    gated in tests/test_pq.py and driver-visible via ann_recall_report's
+    ivfpq operating point."""
+    from datasketches_rust_spark.operators.pq import ann_ivfpq_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_ivfpq_topk(emb, k=3, dim=64)
+
+
 def q_pagerank_dup_docs(spark, sf_dir):
     """ITERATIVE GRAPH ALGORITHM under the hash gate: PageRank over the
     near-dup graph (operators/pagerank.py — one shuffle per iteration,
@@ -2759,6 +2772,7 @@ QUERIES = {
     "doc_char_entropy": q_doc_char_entropy,
     "pagerank_dup_docs": q_pagerank_dup_docs,
     "orders_settled_returns": q_orders_settled_returns,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
 }
 
 _SHINGLE_PAIRS_CTE = """
