@@ -48,13 +48,18 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
              checkpoint_every: int = 6) -> DataFrame:
     """Rank nodes of the undirected graph given as an (src, dst) edge
     list (each undirected edge once). Returns (u, r) with sum(r) ~ 1."""
+    from datasketches_rust_spark import cache
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .unionAll(
                edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))))
-    adj = (sym.groupBy("u")
-           .agg(F.collect_list("v").alias("nbrs"),
-                F.count("*").alias("deg"))
-           .persist())
+    # track()ed, not bare-persisted: the returned ranks frame is lazy and
+    # references adj, so this function cannot unpersist before returning —
+    # the session cache registry releases it at the next pipeline/CC
+    # invocation (same deferred-release contract as the signature tables).
+    adj = cache.track(
+        sym.groupBy("u")
+        .agg(F.collect_list("v").alias("nbrs"),
+             F.count("*").alias("deg")))
     n = adj.count()  # one job; also materializes the cache at full
     # parallelism before the iteration fan-out (persist+AQE hazard)
     if n == 0:

@@ -328,16 +328,28 @@ def ann_recall_report(df: DataFrame, k: int = 3, id_col: str = "vec_id",
                                   num_bands=8, seed=seed, dim=dim)),
         ("lsh_32x16", ann_lsh_topk(df, k, id_col, vec_col, nbits=32,
                                    num_bands=16, seed=seed, dim=dim)),
+    ]
+    # the three IVF-family points share (nlist=8, seed) -> train the
+    # coarse quantizer ONCE and pass it through; the PQ codebooks are
+    # likewise trained once here (each is otherwise retrained eagerly
+    # at operator-construction time)
+    cent = train_ivf_centroids(df, 8, vec_col, seed)
+    runs += [
         ("ivf_8x3", ann_ivf_topk(df, k, id_col, vec_col, nlist=8,
-                                 nprobe=3, seed=seed)),
+                                 nprobe=3, seed=seed, centroids=cent)),
         ("ivf_8x6", ann_ivf_topk(df, k, id_col, vec_col, nlist=8,
-                                 nprobe=6, seed=seed)),
+                                 nprobe=6, seed=seed, centroids=cent)),
     ]
     # lazy import: operators.pq imports this module at load time
-    from datasketches_rust_spark.operators.pq import ann_ivfpq_topk
+    from datasketches_rust_spark.operators.pq import (ann_ivfpq_topk,
+                                                      train_pq_codebooks)
+    books = train_pq_codebooks(df, id_col=id_col, vec_col=vec_col,
+                               seed=seed, dim=dim)
     runs.append(
         ("ivfpq_16x16x64", ann_ivfpq_topk(df, k, id_col, vec_col,
-                                          seed=seed, dim=dim)))
+                                          seed=seed, dim=dim,
+                                          centroids=cent,
+                                          codebooks=books)))
     got = None
     for name, res in runs:
         tagged = res.select(F.lit(name).alias("method"),

@@ -2503,8 +2503,13 @@ def q_event_outlier_counts(spark, sf_dir):
         F.sum(F.col("value") * F.col("value")).alias("sq"),
         F.count("*").alias("n"))
     mean = F.col("sv") / F.col("n")
-    std = F.sqrt(F.col("sq") / F.col("n") - mean * mean)
-    stats = stats.select("event_type", mean.alias("mean"), std.alias("std"))
+    # greatest(.., 0.0): float cancellation can push the variance of a
+    # (near-)constant group to ~-1e-18 — Spark's sqrt would yield NaN
+    # while DuckDB ERRORS on sqrt(negative); the clamp is identity for
+    # every healthy group and makes both engines agree on std=0
+    var = F.greatest(F.col("sq") / F.col("n") - mean * mean, F.lit(0.0))
+    stats = stats.select("event_type", mean.alias("mean"),
+                         F.sqrt(var).alias("std"))
     return (ev.join(F.broadcast(stats), "event_type")
             .groupBy("event_type").agg(
                 F.count("*").alias("n_events"),
@@ -2583,12 +2588,21 @@ def q_doc_char_entropy(spark, sf_dir):
               .cast("double") for c in _ENTROPY_ALPHABET]
     arr = F.array(*counts)
     total = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    # total is materialized as its own projection (__nl) before the
+    # entropy fold references it: higher-order expressions are excluded
+    # from Spark's subexpression elimination, so inlining `total` into
+    # the lambda would re-evaluate the whole 26-scan fold per element
+    # (~700 text scans/row); CollapseProject keeps a non-cheap alias
+    # referenced this many times un-inlined. Mirrors the oracle's `tot`
+    # CTE — the added projection changes no value.
+    d2 = d.select("doc_id", "t", total.alias("__nl"))
+    nl = F.col("__nl")
     ent = F.aggregate(
         arr, F.lit(0.0),
         lambda a, c: a + F.when(
-            c > 0, -(c / total) * F.log(c / total)).otherwise(F.lit(0.0)))
-    return (d.select("doc_id", total.cast("long").alias("n_letters"),
-                     ent.alias("entropy_nats"))
+            c > 0, -(c / nl) * F.log(c / nl)).otherwise(F.lit(0.0)))
+    return (d2.select("doc_id", nl.cast("long").alias("n_letters"),
+                      ent.alias("entropy_nats"))
             .where(F.col("n_letters") > 0))
 
 
@@ -4013,7 +4027,7 @@ ORACLE_SQL["event_outlier_counts"] = """
              sum(value * value) AS sq, count(*) AS n
       FROM events GROUP BY event_type),
     st AS (SELECT event_type, sv / n AS mean,
-                  sqrt(sq / n - (sv / n) * (sv / n)) AS std
+                  sqrt(greatest(sq / n - (sv / n) * (sv / n), 0.0)) AS std
            FROM s)
     SELECT e.event_type,
            count(*) AS n_events,
