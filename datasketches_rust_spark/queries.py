@@ -1940,6 +1940,33 @@ def q_range_join_shipments(spark, sf_dir):
                     .cast("long").alias("n_shipped")))
 
 
+def q_skew_salted_segment_value(spark, sf_dir):
+    """Skew-aware salted join surfaced in the gate: enrich the events
+    fact table with its user's market segment and aggregate event value
+    per segment. operators/skew.py is the machinery — keys hotter than
+    the threshold are spread over 8 salted reducer tasks (fact side
+    salted by content hash, dim side replicated to all salts on hot
+    keys only) while cold keys take the ordinary equi-join, and the two
+    paths union. At the fixture the per-user event counts straddle the
+    threshold, so BOTH paths carry rows and the union semantics are
+    non-vacuous; the oracle is the plain flat join the salted plan must
+    be indistinguishable from. Value carried in integer cents (per-row
+    round, integer sum) so the aggregate hashes exactly cross-engine."""
+    from datasketches_rust_spark.operators.skew import salted_join
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id",
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("v_cents")))
+    cust = (_t(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment"))
+    joined = salted_join(ev, cust, "user_id", "c_custkey",
+                         salts=8, hot_threshold=60)
+    return (joined.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("v_cents").alias("value_cents"))
+            .orderBy("segment"))
+
+
 def q_asof_last_purchase(spark, sf_dir):
     """AS-OF join surfaced in the gate: for every click, the value of the
     user's most recent prior-or-simultaneous purchase (null if none).
@@ -2779,6 +2806,7 @@ QUERIES = {
     "cdc_apply_reconstruction": q_cdc_apply_reconstruction,
     "cluster_size_histogram": q_cluster_size_histogram,
     "range_join_shipments": q_range_join_shipments,
+    "skew_salted_segment_value": q_skew_salted_segment_value,
     "event_ohlc_daily": q_event_ohlc_daily,
     "event_outlier_counts": q_event_outlier_counts,
     "fuzzy_part_name_pairs": q_fuzzy_part_name_pairs,
@@ -3722,6 +3750,12 @@ ORACLE_SQL = {
           ON l.l_shipdate >= o.o_orderdate
          AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
         GROUP BY o.o_orderkey""",
+    "skew_salted_segment_value": """
+        SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+               cast(sum(cast(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1 ORDER BY 1""",
     "asof_last_purchase": """
         WITH purchases AS (
           SELECT user_id, ts, max(value) AS pv

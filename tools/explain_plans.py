@@ -443,6 +443,26 @@ def main() -> None:
             lambda p: "EvalPython" not in p,
     })
 
+    # 16j. skew_salted_segment_value: hot/cold routed union — hot-list
+    #      tags are broadcast joins, the dim replication is a Generate
+    #      (explode), and no branch degrades to a nested loop
+    sk = Q.q_skew_salted_segment_value(spark, SF_DIR)
+    failures += audit("skew_salted_segment_value", sk, {
+        "hot-list tag joins are broadcast (>=2 BroadcastExchange)":
+            lambda p: len(re.findall(r"BroadcastExchange", p)) >= 2,
+        "dim side replicated via explode (Generate present)":
+            lambda p: "Generate" in p,
+        "hot+cold branches union": lambda p: "Union" in p,
+        "no cartesian / nested-loop join":
+            lambda p: "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+        "events scan pruned (props/event_type not read)":
+            lambda p: not re.search(r"ReadSchema:.*props", p)
+            and not re.search(r"ReadSchema:.*event_type", p),
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
     # 17. balanced_sample: rates join back via BROADCAST; the corpus
     #     side is scan + map filter — no corpus-wide Exchange
     bs = Q.q_balanced_sample(spark, SF_DIR)
@@ -580,8 +600,12 @@ def main() -> None:
                 r"^\(\d+\) Exchange", p.split("== Initial Plan ==")[0],
                 re.M)) == 1,
         "no Window operator": lambda p: "Window" not in p,
+        # struct min/max is not hash-aggregable, so Spark plans a
+        # SortAggregate here — the partial (map-side) instance must
+        # still sit below the exchange
         "partial aggregation before the exchange":
-            lambda p: p.index("HashAggregate") < p.index("Exchange"),
+            lambda p: re.search(r"(Hash|Sort|ObjectHash)Aggregate", p)
+            .start() < p.index("Exchange"),
         "props/user_id pruned from the events scan":
             lambda p: "props" not in p and "user_id" not in p,
     })
@@ -602,8 +626,13 @@ def main() -> None:
     #     join on both sides; no Python
     fz = Q.q_fuzzy_part_name_pairs(spark, SF_DIR)
     failures += audit("fuzzy_part_name_pairs", fz, {
+        # operator ids, not text positions: the formatted tree prints
+        # the join (parent) BEFORE its aggregate children, but detail
+        # ids number leaves lowest — "below the join" = smaller id
         "aggregate below the join (vocab-first discipline)":
-            lambda p: p.index("HashAggregate") < p.index("Join"),
+            lambda p: min(int(m) for m in
+                          re.findall(r"\((\d+)\) HashAggregate", p))
+            < int(re.search(r"\((\d+)\) \w*HashJoin", p).group(1)),
         "levenshtein evaluated JVM-side (no Python)":
             lambda p: "EvalPython" not in p,
         "part scan pruned to p_name only":
