@@ -1676,6 +1676,54 @@ def q_small_quantity_revenue(spark, sf_dir):
                  .alias("rev_cents")))
 
 
+def q_lineitem_corr_matrix(spark, sf_dir):
+    """Pearson correlation matrix of the four lineitem measures — the
+    statistics/profiling operator class (the `df.stat.corr` surface),
+    done scale-right AND cross-engine-exact: ONE pass computes every
+    raw moment (4 sums, 10 pairwise product sums, n) under map-side
+    combine, so the corpus collapses to a single row regardless of
+    table size; the 6 off-diagonal correlations then derive from that
+    row. Floats cross-engine-hash because every moment is EXACT integer
+    arithmetic in the measures' natural units (quantity integral,
+    price/discount/tax in hundredths => decimal(38,0) sums, hugeint in
+    DuckDB — headroom to ~1e38 covers 1e9+ rows at these magnitudes)
+    and only the FINAL corr expression drops to float, where both
+    engines perform the identical IEEE sequence: int->double, sqrt,
+    multiply, divide. A float-accumulated corr() would diverge in the
+    5th decimal between engines (addition order); the exact-moment
+    form is also the numerically honest one."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(19,0)"
+    base = li.select(
+        F.col("l_quantity").cast(dec).alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast(dec).alias("p"),
+        F.round(F.col("l_discount") * 100).cast(dec).alias("d"),
+        F.round(F.col("l_tax") * 100).cast(dec).alias("t"))
+    cols = ["q", "p", "d", "t"]
+    aggs = [F.count("*").cast("decimal(38,0)").alias("n")]
+    for i, a in enumerate(cols):
+        aggs.append(F.sum(F.col(a)).alias(f"s_{a}"))
+        for b in cols[i:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"s_{a}{b}"))
+    mom = base.agg(*aggs)
+
+    def corr_struct(a, b):
+        n = F.col("n")
+        num = (n * F.col(f"s_{a}{b}")
+               - F.col(f"s_{a}") * F.col(f"s_{b}")).cast("double")
+        va = (n * F.col(f"s_{a}{a}")
+              - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double")
+        vb = (n * F.col(f"s_{b}{b}")
+              - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double")
+        return F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                        (num / (F.sqrt(va) * F.sqrt(vb))).alias("corr"))
+
+    pairs = [corr_struct(a, b)
+             for i, a in enumerate(cols) for b in cols[i + 1:]]
+    return (mom.select(F.explode(F.array(*pairs)).alias("r"))
+            .select("r.*").orderBy("col_a", "col_b"))
+
+
 def q_sql_api_theta_distinct(spark, sf_dir):
     """The spark.sql() API surface: sketch build + estimate registered as
     SQL functions (agg.register_sql_udfs) and used from a plain SQL
@@ -2807,6 +2855,7 @@ QUERIES = {
     "cluster_size_histogram": q_cluster_size_histogram,
     "range_join_shipments": q_range_join_shipments,
     "skew_salted_segment_value": q_skew_salted_segment_value,
+    "lineitem_corr_matrix": q_lineitem_corr_matrix,
     "event_ohlc_daily": q_event_ohlc_daily,
     "event_outlier_counts": q_event_outlier_counts,
     "fuzzy_part_name_pairs": q_fuzzy_part_name_pairs,
@@ -3756,6 +3805,45 @@ ORACLE_SQL = {
                  AS value_cents
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1 ORDER BY 1""",
+    "lineitem_corr_matrix": """
+        WITH b AS (
+          SELECT CAST(l_quantity AS HUGEINT) q,
+                 CAST(round(l_extendedprice * 100) AS HUGEINT) p,
+                 CAST(round(l_discount * 100) AS HUGEINT) d,
+                 CAST(round(l_tax * 100) AS HUGEINT) t
+          FROM lineitem),
+        m AS (
+          SELECT CAST(count(*) AS HUGEINT) n,
+                 sum(q) sq, sum(p) sp, sum(d) sd, sum(t) st,
+                 sum(q*q) sqq, sum(q*p) sqp, sum(q*d) sqd, sum(q*t) sqt,
+                 sum(p*p) spp, sum(p*d) spd, sum(p*t) spt,
+                 sum(d*d) sdd, sum(d*t) sdt, sum(t*t) stt
+          FROM b)
+        SELECT col_a, col_b, corr FROM (
+          SELECT 'q' col_a, 'p' col_b, CAST(n*sqp - sq*sp AS DOUBLE)
+                 / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE))
+                    * sqrt(CAST(n*spp - sp*sp AS DOUBLE))) corr FROM m
+          UNION ALL
+          SELECT 'q', 'd', CAST(n*sqd - sq*sd AS DOUBLE)
+                 / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE))
+                    * sqrt(CAST(n*sdd - sd*sd AS DOUBLE))) FROM m
+          UNION ALL
+          SELECT 'q', 't', CAST(n*sqt - sq*st AS DOUBLE)
+                 / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE))
+                    * sqrt(CAST(n*stt - st*st AS DOUBLE))) FROM m
+          UNION ALL
+          SELECT 'p', 'd', CAST(n*spd - sp*sd AS DOUBLE)
+                 / (sqrt(CAST(n*spp - sp*sp AS DOUBLE))
+                    * sqrt(CAST(n*sdd - sd*sd AS DOUBLE))) FROM m
+          UNION ALL
+          SELECT 'p', 't', CAST(n*spt - sp*st AS DOUBLE)
+                 / (sqrt(CAST(n*spp - sp*sp AS DOUBLE))
+                    * sqrt(CAST(n*stt - st*st AS DOUBLE))) FROM m
+          UNION ALL
+          SELECT 'd', 't', CAST(n*sdt - sd*st AS DOUBLE)
+                 / (sqrt(CAST(n*sdd - sd*sd AS DOUBLE))
+                    * sqrt(CAST(n*stt - st*st AS DOUBLE))) FROM m)
+        ORDER BY col_a, col_b""",
     "asof_last_purchase": """
         WITH purchases AS (
           SELECT user_id, ts, max(value) AS pv

@@ -463,6 +463,26 @@ def main() -> None:
             lambda p: "EvalPython" not in p,
     })
 
+    # 16k. lineitem_corr_matrix: every moment in ONE pass — a single
+    #      partial-agg exchange to one row, scan pruned to the 4
+    #      measures, all arithmetic JVM-side
+    cm = Q.q_lineitem_corr_matrix(spark, SF_DIR)
+    failures += audit("lineitem_corr_matrix", cm, {
+        "single exchange (one global moment aggregate)":
+            lambda p: len(re.findall(
+                r"^\(\d+\) Exchange", p.split("== Initial Plan ==")[0],
+                re.M)) == 1,
+        "partial aggregation before the exchange (map-side combine)":
+            lambda p: re.search(r"(Hash|Sort|ObjectHash)Aggregate", p)
+            .start() < p.index("Exchange"),
+        "lineitem scan pruned to the 4 measure columns":
+            lambda p: re.search(
+                r"ReadSchema:.*l_quantity.*l_extendedprice.*l_discount"
+                r".*l_tax", p) and "l_orderkey" not in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
     # 17. balanced_sample: rates join back via BROADCAST; the corpus
     #     side is scan + map filter — no corpus-wide Exchange
     bs = Q.q_balanced_sample(spark, SF_DIR)
