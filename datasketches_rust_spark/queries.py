@@ -2757,6 +2757,127 @@ def q_orders_settled_returns(spark, sf_dir):
                  .alias("total_cents")))
 
 
+def _scd2_versions(ev):
+    """SCD TYPE 2 reconstruction from a change log: per user, the
+    run-collapsed status history as half-open validity intervals. A
+    version opens only where the status actually CHANGES (consecutive
+    identical statuses extend the open version — the real SCD2 rule,
+    not one row per event); valid_to = the next version's valid_from,
+    NULL while current. Both window passes (lag change detection, lead
+    valid_to + row_number version ordinal) share one partitioning and
+    sort — Catalyst plans a single exchange + single sort, the filter
+    between them preserves order. Validity bounds leave as unix micros
+    (integer — cross-engine-hashable, no timestamp formatting drift);
+    ties on ts break by event_id so the history is deterministic."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                  "event_id", F.col("event_type").alias("status"))
+    prev = F.lag("status").over(w)
+    changed = e.withColumn(
+        "chg", F.coalesce(prev != F.col("status"), F.lit(True))) \
+        .where("chg")
+    nxt = F.lead("ts").over(w)
+    return changed.select(
+        "user_id", "status",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        F.row_number().over(w).cast("long").alias("version_n"),
+        nxt.isNull().alias("is_current"))
+
+
+def q_scd2_user_versions(spark, sf_dir):
+    """Slowly-changing-dimension TYPE 2 reconstruction — the warehouse
+    operator that turns an event/CDC stream into a versioned dimension
+    (complement of q_cdc_apply_reconstruction's Type-1 upsert): the
+    events table is the change log, event_type the tracked attribute.
+    One shuffle on user_id total (see _scd2_versions); 8,016 versions
+    at sf0.01, every interval exactly tiling the user's event span."""
+    return _scd2_versions(_t(spark, sf_dir, "events"))
+
+
+def q_scd2_daily_snapshot(spark, sf_dir):
+    """POINT-IN-TIME join against the SCD2 dimension — the training-
+    snapshot shape ("the feature value each entity had at each label
+    date", leakage-safe by construction): a (user x day) probe grid
+    asks for the status version valid at each day's last microsecond.
+    Composition of two owned operators: _scd2_versions builds the
+    intervals, operators/asof.asof_join resolves each probe to the
+    latest valid_from <= probe in ONE shuffle (union + sorted carry),
+    never an interval-containment theta join — because SCD2 intervals
+    tile time per key, as-of(valid_from) IS the containment match, so
+    the BNLJ the LEFT JOIN ... BETWEEN oracle formulation implies is
+    replaced by a hash exchange. The day grid derives from the data's
+    own min/max (two-job-free: a one-row aggregate cross-joined under
+    broadcast), |users| x |days| rows — dimension-sized, not
+    fact-sized. Probes before a user's first version keep NULL status
+    (16 such rows at sf0.01 — the gate covers the no-match edge)."""
+    from datasketches_rust_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    versions = _scd2_versions(ev).select(
+        "user_id", F.col("valid_from_us").alias("t_us"),
+        "status", "version_n")
+    bounds = ev.agg(F.min(F.to_date("ts")).alias("d0"),
+                    F.max(F.to_date("ts")).alias("d1"))
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    grid = (ev.select("user_id").distinct()
+            .crossJoin(F.broadcast(days))
+            # probe at the day's last microsecond, all-integer
+            .withColumn(
+                "t_us",
+                F.unix_micros(F.date_add("day", 1).cast("timestamp"))
+                - F.lit(1)))
+    out = asof_join(grid, versions, on=["user_id"], ts_col="t_us",
+                    value_cols=["status", "version_n"], suffix="")
+    return out.select("user_id", "day", "status", "version_n")
+
+
+def q_sales_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the third grouping-sets shape next to
+    ROLLUP (q_sales_rollup) and CUBE (q_sales_cube): a NON-hierarchical
+    set list ((status, priority), (status), (priority)) that neither
+    rollup nor cube expresses (no grand total, both one-dim margins).
+    DataFrame.groupingSets (Spark 4) plans the same single Expand +
+    partial-agg pass as rollup/cube — each input row replicates to the
+    3 set shapes map-side, aggregation combines before the one
+    exchange; a UNION ALL of 3 GROUP BYs would scan the fact table 3
+    times. Money in integer cents (float sums are addition-order-
+    sensitive cross-engine)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (o.select("o_orderstatus", "o_orderpriority",
+                     cents.alias("cents"))
+            .groupingSets(
+                [["o_orderstatus", "o_orderpriority"],
+                 ["o_orderstatus"], ["o_orderpriority"]],
+                "o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum("cents").alias("total_cents")))
+
+
+def q_ranked_event_days(spark, sf_dir):
+    """RANKING-WINDOW class (dense_rank, the ties-share-a-rank member
+    of the rank family — row_number already appears in tfidf_top_terms):
+    each event type's top-3 revenue days, where 'top-3' means the three
+    highest revenue VALUES — a tie at the boundary keeps both days, the
+    semantics dense_rank exists for and row_number can't express. The
+    window runs over the (type x day) day-level AGGREGATE (~|days| x
+    |types| rows regardless of event volume), never the raw fact table;
+    revenue in integer cents so rank boundaries are exact on both
+    engines. dense_rank over rev_cents alone is deterministic by
+    construction: the rank is a function of the VALUE, so no tiebreak
+    column is needed for a stable result set."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (ev.select("event_type", F.to_date("ts").alias("day"),
+                       cents.alias("cents"))
+             .groupBy("event_type", "day")
+             .agg(F.sum("cents").alias("rev_cents")))
+    w = Window.partitionBy("event_type").orderBy(F.desc("rev_cents"))
+    return (daily.withColumn(
+        "rnk", F.dense_rank().over(w).cast("long"))
+        .where(F.col("rnk") <= 3))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -2864,6 +2985,10 @@ QUERIES = {
     "pagerank_dup_docs": q_pagerank_dup_docs,
     "orders_settled_returns": q_orders_settled_returns,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "scd2_user_versions": q_scd2_user_versions,
+    "scd2_daily_snapshot": q_scd2_daily_snapshot,
+    "sales_grouping_sets": q_sales_grouping_sets,
+    "ranked_event_days": q_ranked_event_days,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -4179,3 +4304,67 @@ ORACLE_SQL["event_markov_transitions"] = """
            count(*) AS n_transitions
     FROM o WHERE nxt IS NOT NULL
     GROUP BY event_type, nxt"""
+
+_SCD2_VERSIONS_CTE = """
+    e AS (
+      SELECT user_id, ts, event_id, event_type AS status,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    chg AS (
+      SELECT user_id, ts, event_id, status FROM e
+      WHERE prev IS NULL OR prev <> status),
+    v AS (
+      SELECT user_id, status,
+             epoch_us(ts) AS valid_from_us,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               AS valid_to_us,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+               AS version_n
+      FROM chg)"""
+
+ORACLE_SQL["scd2_user_versions"] = f"""
+    WITH {_SCD2_VERSIONS_CTE}
+    SELECT user_id, status, valid_from_us, valid_to_us, version_n,
+           (valid_to_us IS NULL) AS is_current
+    FROM v"""
+
+ORACLE_SQL["scd2_daily_snapshot"] = f"""
+    WITH {_SCD2_VERSIONS_CTE},
+    b AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
+    days AS (
+      SELECT unnest(range((SELECT d0 FROM b),
+                          (SELECT d1 FROM b) + INTERVAL 1 DAY,
+                          INTERVAL 1 DAY))::DATE AS day),
+    u AS (SELECT DISTINCT user_id FROM events),
+    g AS (SELECT user_id, day,
+                 epoch_us(day + INTERVAL 1 DAY) - 1 AS probe_us
+          FROM u CROSS JOIN days)
+    SELECT g.user_id AS user_id, g.day AS day,
+           vv.status AS status, vv.version_n AS version_n
+    FROM g LEFT JOIN v vv
+      ON vv.user_id = g.user_id
+     AND vv.valid_from_us <= g.probe_us
+     AND (vv.valid_to_us IS NULL OR g.probe_us < vv.valid_to_us)"""
+
+ORACLE_SQL["sales_grouping_sets"] = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority))"""
+
+ORACLE_SQL["ranked_event_days"] = """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day, rev_cents,
+           CAST(dense_rank() OVER (PARTITION BY event_type
+                                   ORDER BY rev_cents DESC) AS BIGINT)
+             AS rnk
+    FROM daily QUALIFY rnk <= 3"""

@@ -22,6 +22,14 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = "/root/testdata/sf0.01"
 
 
+
+def _n_nodes(plan: str, op: str) -> int:
+    """Count physical nodes named ``op`` in the final (AQE) plan section —
+    the formatted detail section repeats each node name, and AQE plans
+    append an '== Initial Plan ==' section, so substring counts lie."""
+    return len(re.findall(rf"^\(\d+\) {op}\b",
+                          plan.split("== Initial Plan ==")[0], re.M))
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -669,6 +677,72 @@ def main() -> None:
         "whole-stage codegen spans present": r"\[codegen id : \d+\]",
         "scan pruned to doc_id+text":
             r"ReadSchema: struct<doc_id:bigint,text:string>",
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    # 32. scd2_user_versions: both window passes (lag change-detect,
+    #     lead/row_number versioning) must share ONE exchange and ONE
+    #     sort — the filter between them preserves ordering; scan
+    #     pruned to the 4 changelog columns
+    scd = Q.q_scd2_user_versions(spark, SF_DIR)
+    failures += audit("scd2_user_versions", scd, {
+        "exactly one hash exchange (shared by both window passes)":
+            lambda p: _n_nodes(p, "Exchange") == 1,
+        "exactly one sort (second window reuses the first's order)":
+            lambda p: len(re.findall(r"\(\d+\) Sort\b", p)) == 1,
+        "scan pruned (value/props never read)":
+            lambda p: "value" not in p and "props" not in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    # 33. scd2_daily_snapshot: the point-in-time interval match must be
+    #     the as-of union+window (hash exchanges only), never an
+    #     interval-containment join — no SortMergeJoin on a range, no
+    #     CartesianProduct; the day grid is a broadcast nested loop
+    #     (dimension-sized by construction) and that is the ONLY BNLJ
+    snap = Q.q_scd2_daily_snapshot(spark, SF_DIR)
+    failures += audit("scd2_daily_snapshot", snap, {
+        "no CartesianProduct":
+            lambda p: "CartesianProduct" not in p,
+        "no SortMergeJoin (as-of replaces the interval join)":
+            lambda p: "SortMergeJoin" not in p,
+        "day-grid cross is the only BNLJ":
+            lambda p: _n_nodes(p, "BroadcastNestedLoopJoin") == 1,
+        "as-of carry is a window, not a join":
+            lambda p: re.search(r"\(\d+\) Window\b", p) is not None,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    # 34. sales_grouping_sets: one Expand pass + partial agg below a
+    #     single exchange — never three scans / a UNION ALL of GROUP BYs
+    gsets = Q.q_sales_grouping_sets(spark, SF_DIR)
+    failures += audit("sales_grouping_sets", gsets, {
+        "single Expand (one pass, 3 set shapes map-side)":
+            lambda p: len(re.findall(r"\(\d+\) Expand\b", p)) == 1,
+        "orders scanned exactly once":
+            lambda p: _n_nodes(p, "Scan parquet") == 1,
+        "partial agg below one exchange":
+            lambda p: _n_nodes(p, "Exchange") == 1
+            and _n_nodes(p, "HashAggregate") >= 2,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    # 35. ranked_event_days: the dense_rank window runs over the
+    #     (type x day) AGGREGATE — aggregate exchange + window exchange
+    #     and nothing else; the raw fact table is never window-sorted
+    rk = Q.q_ranked_event_days(spark, SF_DIR)
+    failures += audit("ranked_event_days", rk, {
+        "two exchanges total (day agg, then type window)":
+            lambda p: _n_nodes(p, "Exchange") == 2,
+        "partial aggregation below the window": r"HashAggregate",
+        "window present": lambda p:
+            re.search(r"\(\d+\) Window\b", p) is not None,
+        "scan pruned to ts+event_type+value":
+            lambda p: "props" not in p and "user_id" not in p,
         "no Python UDF in the plan":
             lambda p: "EvalPython" not in p,
     })
