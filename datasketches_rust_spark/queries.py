@@ -2878,6 +2878,70 @@ def q_ranked_event_days(spark, sf_dir):
         .where(F.col("rnk") <= 3))
 
 
+ZORDER_FILE_BITS = 6  # top 6 OCCUPIED z-bits -> <=64 target files
+
+
+def q_zorder_layout_plan(spark, sf_dir):
+    """Z-ORDER data-layout planning (Delta/Iceberg OPTIMIZE ZORDER BY):
+    interleave (l_partkey, l_suppkey) into a 32-bit Morton key
+    (sources/tables.zorder_value — pure shift/and JVM expressions),
+    assign each row its target file (top ZORDER_FILE_BITS OCCUPIED
+    z-bits -> <=64 files), and report the per-file ZONEMAP a reader
+    would get: row count + min/max of BOTH keys. This is the
+    layout-quality report one inspects before committing an OPTIMIZE:
+    z-contiguous files cover small key-space rectangles, so the min/max
+    spans shrink ~sqrt(files) in each dimension and point/range filters
+    on either column prune most files. The shift is derived from
+    max(z)'s bit length (one scalar-aggregate job over the pruned
+    2-column scan — the same pre-pass any OPTIMIZE planner does to size
+    output files), so the file count is ~64 at EVERY scale factor
+    instead of collapsing to one file when the key domain is small.
+    Main pass: one scan + one map-side-combined aggregate over <=64
+    groups — the actual rewrite would be repartitionByRange(z) +
+    sortWithinPartitions(z), one exchange. All-integer (bitwise) math,
+    hash-matched against the same interleave written as a 32-term SQL
+    expression."""
+    from datasketches_rust_spark.sources.tables import zorder_value
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    z = zorder_value("l_partkey", "l_suppkey")
+    zmax = li.agg(F.max(z)).collect()[0][0]
+    shift = max(int(zmax).bit_length() - ZORDER_FILE_BITS, 0)
+    return (li.withColumn(
+        "file_id", F.shiftright(z, shift))
+        .groupBy("file_id")
+        .agg(F.count("*").alias("n_rows"),
+             F.min("l_partkey").alias("part_lo"),
+             F.max("l_partkey").alias("part_hi"),
+             F.min("l_suppkey").alias("supp_lo"),
+             F.max("l_suppkey").alias("supp_hi")))
+
+
+def q_order_percentiles_daily(spark, sf_dir):
+    """The remaining RANK-family window functions as a first-class
+    class — percent_rank, cume_dist, ntile(4) — each order placed
+    within its ORDER-DATE day: relative standing (percent_rank), the
+    empirical CDF value (cume_dist), and the intra-day quartile
+    (ntile). Partition = day, the natural bounded unit (rows per day
+    don't grow with corpus AGE, so per-partition sorts stay bounded at
+    any scale — a percent_rank over an unbounded partition would be a
+    global sort; for that shape use the histogram-walk percentile
+    approach of source_profile / price_decile_bins). ntile's bucket
+    assignment is positional, so ties MUST be ordered deterministically:
+    the sort key is (cents, o_orderkey) on both engines. percent_rank /
+    cume_dist are exact rational doubles ((rank-1)/(n-1), rank/n — no
+    accumulation), so the floats hash cross-engine."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = o.select(F.to_date("o_orderdate").alias("day"), "o_orderkey",
+                 cents.alias("cents"))
+    w = Window.partitionBy("day").orderBy("cents", "o_orderkey")
+    return d.select(
+        "day", "o_orderkey", "cents",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdf"),
+        F.ntile(4).over(w).cast("long").alias("quartile"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -2989,6 +3053,8 @@ QUERIES = {
     "scd2_daily_snapshot": q_scd2_daily_snapshot,
     "sales_grouping_sets": q_sales_grouping_sets,
     "ranked_event_days": q_ranked_event_days,
+    "zorder_layout_plan": q_zorder_layout_plan,
+    "order_percentiles_daily": q_order_percentiles_daily,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -4368,3 +4434,41 @@ ORACLE_SQL["ranked_event_days"] = """
                                    ORDER BY rev_cents DESC) AS BIGINT)
              AS rnk
     FROM daily QUALIFY rnk <= 3"""
+
+# the same 16-bit interleave as sources/tables.zorder_value, written as
+# an explicit 32-term bitwise SQL expression (all-integer, so the hash
+# gate is exact)
+_ZORDER_SQL = " | ".join(
+    f"((((l_partkey & 65535) >> {i}) & 1) << {2 * i + 1}) | "
+    f"((((l_suppkey & 65535) >> {i}) & 1) << {2 * i})"
+    for i in range(16))
+
+# bit_length(zmax) - ZORDER_FILE_BITS as exact integer logic (a float
+# log2 could land on either side of a power-of-two boundary)
+_ZSHIFT_SQL = ("CASE "
+               + " ".join(f"WHEN zmax >= {1 << i} THEN {i + 1 - 6}"
+                          for i in range(31, 5, -1))
+               + " ELSE 0 END")
+
+ORACLE_SQL["zorder_layout_plan"] = f"""
+    WITH z AS (
+      SELECT l_partkey, l_suppkey, ({_ZORDER_SQL}) AS zv
+      FROM lineitem),
+    s AS (SELECT {_ZSHIFT_SQL} AS shift
+          FROM (SELECT max(zv) AS zmax FROM z))
+    SELECT zv >> (SELECT shift FROM s) AS file_id, count(*) AS n_rows,
+           min(l_partkey) AS part_lo, max(l_partkey) AS part_hi,
+           min(l_suppkey) AS supp_lo, max(l_suppkey) AS supp_hi
+    FROM z GROUP BY 1"""
+
+ORACLE_SQL["order_percentiles_daily"] = """
+    WITH d AS (
+      SELECT o_orderdate::DATE AS day, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT day, o_orderkey, cents,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdf,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM d
+    WINDOW w AS (PARTITION BY day ORDER BY cents, o_orderkey)"""

@@ -106,3 +106,32 @@ def write_table(df: DataFrame, ref: str, mode: str = "overwrite",
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(ref)
+
+
+def zorder_value(col_a, col_b, bits: int = 16):
+    """32-bit Morton / Z-order interleave of the low ``bits`` bits of
+    two integer columns — the multi-dimensional clustering key behind
+    Delta/Iceberg ``OPTIMIZE ZORDER BY (a, b)``: rows sorted by this
+    value land in files whose (a, b) min/max zonemaps cover small
+    RECTANGLES of key space, so a scan filtered on EITHER column (or
+    both) prunes most files, where a plain sort on `a` clusters only
+    `a` and leaves `b` zonemaps full-range. Built from 2*bits shift/and
+    JVM expressions — whole-stage-codegen'd, no UDF. Production use on
+    arbitrary-range keys first rank-codes each column to ``bits`` bits
+    (equi-depth, e.g. via approx percentiles); callers with keys
+    already < 2**bits (fixture tables here) can interleave directly.
+    The layout write is ``df.repartitionByRange(n, z).sortWithinPartitions(z)``
+    — one range exchange, then each output file is a z-contiguous run.
+    """
+    from pyspark.sql import functions as F
+    a = (F.col(col_a) if isinstance(col_a, str) else col_a).cast("long") \
+        .bitwiseAND(F.lit((1 << bits) - 1))
+    b = (F.col(col_b) if isinstance(col_b, str) else col_b).cast("long") \
+        .bitwiseAND(F.lit((1 << bits) - 1))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(F.shiftleft(
+            F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        z = z.bitwiseOR(F.shiftleft(
+            F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i))
+    return z
