@@ -26,7 +26,14 @@ SF_DIR = "/root/testdata/sf0.01"
 def _n_nodes(plan: str, op: str) -> int:
     """Count physical nodes named ``op`` in the final (AQE) plan section —
     the formatted detail section repeats each node name, and AQE plans
-    append an '== Initial Plan ==' section, so substring counts lie."""
+    append an '== Initial Plan ==' section, so substring counts lie.
+    On an EXECUTED plan the tree splits into '== Final Plan ==' /
+    '== Initial Plan ==' and every numbered detail line sits after the
+    Initial header — count tree nodes of the Final section instead."""
+    if "== Final Plan ==" in plan:
+        tree = (plan.split("== Final Plan ==")[1]
+                .split("== Initial Plan ==")[0])
+        return len(re.findall(rf"\b{op}\s+\(\d+\)", tree))
     return len(re.findall(rf"^\(\d+\) {op}\b",
                           plan.split("== Initial Plan ==")[0], re.M))
 
@@ -743,6 +750,40 @@ def main() -> None:
             re.search(r"\(\d+\) Window\b", p) is not None,
         "scan pruned to ts+event_type+value":
             lambda p: "props" not in p and "user_id" not in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    # 36. zorder_layout_plan: the zonemap report is one pruned 2-col
+    #     scan + one map-side-combined aggregate over <=64 file groups;
+    #     the Morton interleave stays inside whole-stage codegen
+    zp = Q.q_zorder_layout_plan(spark, SF_DIR)
+    failures += audit("zorder_layout_plan", zp, {
+        "exactly one exchange (the <=64-group agg)":
+            lambda p: _n_nodes(p, "Exchange") == 1,
+        "partial aggregation below the exchange":
+            lambda p: _n_nodes(p, "HashAggregate") >= 2,
+        "scan pruned to the two z-order keys":
+            lambda p: re.search(
+                r"ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>", p),
+        "interleave is codegen'd (no Python UDF)":
+            lambda p: "EvalPython" not in p
+            and re.search(r"\[codegen id : \d+\]", p),
+    }, execute=True)
+
+    # 37. order_percentiles_daily: one exchange + one sort shared by all
+    #     three rank-family windows (same partition/order spec), scan
+    #     pruned to the 3 used columns
+    op = Q.q_order_percentiles_daily(spark, SF_DIR)
+    failures += audit("order_percentiles_daily", op, {
+        "exactly one exchange (one window partition spec)":
+            lambda p: _n_nodes(p, "Exchange") == 1,
+        "exactly one sort (all three windows share the spec)":
+            lambda p: len(re.findall(r"\(\d+\) Sort\b", p)) == 1,
+        "single Window node computes all three functions":
+            lambda p: len(re.findall(r"\(\d+\) Window\b", p)) == 1,
+        "scan pruned (o_custkey/o_orderstatus never read)":
+            lambda p: "o_custkey" not in p and "o_orderstatus" not in p,
         "no Python UDF in the plan":
             lambda p: "EvalPython" not in p,
     })
