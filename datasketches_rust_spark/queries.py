@@ -896,6 +896,39 @@ def q_mixture_sample_plan(spark, sf_dir):
                     .alias("n_kept_tokens")))
 
 
+WEIGHTED_SAMPLE_K = 20  # per-source sample size for weighted_sample_topk
+
+
+def q_weighted_sample_topk(spark, sf_dir):
+    """WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–Spirakis A-ES)
+    — the third member of the sampling family: where balanced_sample
+    equalizes source counts and mixture_sample_plan temperature-weights
+    whole sources, this picks K docs PER source with per-doc inclusion
+    probability proportional to a weight (here n_chars — the "sample
+    long documents more often" curation rule). A-ES: key = u^(1/w) with
+    content-hash uniform u, top-K keys per stratum = the exact
+    without-replacement weighted sample; we order by the monotone
+    ln(u)/w instead (no pow), and keys never leave the plan — only
+    integer/string columns are emitted, so the one float in the method
+    can only influence ORDER, which both engines derive from the
+    identical IEEE inputs.
+
+    Scale shape: the rank-limit window is the one window formulation
+    that is safe on a corpus-sized table — Spark 3.5+ plans
+    row_number()<=K as WindowGroupLimit(Partial) BELOW the stratum
+    exchange, so every map task prunes to its local top-K per source
+    first and the shuffle carries O(partitions x sources x K) rows, not
+    the corpus. tools/explain_plans.py pins both WindowGroupLimit nodes
+    and the single exchange."""
+    from datasketches_rust_spark.operators.sampling import (
+        weighted_sample_without_replacement)
+    docs = (_t(spark, sf_dir, "documents")
+            .select("source", "doc_id", "n_chars"))
+    return weighted_sample_without_replacement(
+        docs, WEIGHTED_SAMPLE_K, id_col="doc_id", weight_col="n_chars",
+        strata_col="source")
+
+
 FEATURE_HASH_DIM = 64  # hashed-feature space size (2^6 buckets)
 
 
@@ -2969,6 +3002,7 @@ QUERIES = {
     "dup_graph_triangles": q_dup_graph_triangles,
     "leakage_safe_split": q_leakage_safe_split,
     "mixture_sample_plan": q_mixture_sample_plan,
+    "weighted_sample_topk": q_weighted_sample_topk,
     "feature_hash_features": q_feature_hash_features,
     "price_decile_bins": q_price_decile_bins,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -3657,6 +3691,18 @@ ORACLE_SQL = {
                coalesce(k.n_kept_docs, 0) AS n_kept_docs,
                coalesce(k.n_kept_tokens, 0) AS n_kept_tokens
         FROM pl2 p LEFT JOIN kept k USING (source)""",
+    "weighted_sample_topk": """
+        WITH k AS (
+          SELECT source, doc_id, n_chars,
+                 ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     ::BIGINT + 0.5) / 4294967296.0) / n_chars AS key
+          FROM documents WHERE n_chars > 0
+        ), r AS (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY key DESC, doc_id) AS rk
+          FROM k)
+        SELECT source, doc_id, n_chars, rk FROM r WHERE rk <= 20""",
     "balanced_sample": """
         WITH counts AS (
           SELECT source, count(*) AS cnt FROM documents GROUP BY source

@@ -788,6 +788,30 @@ def main() -> None:
             lambda p: "EvalPython" not in p,
     })
 
+    # 38. weighted_sample_topk: the rank-limit window must be planned as
+    #     WindowGroupLimit with a PARTIAL pass below the stratum exchange
+    #     (map-side top-K pruning — the property that makes a window
+    #     formulation safe on a corpus-sized table), one exchange total,
+    #     scan pruned to the 3 used columns, all-JVM
+    ws = Q.q_weighted_sample_topk(spark, SF_DIR)
+    failures += audit("weighted_sample_topk", ws, {
+        "WindowGroupLimit Partial below the exchange (map-side top-K)":
+            lambda p: re.search(
+                r"row_number\(\), 20, Partial", p) is not None,
+        "WindowGroupLimit Final after the exchange":
+            lambda p: re.search(
+                r"row_number\(\), 20, Final", p) is not None,
+        "exactly one exchange (the stratum partition)":
+            lambda p: _n_nodes(p, "Exchange") == 1,
+        "weight filter pushed into the scan":
+            r"PushedFilters: \[.*GreaterThan\(n_chars,0\)",
+        "scan pruned to doc_id+source+n_chars (text never read)":
+            r"ReadSchema: struct<doc_id:bigint,source:string,"
+            r"n_chars:bigint>",
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")
