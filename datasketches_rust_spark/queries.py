@@ -295,6 +295,43 @@ def q_dup_graph_triangles(spark, sf_dir):
                     .otherwise(F.lit(0.0)).alias("clustering_coeff")))
 
 
+def q_dup_cluster_radius(spark, sf_dir):
+    """CLUSTER-SHAPE diagnostic via multi-source BFS (operators/bfs.py)
+    — for every dup cluster, the hop distance of each member from the
+    cluster's canonical representative (the min-id node = cluster_id):
+    radius (max dist) and sum_dist. radius 1 = every member directly
+    matched the rep (clique — safe to collapse); radius >= 3 = a
+    threshold-straddling chain where far members may share nothing with
+    the rep. Complements dup_graph_triangles: triangles measure local
+    density, this measures global stretch.
+
+    Scale shape: the verified pair list is checkpointed ONCE and feeds
+    both connected components and the BFS (the expensive MinHash->LSH->
+    verify pipeline runs once, not per consumer); both iterations touch
+    only dup-graph nodes (singletons never enter), each BFS round is a
+    frontier-sized join, and rounds = max eccentricity (single digits —
+    the hot-bucket star degrade bounds within-bucket distances at 2).
+    The oracle reproduces the distances with a depth-capped recursive
+    CTE over the same exact-Jaccard edge set; both sides raise/diverge
+    loudly past depth 16 rather than reporting a truncated radius."""
+    from pyspark.storagelevel import StorageLevel
+    from datasketches_rust_spark.operators.bfs import bfs_distances
+    from datasketches_rust_spark.operators.connected_components import (
+        connected_components)
+    docs = _t(spark, sf_dir, "documents")
+    edges = (dedup_pairs(docs, CFG, "doc_id", "text")
+             .select("id_a", "id_b")
+             .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK))
+    labels = connected_components(edges)  # (id, cluster_id), edge-touched
+    reps = labels.where(F.col("id") == F.col("cluster_id")).select("id")
+    dist = bfs_distances(edges, reps, id_col="id")
+    return (labels.join(dist, labels["id"] == dist["node"])
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("n_members"),
+                 F.max("dist").alias("radius"),
+                 F.sum("dist").alias("sum_dist")))
+
+
 # md5-hex-prefix split boundaries: < f0 -> train (240/256 = 93.75%),
 # [f0, f8) -> val (3.125%), >= f8 -> test (3.125%). Lexicographic compare
 # of the lowercase hex prefix is the one uniform both engines compute
@@ -3000,6 +3037,7 @@ QUERIES = {
     "dedup_against_index": q_dedup_against_index,
     "dedup_clusters": q_dedup_clusters,
     "dup_graph_triangles": q_dup_graph_triangles,
+    "dup_cluster_radius": q_dup_cluster_radius,
     "leakage_safe_split": q_leakage_safe_split,
     "mixture_sample_plan": q_mixture_sample_plan,
     "weighted_sample_topk": q_weighted_sample_topk,
@@ -3304,6 +3342,31 @@ ORACLE_SQL = {
           SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s)
         SELECT src AS doc_id, min(dst) AS cluster_id
         FROM reach GROUP BY src""",
+    "dup_cluster_radius": _SHINGLE_PAIRS_CTE + """,
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM jpairs
+          UNION ALL SELECT id_b, id_a FROM jpairs),
+        nodes AS (SELECT DISTINCT s AS node FROM edges),
+        reach AS (
+          SELECT node AS src, node AS dst FROM nodes
+          UNION
+          SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s),
+        cl AS (SELECT src AS node, min(dst) AS cluster_id
+               FROM reach GROUP BY src),
+        -- depth-capped multi-source BFS from the representatives; the
+        -- Spark side raises past depth 16, so the cap can't silently
+        -- truncate a matching radius
+        bfs AS (
+          SELECT cluster_id AS node, 0 AS dd
+          FROM (SELECT DISTINCT cluster_id FROM cl)
+          UNION
+          SELECT e.d, b.dd + 1 FROM bfs b JOIN edges e ON e.s = b.node
+          WHERE b.dd < 16),
+        dist AS (SELECT node, min(dd) AS dist FROM bfs GROUP BY node)
+        SELECT c.cluster_id, count(*) AS n_members,
+               max(t.dist) AS radius, sum(t.dist) AS sum_dist
+        FROM cl c JOIN dist t ON t.node = c.node
+        GROUP BY c.cluster_id""",
     "dup_graph_triangles": _SHINGLE_PAIRS_CTE + """,
         tri AS (
           SELECT count(*) AS n_triangles
