@@ -1042,6 +1042,87 @@ def q_price_decile_bins(spark, sf_dir):
                  F.sum("cents").alias("sum_cents")))
 
 
+def q_normalize_texts(spark, sf_dir):
+    """TEXT NORMALIZATION rewrite — the canonicalization pass that runs
+    BEFORE any hashing/dedup so byte-different renderings of the same
+    content fingerprint identically: strip C0 control chars (keep
+    \\t/\\n), collapse every whitespace run to one space, trim, NFC-style
+    casefold (lower). The fixture corpus is already clean (a vacuous
+    gate), so deterministic NOISE is injected first, the pii_redaction
+    discipline: doc_id%3=0 gains doubled internal spaces, %4=0 a trailing
+    tab+spaces, %5=0 a leading BEL control char; the oracle mirrors the
+    injection and the gate then genuinely checks cross-engine regex
+    parity of the cleaned TEXT (not just counts). Reports per-doc
+    normalized text + how many characters normalization removed.
+
+    Scale shape: a pure JVM regexp_replace chain inside whole-stage
+    codegen — no Python, no explode, no exchange at all (the rewrite is
+    embarrassingly parallel; the output is corpus-sized by design, like
+    chunk_dedup_clean)."""
+    did = F.col("doc_id")
+    noisy = F.concat(
+        F.when(did % 5 == 0, F.lit("\x07 ")).otherwise(F.lit("")),
+        F.when(did % 3 == 0,
+               F.regexp_replace(F.col("text"), F.lit(" "), F.lit("  ")))
+        .otherwise(F.col("text")),
+        F.when(did % 4 == 0, F.lit("\t  ")).otherwise(F.lit("")))
+    # order matters: control-strip first (so a stripped char can't stop
+    # a whitespace run from collapsing), collapse second, trim+fold last
+    stripped = F.regexp_replace(noisy, r"[\x00-\x08\x0b-\x1f\x7f]", "")
+    collapsed = F.regexp_replace(stripped, r"\s+", " ")
+    norm = F.lower(F.trim(collapsed))
+    return (_t(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id",
+                    norm.alias("text_norm"),
+                    (F.length(noisy) - F.length(norm))
+                    .alias("chars_removed")))
+
+
+STABLE_ID_BUCKETS = 64  # range buckets for the distributed row_number
+
+
+def q_stable_row_ids(spark, sf_dir):
+    """GLOBAL ROW NUMBERING at scale (the zipWithIndex / contiguous
+    example-id assignment every training-shard writer needs): new_id =
+    rank of each doc under a total order (n_chars, doc_id) — WITHOUT the
+    single-partition window a naive row_number() OVER (ORDER BY ...)
+    plans (the classic accidental serialization: one reducer sorts the
+    entire corpus). Distributed formulation: (1) one scalar pre-pass
+    gets the key range; (2) rows map to one of STABLE_ID_BUCKETS
+    equal-width key buckets (integer math, monotone in the key);
+    (3) per-bucket counts aggregate map-side-combined and a cumulative
+    sum over that <=64-row table yields each bucket's exclusive global
+    offset; (4) new_id = offset + row_number within the bucket — the
+    window partitions by bucket, so the only corpus exchange is on
+    bucket and each task sorts ONE bucket. Equal-width bucketing is the
+    simple deterministic choice (n_chars is bounded-domain here);
+    production range-partitioners derive boundaries from a sample
+    instead — same plan shape, different boundary source. Plan-audited:
+    window exchange on __bucket, NO global sort anywhere."""
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("n_chars").isNotNull())
+            .select("doc_id", "n_chars"))
+    mm = docs.agg(F.min("n_chars").alias("lo"),
+                  F.max("n_chars").alias("hi"))
+    b = (docs.crossJoin(F.broadcast(mm))
+         .withColumn("__bucket",
+                     F.expr(f"((n_chars - lo) * {STABLE_ID_BUCKETS})"
+                            " div (hi - lo + 1)"))
+         .drop("lo", "hi"))
+    offs = (b.groupBy("__bucket").agg(F.count("*").alias("c"))
+            .withColumn("off",
+                        F.sum("c").over(Window.orderBy("__bucket"))
+                        - F.col("c"))
+            .select("__bucket", "off"))
+    w = Window.partitionBy("__bucket").orderBy("n_chars", "doc_id")
+    return (b.join(F.broadcast(offs), "__bucket")
+            .withColumn("new_id",
+                        F.row_number().over(w).cast("long")
+                        + F.col("off"))
+            .select("doc_id", "n_chars", "new_id"))
+
+
 SEQ_LEN = 512     # tokens per packed training sequence
 PACK_SHARDS = 16  # parallel packing streams per source
 
@@ -1631,6 +1712,41 @@ def q_customers_without_orders(spark, sf_dir):
     return (cust.join(urgent, cust["c_custkey"] == urgent["o_custkey"],
                       "left_anti")
             .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+def q_tpch_q3_unshipped(spark, sf_dir):
+    """Global top-k by aggregate (TPC-H Q3 shape): the 10 highest-value
+    not-yet-shipped orders for one market segment — revenue of lineitems
+    shipping AFTER the cutoff on orders placed BEFORE it. The physical
+    property this query pins is the global ORDER BY ... LIMIT k: Spark
+    must plan TakeOrderedAndProject (per-partition top-k heaps merged on
+    the driver — O(k) memory per task) and NEVER a global sort of the
+    aggregate (plan-audited; a single-partition Sort of every order is
+    the classic accidental driver-melt at 100 TB). Both date filters
+    push into the parquet scans so the orderkey join moves only the
+    cutoff-straddling slice; customer joins as a hash join on custkey
+    (NOT broadcast — at 10^9 customers the dim is fact-sized; the
+    segment filter rides the scan). Revenue in integer cents, so the
+    top-k ordering and the hash are float-free."""
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    cust = (_t(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (_t(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") < cutoff)
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > cutoff)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    oc = (orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+          .select("o_orderkey", "o_orderdate"))
+    return (li.join(oc, li["l_orderkey"] == oc["o_orderkey"])
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.sum(F.round(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")) * 100)
+                       .cast("long")).alias("revenue_cents"))
+            .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
+            .limit(10))
 
 
 def q_tpch_q5_local_supplier(spark, sf_dir):
@@ -3100,7 +3216,10 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "orders_with_returns_semi": q_orders_with_returns_semi,
     "daily_revenue_moving_avg": q_daily_revenue_moving_avg,
+    "tpch_q3_unshipped": q_tpch_q3_unshipped,
+    "normalize_texts": q_normalize_texts,
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+    "stable_row_ids": q_stable_row_ids,
     "daily_gapfill_ffill": q_daily_gapfill_ffill,
     "small_quantity_revenue": q_small_quantity_revenue,
     "data_quality_report": q_data_quality_report,
@@ -4021,6 +4140,45 @@ ORACLE_SQL = {
                     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
                     AS BIGINT) AS cum_rev_cents
         FROM daily""",
+    "normalize_texts": """
+        WITH noisy AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 5 = 0 THEN chr(7) || ' '
+                       ELSE '' END)
+                 || (CASE WHEN doc_id % 3 = 0
+                     THEN regexp_replace(text, ' ', '  ', 'g')
+                     ELSE text END)
+                 || (CASE WHEN doc_id % 4 = 0 THEN chr(9) || '  '
+                     ELSE '' END) AS t
+          FROM documents WHERE text IS NOT NULL),
+        s AS (
+          SELECT doc_id, t,
+                 regexp_replace(t, '[\\x00-\\x08\\x0b-\\x1f\\x7f]',
+                                '', 'g') AS st
+          FROM noisy),
+        n AS (
+          SELECT doc_id, t,
+                 lower(trim(regexp_replace(st, '\\s+', ' ', 'g')))
+                 AS text_norm
+          FROM s)
+        SELECT doc_id, text_norm,
+               length(t) - length(text_norm) AS chars_removed
+        FROM n""",
+    "tpch_q3_unshipped": """
+        SELECT o_orderkey, o_orderdate,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                   AS BIGINT)) AS revenue_cents
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1997-06-01'
+          AND l_shipdate > TIMESTAMP '1997-06-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""",
+    "stable_row_ids": """
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS new_id
+        FROM documents WHERE n_chars IS NOT NULL""",
     "tpch_q5_local_supplier": """
         SELECT n_name AS nation,
                cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)

@@ -812,6 +812,43 @@ def main() -> None:
             lambda p: "EvalPython" not in p,
     })
 
+    # 39. tpch_q3_unshipped: global top-k must plan as
+    #     TakeOrderedAndProject (per-partition heaps), never a global
+    #     sort of the aggregate; both date filters pushed into the scans
+    q3 = Q.q_tpch_q3_unshipped(spark, SF_DIR)
+    failures += audit("tpch_q3_unshipped", q3, {
+        "TakeOrderedAndProject (heap top-k, no global sort)":
+            lambda p: "TakeOrderedAndProject" in p
+            and not re.search(r"\(\d+\) Sort\b[\s\S]*?"
+                              r"Arguments: \[[^\]]*\], true, 0", p),
+        "orderdate filter pushed into orders scan":
+            r"PushedFilters: \[.*LessThan\(o_orderdate",
+        "shipdate filter pushed into lineitem scan":
+            r"PushedFilters: \[.*GreaterThan\(l_shipdate",
+        "partial aggregation before the group exchange":
+            lambda p: p.index("HashAggregate") < p.index("Exchange"),
+    })
+
+    # 40. stable_row_ids: the distributed row_number must window on
+    #     __bucket (corpus exchange on bucket only) with NO global sort
+    #     — the single-partition ORDER BY window is the hazard this
+    #     operator exists to avoid
+    sri = Q.q_stable_row_ids(spark, SF_DIR)
+    failures += audit("stable_row_ids", sri, {
+        "window exchange partitions by __bucket":
+            r"hashpartitioning\(__bucket#\d+L",
+        "no global sort anywhere in the plan":
+            lambda p: not re.search(r"\(\d+\) Sort\b[\s\S]*?"
+                                    r"Arguments: \[[^\]]*\], true, 0", p),
+        "corpus scan pruned to doc_id+n_chars (text never read)":
+            r"ReadSchema: struct<doc_id:bigint,n_chars:bigint>",
+        "bucket offsets broadcast back (no second corpus exchange)":
+            lambda p: "BroadcastHashJoin" in p
+            and re.search(r"Left keys \[1\]: \[__bucket#\d+L\]", p),
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")
