@@ -1983,6 +1983,77 @@ def q_events_per_day(spark, sf_dir):
                  F.count_distinct("user_id").alias("n_users")))
 
 
+def q_cohort_retention_weekly(spark, sf_dir):
+    """COHORT RETENTION (the product-analytics triangle): users grouped
+    by first-activity week, tracked across subsequent weeks —
+    n_users(cohort_week, weeks_since). Weekly grain because the events
+    fixture spans ~one month (a monthly version is a vacuous 1-row
+    gate); the shape is grain-independent. The scale discipline is that
+    the raw event table collapses BEFORE anything joins: the cohort
+    table is a min-aggregate per user and the activity table a distinct
+    per (user, week) — both map-side combined — and the join is
+    aggregate-to-aggregate on user_id (never events x events; a fact
+    self-join on Zipf-active users would be the skew hazard). Week
+    arithmetic is pure integer (Monday-aligned epoch-day div 7), so
+    weeks_since is exact on both engines; output is bounded by weeks^2,
+    not users.
+
+    At 100 TB: two user-keyed exchanges (cohort min + activity
+    distinct), one user-keyed join AQE can co-locate, and a final
+    few-hundred-row aggregate. No window, no Python."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type") == "purchase"))
+    # Monday-aligned week number: days since 1970-01-05 (a Monday) div 7
+    wnum = F.expr(
+        "datediff(cast(ts as date), date'1970-01-05') div 7").alias("w")
+    cohort = (ev.select("user_id", wnum)
+              .groupBy("user_id").agg(F.min("w").alias("w0")))
+    act = ev.select("user_id", wnum).distinct()
+    return (act.join(cohort, "user_id")
+            .groupBy("w0", "w")
+            .agg(F.count_distinct("user_id").alias("n_users"))
+            .select(
+                F.date_add(F.lit("1970-01-05").cast("date"),
+                           (F.col("w0") * 7).cast("int"))
+                .alias("cohort_week"),
+                (F.col("w") - F.col("w0")).alias("weeks_since"),
+                "n_users"))
+
+
+def q_overlapping_order_windows(spark, sf_dir):
+    """INTERVAL-OVERLAP SELF-JOIN (the second interval join next to
+    range_join's point-in-interval): per customer, pairs of orders whose
+    fulfillment windows [o_orderdate, last l_shipdate] overlap —
+    "customers juggling concurrent in-flight orders". The overlap
+    predicate s1 <= e2 AND s2 <= e1 has no equi key of its own, but the
+    per-customer scoping DOES: the self-join is an ordinary hash
+    equi-join on custkey with the overlap as a residual filter, bounded
+    because orders-per-customer is bounded (the general unscoped case
+    needs range_join-style time bucketing; a hot customer is AQE
+    skew-split territory). Window end comes from one map-side-combined
+    max per order co-keyed with the orders join; output is a
+    per-customer pair count + max concurrent-pair span in days, so the
+    result is customer-bounded, not pair-bounded."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(F.max("l_shipdate").alias("w_end")))
+    o = (_t(spark, sf_dir, "orders")
+         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+         .select("o_custkey", "o_orderkey",
+                 F.col("o_orderdate").alias("w_start"), "w_end"))
+    a, b = o.alias("a"), o.alias("b")
+    pairs = (a.join(b, (F.col("a.o_custkey") == F.col("b.o_custkey"))
+                    & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+                    & (F.col("a.w_start") <= F.col("b.w_end"))
+                    & (F.col("b.w_start") <= F.col("a.w_end"))))
+    ov_days = (F.datediff(
+        F.least(F.col("a.w_end"), F.col("b.w_end")),
+        F.greatest(F.col("a.w_start"), F.col("b.w_start"))) + 1)
+    return (pairs.groupBy(F.col("a.o_custkey").alias("custkey"))
+            .agg(F.count("*").alias("n_overlapping_pairs"),
+                 F.max(ov_days).alias("max_overlap_days")))
+
+
 def q_event_funnel_daily(spark, sf_dir):
     """Sequential-step FUNNEL analytics (view -> click -> purchase per
     user-day): the product-analytics query class where step N only
@@ -3225,6 +3296,8 @@ QUERIES = {
     "data_quality_report": q_data_quality_report,
     "sql_api_theta_distinct": q_sql_api_theta_distinct,
     "events_per_day": q_events_per_day,
+    "cohort_retention_weekly": q_cohort_retention_weekly,
+    "overlapping_order_windows": q_overlapping_order_windows,
     "event_funnel_daily": q_event_funnel_daily,
     "dataset_snapshot_diff": q_dataset_snapshot_diff,
     "cdc_apply_reconstruction": q_cdc_apply_reconstruction,
@@ -4246,6 +4319,35 @@ ORACLE_SQL = {
         SELECT 'early_only' AS segment, o_custkey AS custkey
         FROM (SELECT o_custkey FROM early
               EXCEPT SELECT o_custkey FROM late)""",
+    "cohort_retention_weekly": """
+        WITH e AS (
+          SELECT user_id,
+                 date_diff('day', DATE '1970-01-05', ts::DATE) // 7 AS w
+          FROM events WHERE event_type = 'purchase'),
+        cohort AS (SELECT user_id, min(w) AS w0 FROM e GROUP BY user_id),
+        act AS (SELECT DISTINCT user_id, w FROM e)
+        SELECT DATE '1970-01-05' + CAST(w0 * 7 AS INTEGER) AS cohort_week,
+               w - w0 AS weeks_since,
+               count(DISTINCT a.user_id) AS n_users
+        FROM act a JOIN cohort c USING (user_id)
+        GROUP BY w0, w""",
+    "overlapping_order_windows": """
+        WITH w AS (
+          SELECT o_custkey, o_orderkey,
+                 o_orderdate AS ws, max(l_shipdate) AS we
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          GROUP BY o_custkey, o_orderkey, o_orderdate)
+        SELECT a.o_custkey AS custkey,
+               count(*) AS n_overlapping_pairs,
+               max(date_diff('day',
+                             greatest(a.ws, b.ws)::DATE,
+                             least(a.we, b.we)::DATE) + 1)
+               AS max_overlap_days
+        FROM w a JOIN w b
+          ON a.o_custkey = b.o_custkey
+         AND a.o_orderkey < b.o_orderkey
+         AND a.ws <= b.we AND b.ws <= a.we
+        GROUP BY a.o_custkey""",
     "events_per_day": """
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                count(*) AS n_events,
