@@ -1123,6 +1123,71 @@ def q_stable_row_ids(spark, sf_dir):
             .select("doc_id", "n_chars", "new_id"))
 
 
+LINEAR_MODEL_DIM = 64  # hashed weight-vector size for linear inference
+
+
+def q_linear_quality_scores(spark, sf_dir):
+    """BROADCAST-MODEL LINEAR INFERENCE — the fasttext/VW-style hashed
+    linear classifier applied at corpus scale, the "model-based quality
+    filter" shape where the model is a dense weight vector over hashed
+    token buckets: score(doc) = sum over tokens of w[u32(md5(tok)) mod
+    D]. The weights here derive deterministically from the bucket id
+    (md5-uniform mapped to integers in [-1000, 1000]) standing in for
+    trained weights — the SHAPE is the contract: the weight vector
+    travels as ONE broadcast array row (the price_decile_bins cut
+    pattern), scoring is a pure JVM fold (explode-free: transform +
+    aggregate over the token array), weights are INTEGER so per-doc
+    sums are exact cross-engine, and the corpus never shuffles — the
+    only exchange in the plan is the broadcast itself. Swapping the
+    derived weights for a trained table changes one subquery, not the
+    plan. keep = score > 0 (the filter decision a curation run applies)."""
+    d = LINEAR_MODEL_DIM
+    w_of = (F.conv(F.substring(F.md5(F.col("b").cast("string")), 1, 8),
+                   16, 10).cast("long") % 2001 - 1000)
+    weights = (spark.range(d).select(F.col("id").alias("b"))
+               .select(F.col("b"), w_of.alias("w"))
+               .agg(F.array_sort(F.collect_list(F.struct("b", "w")))
+                    .alias("bw"))
+               .select(F.transform("bw", lambda s: s["w"]).alias("ws")))
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.length(F.trim(F.col("text"))) > 0)
+            .select("doc_id", toks.alias("toks")))
+    score = F.aggregate(
+        "toks", F.lit(0).cast("long"),
+        lambda acc, t: acc + F.element_at(
+            "ws", (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+                   .cast("long") % d + 1).cast("int")))
+    return (docs.crossJoin(F.broadcast(weights))
+            .select("doc_id", score.alias("score"))
+            .withColumn("kept", F.col("score") > 0))
+
+
+def q_label_centroids(spark, sf_dir):
+    """PER-CLASS VECTOR CENTROIDS (class prototypes — the nearest-
+    centroid classifier / cluster-seed computation): the mean embedding
+    per label, made hash-exact cross-engine by keeping the aggregate in
+    INTEGER space: each coordinate quantizes to 1e-6 (round(v*1e6) as
+    long — float32 widens to double exactly, both engines round the
+    identical double away from zero) and the output is (label, pos,
+    sum_q6, n); mean = sum_q6 / (1e6 * n) is one exact division away.
+    A float sum() would diverge in addition order across engines AND
+    across partitionings of the same engine — the daily_revenue lesson
+    applied to vectors.
+
+    Scale shape: posexplode -> groupBy(label, pos) is map-side
+    combinable (the exchange carries labels x dim rows regardless of
+    corpus size), where an array-typed aggregate (zip_with fold) would
+    ship whole vectors into the shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("label",
+                    F.posexplode("embedding").alias("pos", "v"))
+    return (ex.groupBy("label", "pos")
+            .agg(F.sum(F.round(F.col("v").cast("double") * 1e6)
+                       .cast("long")).alias("sum_q6"),
+                 F.count("*").alias("n")))
+
+
 SEQ_LEN = 512     # tokens per packed training sequence
 PACK_SHARDS = 16  # parallel packing streams per source
 
@@ -3289,6 +3354,8 @@ QUERIES = {
     "daily_revenue_moving_avg": q_daily_revenue_moving_avg,
     "tpch_q3_unshipped": q_tpch_q3_unshipped,
     "normalize_texts": q_normalize_texts,
+    "linear_quality_scores": q_linear_quality_scores,
+    "label_centroids": q_label_centroids,
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "stable_row_ids": q_stable_row_ids,
     "daily_gapfill_ffill": q_daily_gapfill_ffill,
@@ -4213,6 +4280,37 @@ ORACLE_SQL = {
                     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
                     AS BIGINT) AS cum_rev_cents
         FROM daily""",
+    "linear_quality_scores": """
+        WITH tk AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                 AS t
+          FROM documents
+          WHERE length(trim(text)) > 0),
+        tb AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS b
+          FROM tk),
+        tw AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 8))::BIGINT
+                  % 2001) - 1000 AS w
+          FROM tb)
+        SELECT doc_id, sum(w) AS score, sum(w) > 0 AS kept
+        FROM tw GROUP BY doc_id""",
+    "label_centroids": """
+        WITH x AS (
+          SELECT label, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings),
+        e AS (
+          SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+                 embedding[i]::DOUBLE AS v
+          FROM x)
+        SELECT label, pos,
+               sum(CAST(round(v * 1000000.0) AS BIGINT)) AS sum_q6,
+               count(*) AS n
+        FROM e GROUP BY label, pos""",
     "normalize_texts": """
         WITH noisy AS (
           SELECT doc_id,

@@ -849,6 +849,33 @@ def main() -> None:
             lambda p: "EvalPython" not in p,
     })
 
+    # 41. linear_quality_scores: the weight vector broadcasts as one row
+    #     and scoring is a JVM fold — the corpus side must never shuffle
+    lq = Q.q_linear_quality_scores(spark, SF_DIR)
+    failures += audit("linear_quality_scores", lq, {
+        "weights join is a broadcast (one-row build side)":
+            r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+        "corpus rows never hash-shuffle (no doc-keyed exchange)":
+            lambda p: not re.search(r"hashpartitioning\(doc_id", p),
+        "corpus scan pruned to doc_id+text":
+            r"ReadSchema: struct<doc_id:bigint,text:string>",
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    # 42. label_centroids: posexplode -> (label, pos) aggregate must
+    #     partial-combine below its single exchange (the property that
+    #     bounds the shuffle at labels x dim rows)
+    lc = Q.q_label_centroids(spark, SF_DIR)
+    failures += audit("label_centroids", lc, {
+        "partial aggregation below the exchange":
+            lambda p: p.index("HashAggregate") < p.index("Exchange"),
+        "exactly one exchange":
+            lambda p: _n_nodes(p, "Exchange") == 1,
+        "scan pruned to label+embedding (vec_id never read)":
+            lambda p: "vec_id" not in p,
+    })
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")
