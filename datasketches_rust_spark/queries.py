@@ -1123,6 +1123,43 @@ def q_stable_row_ids(spark, sf_dir):
             .select("doc_id", "n_chars", "new_id"))
 
 
+K_ANON_K = 50  # k-anonymity threshold for the privacy report
+
+
+def q_k_anonymity_report(spark, sf_dir):
+    """K-ANONYMITY audit — the structured-privacy counterpart of the
+    pii_redaction regex pass: how identifying is a quasi-identifier
+    combination? Rows sharing the same QI tuple (here nationkey x
+    mktsegment x acctbal-sign) form an equivalence class; a release is
+    k-anonymous iff every class has >= k members. Reports, per QI
+    attribute-combination size (the lattice level a generalization
+    algorithm like Mondrian walks), the class count, min class size,
+    and how many ROWS sit in classes below k — the re-identification
+    exposure. Everything derives from ONE groupBy per lattice level on
+    the grouping-sets Expand (a single customer scan), and each level's
+    report is a few-row aggregate of the class-size table — class-size
+    tables are QI-domain-bounded, so no stage ever carries the corpus
+    past its first aggregate."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        (F.col("c_acctbal") >= 0).alias("bal_pos"))
+    classes = (c.groupingSets(
+        [["c_nationkey"], ["c_nationkey", "c_mktsegment"],
+         ["c_nationkey", "c_mktsegment", "bal_pos"]],
+        "c_nationkey", "c_mktsegment", "bal_pos")
+        .agg(F.count("*").alias("n")))
+    level = (F.when(F.col("bal_pos").isNotNull(), 3)
+             .when(F.col("c_mktsegment").isNotNull(), 2)
+             .otherwise(1))
+    return (classes.select(level.alias("qi_level"), "n")
+            .groupBy("qi_level")
+            .agg(F.count("*").alias("n_classes"),
+                 F.min("n").alias("min_class_size"),
+                 F.sum(F.when(F.col("n") < K_ANON_K, F.col("n"))
+                       .otherwise(F.lit(0))).alias("rows_below_k"),
+                 F.sum("n").alias("n_rows")))
+
+
 LINEAR_MODEL_DIM = 64  # hashed weight-vector size for linear inference
 
 
@@ -3355,6 +3392,7 @@ QUERIES = {
     "tpch_q3_unshipped": q_tpch_q3_unshipped,
     "normalize_texts": q_normalize_texts,
     "linear_quality_scores": q_linear_quality_scores,
+    "k_anonymity_report": q_k_anonymity_report,
     "label_centroids": q_label_centroids,
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "stable_row_ids": q_stable_row_ids,
@@ -4280,6 +4318,26 @@ ORACLE_SQL = {
                     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
                     AS BIGINT) AS cum_rev_cents
         FROM daily""",
+    "k_anonymity_report": """
+        WITH c AS (
+          SELECT c_nationkey, c_mktsegment, c_acctbal >= 0 AS bal_pos
+          FROM customer),
+        cls AS (
+          SELECT c_nationkey, c_mktsegment, bal_pos, count(*) AS n
+          FROM c
+          GROUP BY GROUPING SETS ((c_nationkey),
+                                  (c_nationkey, c_mktsegment),
+                                  (c_nationkey, c_mktsegment, bal_pos))),
+        lv AS (
+          SELECT CASE WHEN bal_pos IS NOT NULL THEN 3
+                      WHEN c_mktsegment IS NOT NULL THEN 2
+                      ELSE 1 END AS qi_level,
+                 n
+          FROM cls)
+        SELECT qi_level, count(*) AS n_classes, min(n) AS min_class_size,
+               sum(CASE WHEN n < 50 THEN n ELSE 0 END) AS rows_below_k,
+               sum(n) AS n_rows
+        FROM lv GROUP BY qi_level""",
     "linear_quality_scores": """
         WITH tk AS (
           SELECT doc_id,
