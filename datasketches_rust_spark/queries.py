@@ -2085,6 +2085,94 @@ def q_events_per_day(spark, sf_dir):
                  F.count_distinct("user_id").alias("n_users")))
 
 
+def q_event_mad_by_type(spark, sf_dir):
+    """ROBUST STATISTICS (exact median + median absolute deviation) —
+    the outlier-resistant counterpart of event_outlier_counts' 3-sigma
+    screen (one wild value moves a mean/stddev arbitrarily; it moves
+    the median/MAD not at all). Both statistics derive from ONE
+    bounded-cardinality histogram: values quantize to cents (the
+    fixture's native 2-decimal grain), the corpus collapses to a
+    (type, cents, count) aggregate under map-side combine, the median
+    is a cumulative walk over that tiny table (lower-median convention:
+    smallest v with cum >= (n+1) div 2, the source_profile rule), and
+    the MAD histogram is a RE-AGGREGATION of the same table by
+    |cents - median| — the raw table is scanned once, sorted never.
+    The histogram is checkpointed so its three consumers (median walk,
+    MAD re-aggregation, totals) don't re-run the corpus aggregate."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    h = (ev.groupBy("event_type", "cents").agg(F.count("*").alias("c"))
+         .localCheckpoint())  # bounded: |types| x |value domain|
+    n = h.groupBy("event_type").agg(F.sum("c").alias("n"))
+    half = F.expr("(n + 1) div 2")
+    wc = Window.partitionBy("event_type").orderBy("cents")
+    med = (h.withColumn("cum", F.sum("c").over(wc))
+           .join(F.broadcast(n), "event_type")
+           .where(F.col("cum") >= half)
+           .groupBy("event_type").agg(F.min("cents").alias("med_cents")))
+    d = (h.join(F.broadcast(med), "event_type")
+         .groupBy("event_type",
+                  F.abs(F.col("cents") - F.col("med_cents")).alias("d"))
+         .agg(F.sum("c").alias("c")))
+    wd = Window.partitionBy("event_type").orderBy("d")
+    mad = (d.withColumn("cum", F.sum("c").over(wd))
+           .join(F.broadcast(n), "event_type")
+           .where(F.col("cum") >= half)
+           .groupBy("event_type").agg(F.min("d").alias("mad_cents")))
+    return (n.join(med, "event_type").join(mad, "event_type")
+            .select("event_type", "n", "med_cents", "mad_cents"))
+
+
+def q_linear_attribution_daily(spark, sf_dir):
+    """MULTI-TOUCH ATTRIBUTION (the marketing-analytics allocator,
+    completing the family next to asof_last_purchase's last-touch):
+    each purchase's value splits EQUALLY across the user's clicks in
+    the preceding 7 days, and credit aggregates per click day. The
+    split is exact integer math — credit = (cents*1000) div n
+    millicents per touch, remainder to the LAST touch (latest ts,
+    event_id tie-break) — so total credit conserves value exactly and
+    the gate is float-free (an even float split neither conserves nor
+    hashes).
+
+    Scale shape: the touch join is user-keyed equi with the 7-day
+    window as a residual (bounded by per-user activity in the window;
+    a hot user is AQE skew-split territory). Per-purchase count and
+    last-touch flag come from ONE purchase-keyed window (count +
+    row_number share the partition/order spec: one exchange, one
+    sort, partitions bounded by touches-per-purchase), and the final
+    day rollup is map-side combined."""
+    ev = _t(spark, sf_dir, "events")
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("pid"),
+                 F.col("user_id"),
+                 F.unix_micros(F.col("ts").cast("timestamp"))
+                 .alias("pts_us"),
+                 F.round(F.col("value") * 100).cast("long")
+                 .alias("cents")))
+    c = (ev.where(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("cid"), F.col("user_id"),
+                 F.unix_micros(F.col("ts").cast("timestamp"))
+                 .alias("cts_us"),
+                 F.col("ts").alias("cts")))
+    win_us = 7 * 86400 * 10**6
+    t = p.join(c, "user_id").where(
+        (F.col("cts_us") <= F.col("pts_us"))
+        & (F.col("cts_us") > F.col("pts_us") - F.lit(win_us)))
+    w = Window.partitionBy("pid")
+    wo = w.orderBy(F.desc("cts_us"), F.desc("cid"))
+    t = (t.withColumn("n", F.count("*").over(w))
+         .withColumn("rn", F.row_number().over(wo)))
+    credit = (F.expr("(cents * 1000) div n")
+              + F.when(F.col("rn") == 1, F.expr("(cents * 1000) % n"))
+              .otherwise(F.lit(0)))
+    return (t.select(F.col("cts").cast("date").alias("click_day"),
+                     credit.cast("long").alias("credit_millicents"))
+            .groupBy("click_day")
+            .agg(F.count("*").alias("n_touches"),
+                 F.sum("credit_millicents").alias("credit_millicents")))
+
+
 def q_cohort_retention_weekly(spark, sf_dir):
     """COHORT RETENTION (the product-analytics triangle): users grouped
     by first-activity week, tracked across subsequent weeks —
@@ -3402,6 +3490,8 @@ QUERIES = {
     "sql_api_theta_distinct": q_sql_api_theta_distinct,
     "events_per_day": q_events_per_day,
     "cohort_retention_weekly": q_cohort_retention_weekly,
+    "linear_attribution_daily": q_linear_attribution_daily,
+    "event_mad_by_type": q_event_mad_by_type,
     "overlapping_order_windows": q_overlapping_order_windows,
     "event_funnel_daily": q_event_funnel_daily,
     "dataset_snapshot_diff": q_dataset_snapshot_diff,
@@ -4475,6 +4565,64 @@ ORACLE_SQL = {
         SELECT 'early_only' AS segment, o_custkey AS custkey
         FROM (SELECT o_custkey FROM early
               EXCEPT SELECT o_custkey FROM late)""",
+    "event_mad_by_type": """
+        WITH h AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2),
+        n AS (SELECT event_type, sum(c) AS n FROM h GROUP BY 1),
+        cum AS (
+          SELECT event_type, cents,
+                 sum(c) OVER (PARTITION BY event_type
+                              ORDER BY cents) AS cum
+          FROM h),
+        med AS (
+          SELECT cum.event_type, min(cents) AS med_cents
+          FROM cum JOIN n USING (event_type)
+          WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        d AS (
+          SELECT h.event_type, abs(cents - med_cents) AS d,
+                 sum(c) AS c
+          FROM h JOIN med USING (event_type) GROUP BY 1, 2),
+        dcum AS (
+          SELECT event_type, d,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY d) AS cum
+          FROM d),
+        mad AS (
+          SELECT dcum.event_type, min(d) AS mad_cents
+          FROM dcum JOIN n USING (event_type)
+          WHERE cum >= (n + 1) // 2 GROUP BY 1)
+        SELECT event_type, n, med_cents, mad_cents
+        FROM n JOIN med USING (event_type) JOIN mad USING (event_type)""",
+    "linear_attribution_daily": """
+        WITH p AS (
+          SELECT event_id AS pid, user_id, epoch_us(ts) AS pts_us,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT event_id AS cid, user_id, epoch_us(ts) AS cts_us, ts
+          FROM events WHERE event_type = 'click'),
+        t AS (
+          SELECT pid, cents, cid, cts_us, ts
+          FROM p JOIN c USING (user_id)
+          WHERE cts_us <= pts_us
+            AND cts_us > pts_us - 604800000000),
+        r AS (
+          SELECT ts, cents,
+                 count(*) OVER (PARTITION BY pid) AS n,
+                 row_number() OVER (PARTITION BY pid
+                                    ORDER BY cts_us DESC, cid DESC)
+                 AS rn
+          FROM t),
+        cr AS (
+          SELECT ts::DATE AS click_day,
+                 (cents * 1000) // n
+                 + CASE WHEN rn = 1 THEN (cents * 1000) % n
+                        ELSE 0 END AS credit
+          FROM r)
+        SELECT click_day, count(*) AS n_touches,
+               sum(credit) AS credit_millicents
+        FROM cr GROUP BY click_day""",
     "cohort_retention_weekly": """
         WITH e AS (
           SELECT user_id,
