@@ -2085,6 +2085,78 @@ def q_events_per_day(spark, sf_dir):
                  F.count_distinct("user_id").alias("n_users")))
 
 
+def q_event_twap_daily(spark, sf_dir):
+    """TIME-WEIGHTED AVERAGE (TWAP — the financial/sensor downsample a
+    plain mean gets wrong when observations arrive unevenly): per
+    (event_type, day), each value holds until the next observation
+    (step interpolation), the day's last observation holds to midnight,
+    and the average weights by holding time. Emitted as EXACT INTEGERS
+    — (n_obs, wsum = sum(cents x holding-micros) in decimal(38,0) [the
+    corr_matrix headroom discipline: a cents x day-micros term is
+    ~2^60, so a 64-bit SUM would wrap within thousands of rows],
+    wtot = sum(micros)) — twap = wsum/wtot is one client-side division
+    away; emitting the float would be the one engine-divergent value in
+    the row. Equal-timestamp ties are ordered by event_id on BOTH
+    engines: a tie's first observation gets zero holding time, so tie
+    ORDER changes which value absorbs the gap — unordered ties are a
+    silent cross-engine (and cross-run!) nondeterminism.
+
+    Scale: the lead() window and the day aggregate share one
+    (type, day) exchange (same keys — the event_sessions discipline);
+    window partitions are bounded by per-type daily volume."""
+    us_day = 86400 * 10**6
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    ev = ev.withColumn(
+        "day_us", F.col("ts_us") - F.pmod("ts_us", F.lit(us_day)))
+    w = (Window.partitionBy("event_type", "day_us")
+         .orderBy("ts_us", "event_id"))
+    dt = (F.coalesce(F.lead("ts_us").over(w),
+                     F.col("day_us") + F.lit(us_day))
+          - F.col("ts_us"))
+    return (ev.withColumn("dt", dt)
+            .groupBy("event_type", "day_us")
+            .agg(F.count("*").alias("n_obs"),
+                 F.sum((F.col("cents") * F.col("dt"))
+                       .cast("decimal(38,0)")).alias("wsum_cents_us"),
+                 F.sum("dt").alias("wtot_us"))
+            .select("event_type",
+                    F.date_from_unix_date(
+                        F.expr("day_us div 86400000000").cast("int"))
+                    .alias("day"),
+                    "n_obs", "wsum_cents_us", "wtot_us"))
+
+
+def q_user_activity_islands(spark, sf_dir):
+    """GAPS-AND-ISLANDS (the classic streak/outage window idiom —
+    contiguous runs of active days per user, the engagement-streak /
+    sensor-uptime query): the tabibitosan method, dayn - row_number()
+    is constant within a consecutive run, so runs fall out of a plain
+    groupBy with no self-join and no lag-cascade. Everything runs over
+    the (user, day) DISTINCT aggregate (bounded by users x days — the
+    raw event table collapses in its first map-side-combined exchange);
+    the run groupBy then carries only those rows. Day arithmetic is
+    integer days-since-epoch on both engines, so run boundaries are
+    exact."""
+    ev = _t(spark, sf_dir, "events")
+    ud = (ev.select("user_id",
+                    F.unix_date(F.col("ts").cast("date")).alias("dayn"))
+          .distinct())
+    w = Window.partitionBy("user_id").orderBy("dayn")
+    isl = ud.withColumn("grp", F.col("dayn") - F.row_number().over(w))
+    return (isl.groupBy("user_id", "grp")
+            .agg(F.min("dayn").alias("s"), F.max("dayn").alias("e"),
+                 F.count("*").alias("n_days"))
+            .select("user_id",
+                    F.date_from_unix_date(F.col("s").cast("int"))
+                    .alias("start_date"),
+                    F.date_from_unix_date(F.col("e").cast("int"))
+                    .alias("end_date"),
+                    "n_days"))
+
+
 def q_event_mad_by_type(spark, sf_dir):
     """ROBUST STATISTICS (exact median + median absolute deviation) —
     the outlier-resistant counterpart of event_outlier_counts' 3-sigma
@@ -3492,6 +3564,8 @@ QUERIES = {
     "cohort_retention_weekly": q_cohort_retention_weekly,
     "linear_attribution_daily": q_linear_attribution_daily,
     "event_mad_by_type": q_event_mad_by_type,
+    "user_activity_islands": q_user_activity_islands,
+    "event_twap_daily": q_event_twap_daily,
     "overlapping_order_windows": q_overlapping_order_windows,
     "event_funnel_daily": q_event_funnel_daily,
     "dataset_snapshot_diff": q_dataset_snapshot_diff,
@@ -4565,6 +4639,43 @@ ORACLE_SQL = {
         SELECT 'early_only' AS segment, o_custkey AS custkey
         FROM (SELECT o_custkey FROM early
               EXCEPT SELECT o_custkey FROM late)""",
+    "event_twap_daily": """
+        WITH e AS (
+          SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us
+          FROM events),
+        l AS (
+          SELECT event_type, day_us, cents,
+                 coalesce(lead(ts_us) OVER (PARTITION BY event_type,
+                                            day_us
+                                            ORDER BY ts_us, event_id),
+                          day_us + 86400000000) - ts_us AS dt
+          FROM e)
+        SELECT event_type,
+               DATE '1970-01-01' + CAST(day_us // 86400000000 AS INTEGER)
+               AS day,
+               count(*) AS n_obs,
+               sum(cents * dt) AS wsum_cents_us,
+               sum(dt) AS wtot_us
+        FROM l GROUP BY event_type, day_us""",
+    "user_activity_islands": """
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 date_diff('day', DATE '1970-01-01', ts::DATE) AS dayn
+          FROM events),
+        i AS (
+          SELECT user_id, dayn,
+                 dayn - row_number() OVER (PARTITION BY user_id
+                                           ORDER BY dayn) AS grp
+          FROM ud)
+        SELECT user_id,
+               DATE '1970-01-01' + CAST(min(dayn) AS INTEGER)
+               AS start_date,
+               DATE '1970-01-01' + CAST(max(dayn) AS INTEGER)
+               AS end_date,
+               count(*) AS n_days
+        FROM i GROUP BY user_id, grp""",
     "event_mad_by_type": """
         WITH h AS (
           SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,

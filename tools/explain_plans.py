@@ -876,6 +876,20 @@ def main() -> None:
             lambda p: "vec_id" not in p,
     })
 
+    # 43. event_twap_daily: the lead() window and the day aggregate must
+    #     share ONE (type, day) exchange — the event_sessions discipline
+    tw = Q.q_event_twap_daily(spark, SF_DIR)
+    failures += audit("event_twap_daily", tw, {
+        "exactly one exchange (window + aggregate share keys)":
+            lambda p: _n_nodes(p, "Exchange") == 1,
+        "aggregate runs directly on the window output (no re-shuffle)":
+            lambda p: _n_nodes(p, "HashAggregate") == 2,
+        "scan pruned (props/user_id never read)":
+            lambda p: "props" not in p and "user_id" not in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")
