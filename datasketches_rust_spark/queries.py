@@ -3435,6 +3435,199 @@ def q_zorder_layout_plan(spark, sf_dir):
              F.max("l_suppkey").alias("supp_hi")))
 
 
+AB_ARMS = 2  # deterministic hash-bucket experiment arms
+
+
+def q_ab_experiment_report(spark, sf_dir):
+    """A/B EXPERIMENT ANALYSIS — the experimentation-platform readout:
+    users deterministically hash-bucketed into arms (md5 of user_id,
+    the reproducible assignment every real platform uses — rand()
+    would re-randomize under task retry and can't be re-derived at
+    analysis time), per-arm user counts + revenue, and a Welch t
+    statistic on revenue-per-user. Scale shape: the event corpus
+    collapses to ONE per-user aggregate (map-side combined, user-keyed
+    exchange — the only corpus shuffle), arm assignment is a pure
+    expression on user_id (no assignment-table join), and the final
+    conditional aggregate folds both arms into a single row with
+    partial combine. Moments are EXACT: revenue in integer cents,
+    sums/sums-of-squares in decimal(38,0) (a cents^2 term is ~1e14; a
+    64-bit sumsq wraps within ~1e4 users), so the t statistic is the
+    only float and both engines run the identical IEEE sequence
+    (the lineitem_corr_matrix recipe). Variance via the exact-integer
+    identity n*ss - s*s, Welch denominator v/n with v = that identity
+    over n*(n-1))."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.when(F.col("event_type") == "purchase",
+                   F.round(F.col("value") * 100).cast("long")) \
+             .otherwise(F.lit(0))
+    per_user = (ev.groupBy("user_id")
+                .agg(F.sum(cents).cast("decimal(38,0)").alias("rev")))
+    arm = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 8), 16, 10)
+           .cast("long") % AB_ARMS).alias("arm")
+    u = per_user.select(arm, "rev")
+    t1 = F.col("arm") == 1
+
+    def moments(flag, tag):
+        return [
+            F.sum(F.when(flag, 1).otherwise(0))
+            .cast("decimal(38,0)").alias(f"n{tag}"),
+            F.sum(F.when(flag, F.col("rev")).otherwise(F.lit(0)))
+            .alias(f"s{tag}"),
+            F.sum(F.when(flag, F.col("rev") * F.col("rev"))
+                  .otherwise(F.lit(0))).alias(f"ss{tag}"),
+        ]
+
+    mom = u.agg(*(moments(~t1, "0") + moments(t1, "1")))
+
+    def mean(tag):
+        # cast BEFORE dividing: decimal/decimal rounds to 6 places in
+        # Spark (DuckDB's hugeint division differs again) — double
+        # division of exact integers is the cross-engine-stable form
+        return (F.col(f"s{tag}").cast("double")
+                / F.col(f"n{tag}").cast("double"))
+
+    def var_over_n(tag):
+        n = F.col(f"n{tag}")
+        return ((n * F.col(f"ss{tag}") - F.col(f"s{tag}")
+                 * F.col(f"s{tag}")).cast("double")
+                / (n * n * (n - 1)).cast("double"))
+
+    return mom.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        F.col("s0").alias("rev_cents_control"),
+        F.col("s1").alias("rev_cents_treatment"),
+        (mean("1") - mean("0")).alias("mean_diff_cents"),
+        ((mean("1") - mean("0"))
+         / F.sqrt(var_over_n("1") + var_over_n("0"))).alias("welch_t"))
+
+
+def q_wau_daily(spark, sf_dir):
+    """ROLLING-WINDOW DISTINCT ACTIVES (the DAU/WAU/MAU report): for
+    each calendar day, distinct users active in the trailing 7 days.
+    Distinct-over-a-sliding-frame is inexpressible as a window
+    function (COUNT(DISTINCT) OVER a RANGE frame doesn't exist in
+    either engine, and re-scanning 7 days per day is O(7) passes); the
+    scale-right batch form is CONTRIBUTION EXPLODE: collapse events to
+    the distinct (user, day) table FIRST (map-side partial distinct —
+    the only corpus-sized exchange), explode each row to the <=7
+    window-ends it contributes to (bounded x7 blow-up of the already
+    user x day-bounded table), then one count-distinct per window end.
+    Day arithmetic is integer epoch-days, exact on both engines.
+    Window ends are restricted to OBSERVED activity days via a
+    broadcast semi-join (days are bounded — calendar-sized), which
+    also drops the phantom ends past the data's horizon.
+
+    At 100 TB: exchanges are (user, day) distinct, then (window_end,
+    user) count-distinct partials — both collapse early; no window
+    sort, no self-join of the fact table."""
+    ev = _t(spark, sf_dir, "events")
+    ud = (ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .alias("dayn"))
+        .distinct())
+    days = ud.select("dayn").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("dayn"),
+                             F.col("dayn") + F.lit(6))).alias("wend"))
+    return (contrib
+            .join(F.broadcast(days),
+                  contrib["wend"] == days["dayn"], "left_semi")
+            .groupBy("wend")
+            .agg(F.count_distinct("user_id").alias("wau"))
+            .select(
+                F.date_add(F.lit("1970-01-01").cast("date"),
+                           F.col("wend").cast("int")).alias("day"),
+                "wau"))
+
+
+SEARCH_TERMS = ("hash", "join", "filter")  # conjunctive query literals
+
+
+def q_search_documents(spark, sf_dir):
+    """BOOLEAN RETRIEVAL (conjunctive keyword search + ranking): docs
+    containing ALL query terms, ranked by total term frequency, top-20
+    — the IR query-serving shape next to tfidf_top_terms' corpus
+    analytics. The scale insight: with the query terms KNOWN, per-doc
+    term counts are pure row-local JVM expressions (size(filter(...))
+    over the split array — no explode, no token exchange, whole-stage
+    codegen), so the corpus is NEVER shuffled at all; the only
+    non-scan operator is the global top-k, which Spark plans as
+    TakeOrderedAndProject (per-task O(k) heaps + driver merge — the
+    tpch_q3 contract, never a global sort). Ties broken by doc_id so
+    both engines rank identically; score is integer so the gate is
+    float-free. (An INDEXED serving path — posting lists keyed by
+    term — pays off when queries outnumber corpus scans; this is the
+    scan-side form that builds no index.)"""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    def _tf(term):
+        # factory closure: a default-arg lambda breaks pyspark's
+        # higher-order-function signature inspection (the bpe gotcha)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf = {t: _tf(t) for t in SEARCH_TERMS}
+    scored = docs.select(
+        "doc_id",
+        *[tf[t].cast("long").alias(f"tf_{t}") for t in SEARCH_TERMS])
+    cond = F.lit(True)
+    for t in SEARCH_TERMS:
+        cond = cond & (F.col(f"tf_{t}") > 0)
+    score = sum([F.col(f"tf_{t}") for t in SEARCH_TERMS], F.lit(0))
+    return (scored.where(cond)
+            .withColumn("score", score.cast("long"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(20))
+
+
+BASKET_MIN_SUPPORT = 2  # pair-count floor; mirrored in the oracle
+
+
+def q_market_basket_pairs(spark, sf_dir):
+    """MARKET-BASKET CO-OCCURRENCE (frequent pair mining / item-item
+    collaborative filtering): part pairs purchased together in the
+    same order, with support and lift. The pair generation is a
+    self-join WITHIN the basket key (orderkey) — bounded by max basket
+    size squared (TPC-H baskets are <=7 lines; a retail basket is
+    <=10^2 — the blow-up is per-row constant, never corpus-squared),
+    and both join sides are the SAME distinct (order, part) aggregate,
+    so the corpus collapses before the join and AQE co-locates the two
+    scans on one orderkey exchange. Support floor applied BEFORE the
+    per-part-count joins (the Zipf tail is support-1 pairs — 97% of
+    pairs at sf0.01), and the part-marginal table is part-bounded =>
+    broadcast. Lift = support * n_baskets / (ca * cb): one division
+    from exact integers, so the float hashes cross-engine. Hot-item
+    note: a part in f% of baskets yields f*|baskets| pair rows — the
+    groupBy handles it via partial combine; no single reducer sees a
+    raw pair list."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = baskets.select(
+        F.count_distinct("l_orderkey").alias("n_baskets"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("pa"),
+                      F.col("b.l_partkey").alias("pb"))
+             .agg(F.count("*").alias("support"))
+             .where(F.col("support") >= BASKET_MIN_SUPPORT))
+    marg = baskets.groupBy("l_partkey").agg(
+        F.count("*").alias("cnt"))
+    return (pairs
+            .join(F.broadcast(marg.select(F.col("l_partkey").alias("pa"),
+                                          F.col("cnt").alias("ca"))), "pa")
+            .join(F.broadcast(marg.select(F.col("l_partkey").alias("pb"),
+                                          F.col("cnt").alias("cb"))), "pb")
+            .crossJoin(F.broadcast(n_baskets))
+            .select("pa", "pb", "support", "ca", "cb",
+                    ((F.col("support") * F.col("n_baskets")).cast("double")
+                     / (F.col("ca") * F.col("cb")).cast("double"))
+                    .alias("lift")))
+
+
 def q_order_percentiles_daily(spark, sf_dir):
     """The remaining RANK-family window functions as a first-class
     class — percent_rank, cume_dist, ntile(4) — each order placed
@@ -3566,6 +3759,10 @@ QUERIES = {
     "event_mad_by_type": q_event_mad_by_type,
     "user_activity_islands": q_user_activity_islands,
     "event_twap_daily": q_event_twap_daily,
+    "ab_experiment_report": q_ab_experiment_report,
+    "wau_daily": q_wau_daily,
+    "search_documents": q_search_documents,
+    "market_basket_pairs": q_market_basket_pairs,
     "overlapping_order_windows": q_overlapping_order_windows,
     "event_funnel_daily": q_event_funnel_daily,
     "dataset_snapshot_diff": q_dataset_snapshot_diff,
@@ -5256,3 +5453,87 @@ ORACLE_SQL["order_percentiles_daily"] = """
            CAST(ntile(4) OVER w AS BIGINT) AS quartile
     FROM d
     WINDOW w AS (PARTITION BY day ORDER BY cents, o_orderkey)"""
+
+ORACLE_SQL["ab_experiment_report"] = """
+    WITH pu AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS HUGEINT) AS rev
+      FROM events GROUP BY user_id),
+    u AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS arm, rev
+      FROM pu),
+    m AS (
+      SELECT
+        sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)       AS n0,
+        sum(CASE WHEN arm = 0 THEN rev ELSE 0 END)     AS s0,
+        sum(CASE WHEN arm = 0 THEN rev * rev ELSE 0 END) AS ss0,
+        sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)       AS n1,
+        sum(CASE WHEN arm = 1 THEN rev ELSE 0 END)     AS s1,
+        sum(CASE WHEN arm = 1 THEN rev * rev ELSE 0 END) AS ss1
+      FROM u)
+    SELECT
+      CAST(n0 AS BIGINT) AS n_control,
+      CAST(n1 AS BIGINT) AS n_treatment,
+      s0 AS rev_cents_control,
+      s1 AS rev_cents_treatment,
+      (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+       - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS mean_diff_cents,
+      (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+       - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      / sqrt(CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+               / CAST(n1 * n1 * (n1 - 1) AS DOUBLE)
+             + CAST(n0 * ss0 - s0 * s0 AS DOUBLE)
+               / CAST(n0 * n0 * (n0 - 1) AS DOUBLE)) AS welch_t
+    FROM m"""
+
+ORACLE_SQL["wau_daily"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(ts AS DATE) - DATE '1970-01-01' AS dayn
+      FROM events),
+    days AS (SELECT DISTINCT dayn FROM ud),
+    c AS (
+      SELECT ud.user_id, ud.dayn + i.i AS wend
+      FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i)
+    SELECT DATE '1970-01-01' + CAST(c.wend AS INT) AS day,
+           count(DISTINCT c.user_id) AS wau
+    FROM c JOIN days d ON c.wend = d.dayn
+    GROUP BY 1"""
+
+ORACLE_SQL["search_documents"] = """
+    WITH s AS (
+      SELECT doc_id,
+        len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                        x -> x = 'hash'))   AS tf_hash,
+        len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                        x -> x = 'join'))   AS tf_join,
+        len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                        x -> x = 'filter')) AS tf_filter
+      FROM documents)
+    SELECT doc_id, tf_hash, tf_join, tf_filter,
+           (tf_hash + tf_join + tf_filter) AS score
+    FROM s
+    WHERE tf_hash > 0 AND tf_join > 0 AND tf_filter > 0
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20"""
+
+ORACLE_SQL["market_basket_pairs"] = """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM b),
+    p AS (
+      SELECT a.l_partkey AS pa, c.l_partkey AS pb, count(*) AS support
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2),
+    m AS (SELECT l_partkey, count(*) AS cnt FROM b GROUP BY 1)
+    SELECT pa, pb, support, ma.cnt AS ca, mb.cnt AS cb,
+           CAST(support * n_baskets AS DOUBLE)
+             / CAST(ma.cnt * mb.cnt AS DOUBLE) AS lift
+    FROM p
+    JOIN m ma ON p.pa = ma.l_partkey
+    JOIN m mb ON p.pb = mb.l_partkey
+    CROSS JOIN nb"""

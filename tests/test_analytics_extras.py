@@ -1,0 +1,126 @@
+"""The four r3 analytics classes pinned against independent
+recomputations on crafted fixtures (the DuckDB gate proves both engines
+run the same formula; these prove the formula computes the statistic it
+claims): A/B hash assignment + Welch t, trailing-7d rolling distinct,
+conjunctive search AND-semantics + tie-break, and basket pair
+support/lift."""
+
+import datetime as dt
+import hashlib
+import math
+
+from datasketches_rust_spark.queries import (
+    q_ab_experiment_report,
+    q_market_basket_pairs,
+    q_search_documents,
+    q_wau_daily,
+)
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+
+def _arm(user_id: int) -> int:
+    """The query's contract: first 8 md5 hex chars of str(user_id)."""
+    return int(hashlib.md5(str(user_id).encode()).hexdigest()[:8], 16) % 2
+
+
+def test_ab_assignment_and_welch_t(spark, tmp_path):
+    # users 1..8; revenue = 100*user cents so arm means differ
+    rows = [(u, TS, u, "purchase", float(u), "{}") for u in range(1, 9)]
+    # non-purchase value must NOT count as revenue
+    rows.append((99, TS, 1, "view", 1000.0, "{}"))
+    _events(spark, tmp_path, rows)
+    got = q_ab_experiment_report(spark, str(tmp_path)).collect()[0]
+
+    by_arm = {0: [], 1: []}
+    for u in range(1, 9):
+        by_arm[_arm(u)].append(u * 100)  # cents
+    n0, n1 = len(by_arm[0]), len(by_arm[1])
+    assert got.n_control == n0 and got.n_treatment == n1
+    assert int(got.rev_cents_control) == sum(by_arm[0])
+    assert int(got.rev_cents_treatment) == sum(by_arm[1])
+
+    def mv(vals):
+        n = len(vals)
+        m = sum(vals) / n
+        v = (n * sum(x * x for x in vals) - sum(vals) ** 2) \
+            / (n * n * (n - 1))
+        return m, v
+
+    m0, v0 = mv(by_arm[0])
+    m1, v1 = mv(by_arm[1])
+    t = (m1 - m0) / math.sqrt(v1 + v0)
+    assert abs(got.mean_diff_cents - (m1 - m0)) < 1e-9
+    assert abs(got.welch_t - t) < 1e-9
+
+
+def test_wau_trailing_window_bruteforce(spark, tmp_path):
+    # user 1 active day 0 and day 7 (a gap the 7-day window must NOT
+    # bridge: day-6 window [0..6] has u1 only via day 0); user 2 active
+    # days 2,3 (duplicate activity counted once per window)
+    def ev(i, day, user):
+        return (i, TS + dt.timedelta(days=day, hours=1), user,
+                "click", 1.0, "{}")
+
+    rows = [ev(1, 0, 1), ev(2, 7, 1), ev(3, 2, 2), ev(4, 2, 2),
+            ev(5, 3, 2)]
+    _events(spark, tmp_path, rows)
+    got = {r.day: r.wau for r in q_wau_daily(spark, str(tmp_path))
+           .collect()}
+
+    active = {1: {0, 7}, 2: {2, 3}}
+    observed_days = {0, 2, 3, 7}
+    base = dt.date(2024, 1, 1)
+    expect = {}
+    for d in observed_days:
+        expect[base + dt.timedelta(days=d)] = sum(
+            1 for u, ds in active.items()
+            if any(d - 6 <= a <= d for a in ds))
+    assert got == expect
+
+
+def test_search_and_semantics_and_tiebreak(spark, tmp_path):
+    docs = [
+        (1, "hash join filter", "en", "a", 1),        # all 3, score 3
+        (2, "hash hash join filter filter", "en", "a", 1),  # score 5
+        (3, "hash join", "en", "a", 1),               # missing 'filter'
+        (4, "filter hash join", "en", "a", 1),        # score 3 tie w/ 1
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = q_search_documents(spark, str(tmp_path)).collect()
+    # doc 3 excluded (AND); ties at score 3 break by doc_id ascending
+    assert [(r.doc_id, r.score) for r in got] == [(2, 5), (1, 3), (4, 3)]
+
+
+def test_basket_support_floor_and_lift(spark, tmp_path):
+    # baskets: {1,2,3}, {1,2}, {1,2}, {3} -> pair (1,2) support 3,
+    # (1,3) and (2,3) support 1 (dropped by the floor)
+    li = []
+    for ok, parts in [(10, [1, 2, 3]), (11, [1, 2]), (12, [1, 2]),
+                      (13, [3])]:
+        for i, p in enumerate(parts):
+            li.append((ok, p, 1, i + 1, 1.0, 1.0, 0.0, 0.0,
+                       "N", "O", TS))
+    spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice "
+            "double, l_discount double, l_tax double, l_returnflag "
+            "string, l_linestatus string, l_shipdate timestamp"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = q_market_basket_pairs(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.pa, r.pb, r.support) == (1, 2, 3)
+    # marginals: part1 in 3 baskets, part2 in 3; n_baskets = 4
+    assert (r.ca, r.cb) == (3, 3)
+    assert abs(r.lift - (3 * 4) / (3 * 3)) < 1e-12

@@ -890,6 +890,81 @@ def main() -> None:
             lambda p: "EvalPython" not in p,
     })
 
+    # 44. search_documents: with query terms known, per-doc tf is a
+    #     row-local JVM expression — the corpus must never shuffle;
+    #     the only non-scan operator is the TakeOrderedAndProject top-k
+    sd = Q.q_search_documents(spark, SF_DIR)
+    failures += audit("search_documents", sd, {
+        "zero exchanges (corpus never shuffled)":
+            lambda p: _n_nodes(p, "Exchange") == 0,
+        "global top-k is TakeOrderedAndProject (heap, no sort)":
+            lambda p: "TakeOrderedAndProject" in p
+            and not re.search(r"\(\d+\) Sort\b", p),
+        "scan pruned to doc_id+text":
+            r"ReadSchema: struct<doc_id:bigint,text:string>",
+        "no Python UDF (size/filter are JVM higher-order fns)":
+            lambda p: "EvalPython" not in p,
+    })
+
+    # 45. ab_experiment_report: the only corpus exchange is the per-user
+    #     aggregate; arm assignment is an expression (no join anywhere);
+    #     both final aggregates partial-combine
+    ab = Q.q_ab_experiment_report(spark, SF_DIR)
+    failures += audit("ab_experiment_report", ab, {
+        "exactly two exchanges (user agg + 1-row final agg)":
+            lambda p: _n_nodes(p, "Exchange") == 2,
+        "no join in the plan (assignment is an expression)":
+            lambda p: "Join" not in p,
+        "scan pruned (props/event_id never read)":
+            lambda p: "props" not in p and "event_id" not in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    # 46. market_basket_pairs: both marginal joins + the n_baskets
+    #     scalar must broadcast; the basket self-join must be a
+    #     SortMergeJoin/ShuffledHashJoin on orderkey (never BNLJ)
+    mb = Q.q_market_basket_pairs(spark, SF_DIR)
+    failures += audit("market_basket_pairs", mb, {
+        "marginal joins broadcast (>=2 BroadcastHashJoin)":
+            lambda p: len(re.findall(
+                r"\(\d+\) BroadcastHashJoin", p)) >= 2,
+        "no BNLJ except the 1-row scalar crossJoin":
+            lambda p: len(re.findall(
+                r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 1,
+        "pair self-join is an equi HASH join with pk< as residual "
+        "(AQE broadcasts the small side at sf0.01; fact-sized baskets "
+        "fall back to SMJ on the same orderkey key — never a BNLJ)":
+            lambda p: re.search(
+                r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|"
+                r"BroadcastHashJoin)[\s\S]{0,400}?"
+                r"Join condition: \(l_partkey#\d+L? < l_partkey", p)
+            is not None,
+        "scan pruned to orderkey+partkey":
+            r"ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>",
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    # 47. wau_daily: corpus collapses to the (user, day) distinct before
+    #     the x7 explode; the observed-days restriction is a broadcast
+    #     semi join; no window, no sort
+    wu = Q.q_wau_daily(spark, SF_DIR)
+    failures += audit("wau_daily", wu, {
+        "days-restriction is a broadcast LEFT SEMI":
+            lambda p: re.search(
+                r"BroadcastHashJoin .*LeftSemi|LeftSemi, BuildRight", p)
+            is not None,
+        "partial distinct below the (user,day) exchange":
+            lambda p: p.index("HashAggregate") < p.index("Exchange"),
+        "no sort anywhere (aggregation-only shape)":
+            lambda p: not re.search(r"\(\d+\) Sort\b", p),
+        "scan pruned to ts+user_id":
+            lambda p: "props" not in p and "event_type" not in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")
