@@ -3435,6 +3435,38 @@ def q_zorder_layout_plan(spark, sf_dir):
              F.max("l_suppkey").alias("supp_hi")))
 
 
+def q_part_hierarchy_rollup(spark, sf_dir):
+    """HIERARCHICAL ROLLUP (the WITH RECURSIVE query class: BOM
+    explosion, org-chart aggregation, category trees) — per node, the
+    count and retail-value sum over its entire subtree. The hierarchy
+    is derived deterministically from the part key (parent = key div 2,
+    a balanced binary tree of depth ~log2 n) so both engines see the
+    identical tree with no side table; the IMPLEMENTATION is the
+    generic operators/hierarchy.py pointer-doubling closure — reach
+    doubles per round, so the depth-11 sf0.01 tree closes in 4 joins
+    and a depth-d real hierarchy in ceil(log2 d), each round one
+    node-keyed exchange on the (node, anc) pair table (never corpus x
+    corpus; closure size is nodes x depth, the honest output of
+    ancestor enumeration — cf. connected_components for the O(log
+    diameter) shortcutting this borrows). Oracle = WITH RECURSIVE
+    walking anc div 2 — the SQL-native form of the same closure.
+    Growth-exhaustion RAISES rather than returning truncated ancestor
+    sets. Value sums in integer cents keep the gate float-free."""
+    from datasketches_rust_spark.operators.hierarchy import tree_rollup
+
+    part = _t(spark, sf_dir, "part")
+    parents = (part.where(F.col("p_partkey") > 1)
+               .select(F.col("p_partkey").alias("node"),
+                       F.expr("p_partkey div 2").alias("parent")))
+    values = part.select(
+        F.col("p_partkey").alias("node"),
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        .alias("value"))
+    return (tree_rollup(parents, values)
+            .select("anc", "n_nodes",
+                    F.col("total").alias("total_cents")))
+
+
 AB_ARMS = 2  # deterministic hash-bucket experiment arms
 
 
@@ -3760,6 +3792,7 @@ QUERIES = {
     "user_activity_islands": q_user_activity_islands,
     "event_twap_daily": q_event_twap_daily,
     "ab_experiment_report": q_ab_experiment_report,
+    "part_hierarchy_rollup": q_part_hierarchy_rollup,
     "wau_daily": q_wau_daily,
     "search_documents": q_search_documents,
     "market_basket_pairs": q_market_basket_pairs,
@@ -5537,3 +5570,24 @@ ORACLE_SQL["market_basket_pairs"] = """
     JOIN m ma ON p.pa = ma.l_partkey
     JOIN m mb ON p.pb = mb.l_partkey
     CROSS JOIN nb"""
+
+ORACLE_SQL["part_hierarchy_rollup"] = """
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS node, p_partkey // 2 AS anc
+      FROM part WHERE p_partkey > 1
+      UNION
+      SELECT a.node, a.anc // 2 FROM anc a WHERE a.anc > 1
+    ),
+    v AS (
+      SELECT p_partkey AS node,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part),
+    pairs AS (
+      SELECT node, anc FROM anc
+      UNION ALL
+      SELECT node, node AS anc FROM v)
+    SELECT p.anc,
+           count(*) AS n_nodes,
+           CAST(sum(v.cents) AS BIGINT) AS total_cents
+    FROM pairs p JOIN v ON p.node = v.node
+    GROUP BY p.anc"""
