@@ -1427,6 +1427,23 @@ def q_image_dedup_keep_best(spark, sf_dir):
 
 
 
+def q_audio_dedup_clusters(spark, sf_dir):
+    """Audio-axis near-dup dedup (the 4th modality next to text /
+    image / embedding): deterministic synthetic WAV clips (real RIFF
+    PCM16 payloads, sources/audio.py) -> band-energy sign fingerprint
+    + spectral-shape feature in one decode pass -> pigeonhole banding
+    -> JVM dot-product verify -> connected components. Rows-only
+    (binary decode has no SQL oracle); pair recall AND precision = 1.0
+    vs planted truth are pytest-gated (tests/test_audio.py), as is
+    Spark-vs-numpy-kernel fingerprint parity."""
+    from datasketches_rust_spark.pipeline_audio import \
+        audio_cluster_assignments
+    from datasketches_rust_spark.sources.audio import audio_spark_df
+    clips, _truth = audio_spark_df(spark, 2000, seed=42)
+    return audio_cluster_assignments(clips) \
+        .select("clip_id", "cluster_id")
+
+
 def q_embedding_keep_central(spark, sf_dir):
     """Embedding-axis representative selection (rows-only: float
     centrality argmax is not stable enough for a cross-engine hash, so
@@ -3746,6 +3763,7 @@ QUERIES = {
     "ann_recall_report": q_ann_recall_report,
     "lcs_confirm_pairs": q_lcs_confirm_pairs,
     "image_dedup_clusters": q_image_dedup_clusters,
+    "audio_dedup_clusters": q_audio_dedup_clusters,
     "image_dedup_keep_best": q_image_dedup_keep_best,
     "bloom_stats": q_bloom_stats,
     "hll_users_by_type": q_hll_users_by_type,

@@ -965,6 +965,37 @@ def main() -> None:
             lambda p: "EvalPython" not in p,
     })
 
+    # 48. audio_edges: bytes must never reach a shuffle (only the 8-byte
+    #     fingerprint rides the band exchange) and the 256-byte feature
+    #     vectors must not ride it either — they join back to the
+    #     id-pair survivors above (the ANN vectors-rejoin-once pattern)
+    from datasketches_rust_spark.pipeline_audio import (audio_edges,
+                                                        audio_sketch_table)
+    from datasketches_rust_spark.sources.audio import audio_spark_df
+    aclips, _ = audio_spark_df(spark, 300, seed=1, partitions=4)
+    ask = audio_sketch_table(aclips)
+    ae = audio_edges(ask)
+
+    def _never_shuffled(col):
+        def chk(p):
+            return not any(col in ln for ln in p.splitlines()
+                           if "Exchange" in ln
+                           or "Arguments: hashpartitioning" in ln)
+        return chk
+
+    failures += audit("audio_edges", ae, {
+        "bytes never in any exchange": _never_shuffled("bytes"),
+        "feat not on the band_key exchange":
+            lambda p: not any(
+                "feat" in ln for ln in p.splitlines()
+                if "hashpartitioning(band_key" in ln),
+        "verify dot product is JVM (no Python above the sketch cache)":
+            lambda p: "ArrowEvalPython" not in p.split(
+                "InMemoryRelation")[0],
+        "sketch table served from cache (decode ran once)":
+            lambda p: "InMemoryTableScan" in p,
+    })
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")
