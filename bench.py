@@ -5,6 +5,8 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Extra env knobs:
   SPARK_GRAFT_IMAGES_N   synthetic image count for the image-dedup job
                          (default 60000)
+  SPARK_GRAFT_AUDIO_N    synthetic clip count for the audio-dedup job
+                         (default 60000)
   SPARK_GRAFT_CPUS       cores (default 32) — the scaling-efficiency
                          evidence runs this same script at 8 vs 32.
 """
@@ -28,6 +30,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     images_n = int(os.environ.get("SPARK_GRAFT_IMAGES_N", "60000"))
+    audio_n = int(os.environ.get("SPARK_GRAFT_AUDIO_N", "60000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
         if "sf" in sf_dir else -1.0
 
@@ -122,6 +125,21 @@ def main() -> None:
         lambda: _noop(image_cluster_assignments(imgs, cfg)), trials=3)
     images_per_sec = round(images_n / timings["image_dedup_clusters"], 1)
 
+    # 2b. audio dedup pipeline end-to-end (synthetic WAV clips; joined
+    # the headline list with the r3 audio axis — totals again not
+    # comparable across that boundary, per-query rows are)
+    from datasketches_rust_spark.pipeline_audio import \
+        audio_cluster_assignments
+    from datasketches_rust_spark.sources.audio import audio_spark_df
+    t0 = time.time()
+    aclips, _atruth = audio_spark_df(spark, audio_n, seed=42,
+                                     partitions=max(32, cpus))
+    aclips = aclips.localCheckpoint()  # synthesis timed separately
+    audio_synth_sec = round(time.time() - t0, 3)
+    run("audio_dedup_clusters",
+        lambda: _noop(audio_cluster_assignments(aclips)), trials=3)
+    clips_per_sec = round(audio_n / timings["audio_dedup_clusters"], 1)
+
     # 3. relational + sketch headline queries on the TPC-H-ish tables
     # (chunk_dedup_stats + repetition_flags joined the list in r3 — the
     # total is therefore not comparable to BENCH_r02's; per-query rows
@@ -146,6 +164,9 @@ def main() -> None:
         "images_n": images_n,
         "image_synthesis_sec": synth_sec,
         "images_per_sec": images_per_sec,
+        "audio_n": audio_n,
+        "audio_synthesis_sec": audio_synth_sec,
+        "clips_per_sec": clips_per_sec,
         "docs_n": n_docs,
     }))
     spark.stop()

@@ -2694,6 +2694,55 @@ def q_streaming_interval_join(spark, sf_dir):
         shutil.rmtree(ck, ignore_errors=True)
 
 
+def q_streaming_enriched_segments(spark, sf_dir):
+    """REAL streaming STREAM-STATIC enrichment — the remaining
+    streaming-join shape next to the stream-stream interval join: the
+    events stream joins the static customer dimension (planned as a
+    per-micro-batch BroadcastHashJoin — no watermark, no join state;
+    the batch side is re-broadcast per trigger, so at scale you keep
+    the dim compact or move point lookups into a state store) and
+    feeds a running per-segment aggregate (purchase count + revenue
+    cents), availableNow into a complete-mode memory sink. Totals are
+    deterministic integers regardless of micro-batching, so the gate
+    is the full hash-match against the plain join+group oracle — a
+    5-row non-vacuous result at sf0.01."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    ev_path = f"{sf_dir}/events.parquet"
+    src_dir = tempfile.mkdtemp(prefix="dsrs_sse_src_")
+    ck = tempfile.mkdtemp(prefix="dsrs_sse_ck_")
+    try:
+        os.symlink(os.path.abspath(ev_path),
+                   os.path.join(src_dir, "events.parquet"))
+        schema = spark.read.parquet(ev_path).schema
+        stream = (spark.readStream.schema(schema).parquet(src_dir)
+                  .where(F.col("event_type") == "purchase"))
+        cust = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey"), F.col("c_mktsegment"))
+        enriched = stream.join(
+            F.broadcast(cust),
+            stream["user_id"] == cust["c_custkey"])
+        out = (enriched.groupBy("c_mktsegment")
+               .agg(F.count("*").alias("n_purchases"),
+                    F.sum(F.round(F.col("value") * 100).cast("long"))
+                    .alias("rev_cents")))
+        name = "dsrs_sse_" + uuid.uuid4().hex[:8]
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_enriched_segments did not finish within 300s")
+        return spark.table(name)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
 def q_streaming_windowed_topk(spark, sf_dir):
     """REAL streaming windowed TOP-K (trending items): daily event-time
     windows over the events stream, one frequent-items sketch of state
@@ -3777,6 +3826,7 @@ QUERIES = {
     "streaming_exact_dedup": q_streaming_exact_dedup,
     "streaming_sessions": q_streaming_sessions,
     "streaming_interval_join": q_streaming_interval_join,
+    "streaming_enriched_segments": q_streaming_enriched_segments,
     "streaming_windowed_topk": q_streaming_windowed_topk,
     "streaming_windowed_distinct": q_streaming_windowed_distinct,
     "streaming_windowed_sliding": q_streaming_windowed_sliding,
@@ -4657,6 +4707,13 @@ ORACLE_SQL = {
           ON a.user_id = b.user_id
          AND a.event_type = 'click' AND b.event_type = 'purchase'
          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""",
+    "streaming_enriched_segments": """
+        SELECT c.c_mktsegment,
+               count(*) AS n_purchases,
+               sum(CAST(round(e.value * 100) AS BIGINT)) AS rev_cents
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_type = 'purchase'
+        GROUP BY c.c_mktsegment""",
     "sql_api_theta_distinct": """
         SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts
         FROM lineitem GROUP BY l_returnflag""",
