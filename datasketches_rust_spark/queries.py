@@ -3681,6 +3681,74 @@ def q_search_documents(spark, sf_dir):
             .limit(20))
 
 
+def q_abc_parts_by_revenue(spark, sf_dir):
+    """PARETO / ABC ANALYSIS (the BI inventory-classification class):
+    parts ranked by revenue, classified A/B/C at 80% / 95% cumulative
+    share. Scale discipline: the FACT table collapses to a part-keyed
+    revenue aggregate first (map-side combined — the only corpus
+    exchange), and the ordered cumulative sum runs over that
+    DIM-BOUNDED aggregate; a single-partition window over a dim table
+    is the honest cost of a global cumulative rank (for dim tables
+    that outgrow one partition, reuse stable_row_ids' bucketed
+    row_number + offset machinery). The gate is float-free: revenue in
+    integer cents, the running total an INTEGER cumsum (exact
+    cross-engine, unlike float window sums — the daily_revenue
+    lesson), and the class thresholds evaluated as integer
+    cross-multiplications (cum*100 <= total*80) so no division ever
+    happens. Ties ordered (rev desc, partkey) identically on both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (li.groupBy("l_partkey")
+           .agg(F.sum(F.round(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")) * 100)
+                      .cast("long")).alias("rev_cents")))
+    w = Window.orderBy(F.col("rev_cents").desc(), F.col("l_partkey"))
+    total = rev.agg(F.sum("rev_cents").alias("total_cents"))
+    ranked = (rev.withColumn("cum_cents",
+                             F.sum("rev_cents").over(
+                                 w.rowsBetween(Window.unboundedPreceding,
+                                               Window.currentRow)))
+              .crossJoin(F.broadcast(total)))
+    cls = (F.when(F.col("cum_cents") * 100
+                  <= F.col("total_cents") * 80, "A")
+           .when(F.col("cum_cents") * 100
+                 <= F.col("total_cents") * 95, "B")
+           .otherwise("C"))
+    return ranked.select("l_partkey", "rev_cents", "cum_cents",
+                         cls.alias("abc_class"))
+
+
+def q_search_documents_indexed(spark, sf_dir):
+    """INDEX-SERVED conjunctive search — the posting-list counterpart
+    of search_documents' scan-side form (same query, same result,
+    different physical shape; the index pays off when queries vastly
+    outnumber corpus scans). The postings table (term, doc_id, tf) is
+    a one-time aggregate of the exploded corpus keyed by term — at
+    serving time the 3-term IN filter prunes it to the query terms'
+    posting lists BEFORE any further work, the conjunctive AND is
+    n_terms == 3 on a doc-keyed aggregate of those lists (bounded by
+    the sum of the 3 posting-list lengths, never the corpus), and the
+    top-k is TakeOrderedAndProject. Identical output contract to
+    search_documents (integer score, doc_id tie-break), so the two
+    forms cross-check each other through the same oracle shape."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                          r"\s+")).alias("w"))
+    postings = (toks.where(F.col("w").isin(*SEARCH_TERMS))
+                .groupBy("w", "doc_id")
+                .agg(F.count("*").alias("tf")))
+    hits = (postings.groupBy("doc_id")
+            .agg(F.count_distinct("w").alias("n_terms"),
+                 F.sum("tf").alias("score"))
+            .where(F.col("n_terms") == len(SEARCH_TERMS)))
+    return (hits.select("doc_id", F.col("score").cast("long")
+                        .alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(20))
+
+
 BASKET_MIN_SUPPORT = 2  # pair-count floor; mirrored in the oracle
 
 
@@ -3861,6 +3929,8 @@ QUERIES = {
     "event_twap_daily": q_event_twap_daily,
     "ab_experiment_report": q_ab_experiment_report,
     "part_hierarchy_rollup": q_part_hierarchy_rollup,
+    "abc_parts_by_revenue": q_abc_parts_by_revenue,
+    "search_documents_indexed": q_search_documents_indexed,
     "wau_daily": q_wau_daily,
     "search_documents": q_search_documents,
     "market_basket_pairs": q_market_basket_pairs,
@@ -5666,3 +5736,40 @@ ORACLE_SQL["part_hierarchy_rollup"] = """
            CAST(sum(v.cents) AS BIGINT) AS total_cents
     FROM pairs p JOIN v ON p.node = v.node
     GROUP BY p.anc"""
+
+ORACLE_SQL["abc_parts_by_revenue"] = """
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS rev_cents
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT sum(rev_cents) AS total_cents FROM rev),
+    r AS (
+      SELECT l_partkey, rev_cents,
+             sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum_cents
+      FROM rev)
+    SELECT r.l_partkey,
+           CAST(r.rev_cents AS BIGINT) AS rev_cents,
+           CAST(r.cum_cents AS BIGINT) AS cum_cents,
+           CASE WHEN r.cum_cents * 100 <= t.total_cents * 80 THEN 'A'
+                WHEN r.cum_cents * 100 <= t.total_cents * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r CROSS JOIN t"""
+
+ORACLE_SQL["search_documents_indexed"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents),
+    postings AS (
+      SELECT w, doc_id, count(*) AS tf
+      FROM toks WHERE w IN ('hash', 'join', 'filter')
+      GROUP BY w, doc_id),
+    hits AS (
+      SELECT doc_id, count(DISTINCT w) AS n_terms, sum(tf) AS score
+      FROM postings GROUP BY doc_id HAVING count(DISTINCT w) = 3)
+    SELECT doc_id, CAST(score AS BIGINT) AS score
+    FROM hits
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20"""

@@ -124,3 +124,44 @@ def test_basket_support_floor_and_lift(spark, tmp_path):
     # marginals: part1 in 3 baskets, part2 in 3; n_baskets = 4
     assert (r.ca, r.cb) == (3, 3)
     assert abs(r.lift - (3 * 4) / (3 * 3)) < 1e-12
+
+
+def test_abc_class_boundaries(spark, tmp_path):
+    # revenues 50, 30, 15, 5 (cents x100): cum shares 50%, 80%, 95%,
+    # 100% -> A, A (exactly 80 is A), B (exactly 95 is B), C
+    li = []
+    for i, (pk, price) in enumerate([(1, 50.0), (2, 30.0), (3, 15.0),
+                                     (4, 5.0)]):
+        li.append((100 + i, pk, 1, 1, 1.0, price, 0.0, 0.0, "N", "O",
+                   TS))
+    spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice "
+            "double, l_discount double, l_tax double, l_returnflag "
+            "string, l_linestatus string, l_shipdate timestamp"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    from datasketches_rust_spark.queries import q_abc_parts_by_revenue
+    got = {r.l_partkey: (r.cum_cents, r.abc_class) for r in
+           q_abc_parts_by_revenue(spark, str(tmp_path)).collect()}
+    assert got == {1: (5000, "A"), 2: (8000, "A"), 3: (9500, "B"),
+                   4: (10000, "C")}
+
+
+def test_search_scan_and_index_forms_agree(spark, tmp_path):
+    docs = [
+        (1, "hash join filter", "en", "a", 1),
+        (2, "hash hash join filter filter", "en", "a", 1),
+        (3, "hash join", "en", "a", 1),
+        (4, "filter hash join", "en", "a", 1),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    from datasketches_rust_spark.queries import q_search_documents_indexed
+    scan = [(r.doc_id, r.score) for r in
+            q_search_documents(spark, str(tmp_path)).collect()]
+    idx = [(r.doc_id, r.score) for r in
+           q_search_documents_indexed(spark, str(tmp_path)).collect()]
+    assert scan == [(2, 5), (1, 3), (4, 3)]
+    assert idx == scan
