@@ -1444,6 +1444,23 @@ def q_audio_dedup_clusters(spark, sf_dir):
         .select("clip_id", "cluster_id")
 
 
+def q_video_dedup_clusters(spark, sf_dir):
+    """Video-axis near-dup dedup (the 5th modality): deterministic
+    synthetic videos (stub container, REAL PNG/lossy-codec frames,
+    sources/video.py) -> per-frame DCT phash in one Arrow pass ->
+    frame-level phash banding (the image axis' machinery) -> temporal
+    vote (>= 4 matched frames connects; a single shared intro frame —
+    the hard negative — does not) -> connected components. Rows-only
+    (binary decode has no SQL oracle); pair recall AND precision = 1.0
+    vs planted truth are pytest-gated (tests/test_video.py)."""
+    from datasketches_rust_spark.pipeline_video import \
+        video_cluster_assignments
+    from datasketches_rust_spark.sources.video import video_spark_df
+    vids, _truth = video_spark_df(spark, 1000, seed=42)
+    return video_cluster_assignments(vids) \
+        .select("video_id", "cluster_id")
+
+
 def q_embedding_keep_central(spark, sf_dir):
     """Embedding-axis representative selection (rows-only: float
     centrality argmax is not stable enough for a cross-engine hash, so
@@ -3881,6 +3898,7 @@ QUERIES = {
     "lcs_confirm_pairs": q_lcs_confirm_pairs,
     "image_dedup_clusters": q_image_dedup_clusters,
     "audio_dedup_clusters": q_audio_dedup_clusters,
+    "video_dedup_clusters": q_video_dedup_clusters,
     "image_dedup_keep_best": q_image_dedup_keep_best,
     "bloom_stats": q_bloom_stats,
     "hll_users_by_type": q_hll_users_by_type,

@@ -996,6 +996,24 @@ def main() -> None:
             lambda p: "InMemoryTableScan" in p,
     })
 
+    # 49. video_edges: bytes die at the frame-sketch scan (never in any
+    #     exchange); the frame sketch table is cached (decode+phash ran
+    #     once across simhash_pairs' subtrees and both id-map rejoins)
+    from datasketches_rust_spark.pipeline_video import video_edges
+    from datasketches_rust_spark.sources.video import video_spark_df
+    vvids, _ = video_spark_df(spark, 200, seed=1, partitions=4)
+    vv = video_edges(
+        vvids.withColumn("__lid", F.xxhash64(F.col("video_id")))
+        .select("__lid", "bytes"), "__lid")
+    failures += audit("video_edges", vv, {
+        "bytes never in any exchange": _never_shuffled("bytes"),
+        "frame sketch table served from cache":
+            lambda p: "InMemoryTableScan" in p,
+        "temporal vote is an aggregate (count_distinct of frames)":
+            lambda p: "count(distinct" in p.lower()
+            or "HashAggregate" in p,
+    })
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")
