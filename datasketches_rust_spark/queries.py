@@ -3766,6 +3766,31 @@ def q_search_documents_indexed(spark, sf_dir):
             .limit(20))
 
 
+def q_cumulative_users_by_day(spark, sf_dir):
+    """GROWTH CURVE (cumulative distinct over time): total distinct
+    users ever seen, per day — the running-DAU chart every product
+    dashboard opens with. Running COUNT(DISTINCT) over an expanding
+    frame is inexpressible as a window function; the scale-right form
+    is FIRST-TOUCH: collapse events to min(day) per user (map-side
+    combined, the only corpus exchange), count first-appearances per
+    day (a calendar-bounded aggregate), then one integer cumsum over
+    the tiny day table — exact cross-engine (float window sums are
+    not; integers are). Days with no first-appearance are absent from
+    the curve by construction (the value is unchanged there); the
+    daily_gapfill_ffill machinery densifies if a client needs every
+    calendar day."""
+    ev = _t(spark, sf_dir, "events")
+    first = (ev.select("user_id", F.to_date("ts").alias("day"))
+             .groupBy("user_id").agg(F.min("day").alias("day")))
+    per_day = first.groupBy("day").agg(
+        F.count("*").alias("new_users"))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return per_day.select(
+        "day", "new_users",
+        F.sum("new_users").over(w).alias("cum_users"))
+
+
 BASKET_MIN_SUPPORT = 2  # pair-count floor; mirrored in the oracle
 
 
@@ -3948,6 +3973,7 @@ QUERIES = {
     "ab_experiment_report": q_ab_experiment_report,
     "part_hierarchy_rollup": q_part_hierarchy_rollup,
     "abc_parts_by_revenue": q_abc_parts_by_revenue,
+    "cumulative_users_by_day": q_cumulative_users_by_day,
     "search_documents_indexed": q_search_documents_indexed,
     "wau_daily": q_wau_daily,
     "search_documents": q_search_documents,
@@ -5791,3 +5817,16 @@ ORACLE_SQL["search_documents_indexed"] = """
     FROM hits
     ORDER BY score DESC, doc_id ASC
     LIMIT 20"""
+
+ORACLE_SQL["cumulative_users_by_day"] = """
+    WITH first AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS day
+      FROM events GROUP BY user_id),
+    per_day AS (
+      SELECT day, count(*) AS new_users FROM first GROUP BY day)
+    SELECT day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_users
+    FROM per_day"""

@@ -165,3 +165,22 @@ def test_search_scan_and_index_forms_agree(spark, tmp_path):
            q_search_documents_indexed(spark, str(tmp_path)).collect()]
     assert scan == [(2, 5), (1, 3), (4, 3)]
     assert idx == scan
+
+
+def test_cumulative_users_staggered(spark, tmp_path):
+    # u1 joins day0, u2 day0, u3 day2 (no first-appearance on day1:
+    # that day must be ABSENT, not zero); u1 re-appearing day2 must
+    # not recount
+    def ev(i, day, user):
+        return (i, TS + dt.timedelta(days=day), user, "click", 1.0,
+                "{}")
+
+    _events(spark, tmp_path, [ev(1, 0, 1), ev(2, 0, 2), ev(3, 2, 3),
+                              ev(4, 2, 1), ev(5, 1, 2)])
+    from datasketches_rust_spark.queries import q_cumulative_users_by_day
+    got = [(r.day, r.new_users, r.cum_users) for r in
+           q_cumulative_users_by_day(spark, str(tmp_path))
+           .orderBy("day").collect()]
+    base = dt.date(2024, 1, 1)
+    assert got == [(base, 2, 2),
+                   (base + dt.timedelta(days=2), 1, 3)]
