@@ -1444,6 +1444,42 @@ def q_audio_dedup_clusters(spark, sf_dir):
         .select("clip_id", "cluster_id")
 
 
+def q_image_contamination_check(spark, sf_dir):
+    """VISUAL decontamination — the image-axis counterpart of
+    contamination_check: flag corpus images within phash Hamming <= 3
+    of any held-out eval image (benchmark screenshots leaking into
+    training data survive re-encodes, so the match must be perceptual,
+    not byte-exact). Eval split = image_id % 10 == 0 (same convention
+    as the text query). Scale shape: the eval phash table is
+    benchmark-suite-bounded, so its 16-bit pigeonhole band keys
+    BROADCAST; the corpus streams through the broadcast band join with
+    no shuffle (4 bands guarantee any pair <= 3 bits apart collides),
+    and the JVM popcount verify + per-image distinct-eval-match count
+    run on collision survivors only. Rows-only (phash has no SQL
+    oracle); pinned vs an exact numpy all-pairs Hamming scan in
+    tests/test_images_contamination.py."""
+    from datasketches_rust_spark.sources.images import images_spark_df
+    imgs, _truth = images_spark_df(spark, 2000, seed=42)
+    idx = F.substring("image_id", 5, 10).cast("long")
+    corpus = imgs.where(idx % 10 != 0).select("image_id", "phash")
+    ev = imgs.where(idx % 10 == 0).select(
+        F.col("image_id").alias("eval_id"), F.col("phash").alias("ep"))
+
+    def bands(col, prefix):
+        return F.explode(F.array(*[
+            (F.shiftrightunsigned(col, 16 * i)
+             .bitwiseAND(F.lit(0xFFFF)) + F.lit(i << 16))
+            for i in range(4)])).alias(prefix)
+
+    cb = corpus.select("image_id", "phash", bands(F.col("phash"), "bk"))
+    eb = ev.select("eval_id", "ep", bands(F.col("ep"), "bk"))
+    ham = F.bit_count(F.col("phash").bitwiseXOR(F.col("ep")))
+    return (cb.join(F.broadcast(eb), "bk")
+            .where(ham <= 3)
+            .groupBy("image_id")
+            .agg(F.count_distinct("eval_id").alias("n_eval_matches")))
+
+
 def q_video_dedup_clusters(spark, sf_dir):
     """Video-axis near-dup dedup (the 5th modality): deterministic
     synthetic videos (stub container, REAL PNG/lossy-codec frames,
@@ -3924,6 +3960,7 @@ QUERIES = {
     "image_dedup_clusters": q_image_dedup_clusters,
     "audio_dedup_clusters": q_audio_dedup_clusters,
     "video_dedup_clusters": q_video_dedup_clusters,
+    "image_contamination_check": q_image_contamination_check,
     "image_dedup_keep_best": q_image_dedup_keep_best,
     "bloom_stats": q_bloom_stats,
     "hll_users_by_type": q_hll_users_by_type,
