@@ -10,21 +10,21 @@ Scale discipline, inherited from the image/text axes:
 - decode + FFT run ONCE per clip in an Arrow-batched mapInPandas at
   the scan; the bytes column never travels past it.
 - candidate generation shuffles (id, band_key, afp) rows — 24 bytes —
-  through ONE band_key exchange; the pair-slice keyspace (see
-  AUDIO_SLICE_PAIRS for why single slices don't work) is small, so
-  this is the sizes-JOIN shape (operators/lsh.py docstring), with hot
-  buckets star-degraded.
+  through ONE band_key exchange; the triple-slice keyspace (see
+  AUDIO_SLICE_TRIPLES for the measured entropy ladder that chose it)
+  is small, so this is the sizes-JOIN shape (operators/lsh.py
+  docstring), with hot buckets star-degraded.
 - the 256-byte feature vectors do NOT ride the band shuffle: the
   Hamming prefilter (bit_count(xor) <= 12, whole-stage codegen) and
   pair-distinct run on 16-byte id pairs first, and features join back
   once for the survivors (the ANN id-only/vectors-rejoin-once
   pattern). Verify = F.aggregate(zip_with(...)) dot product, all-JVM.
-- candidate recall: a dup pair collides when BOTH slices of some ring
-  combo are flip-free — with dup distance <= ~8 bits spread over 8
-  slices, measured truth-pair coverage is 0.9995 at 60k clips and
-  1.0000 at 2k; pair recall AND precision after closure are 1.0 (the
-  verify margin is dup >= 0.9997 vs colliding-distinct <= 0.876,
-  threshold 0.95).
+- candidate recall: a dup pair collides when all THREE slices of some
+  ring combo are flip-free — with dup distance <= ~8 bits spread over
+  8 slices, measured truth-pair coverage is 0.9974 direct / 0.9977
+  after closure at 60k, 0.9981 at 240k, 1.0 at 2k; pair recall AND
+  precision after closure are 1.0 at the 2k gate (verify margin dup
+  >= 0.9997 vs colliding-distinct <= 0.876, threshold 0.95).
 - CC is one job per round; string clip ids ride as xxhash64 longs
   through the shuffle-heavy middle like image_cluster_assignments.
 """
@@ -42,28 +42,37 @@ from datasketches_rust_spark.config import DedupConfig
 AUDIO_PREFILTER_HAMMING = 12  # cheap candidate cut; verify decides
 AUDIO_VERIFY_COSINE = 0.95    # dup >= 0.9997, distinct <= 0.876
 
-# Candidate keys are PAIRS of 8-bit code slices (16-bit keys, 12 ring
-# combos (i,i+1) and (i,i+4)), not single slices. Measured at 60k
-# clips: single 8-bit slices (one segment's band bits) carry ~6
-# effective bits — buckets hit 4.6k members and the candidate stream
-# is 573M pair events, which OOMs the per-bucket pair arrays
-# (bucketed_pair_events materializes ~size^2/2 structs per bucket row
-# before exploding). Pair keys carry ~2x the entropy: max bucket 499,
-# 38M candidates, truth-pair coverage 0.9995 (28 full combos give
-# 1.0000 for 2.3x the volume — the ring subset is the knee). Honest
-# scale note: clip-LEVEL codes cap out around ~30 bits of entropy, so
-# candidate volume still grows ~n^2/2^16 — web-scale audio matching
-# wants frame-level sub-fingerprints with an inverted index
-# (Haitsma-Kalker's original design); the clip-dedup axis here targets
-# corpus dedup at the 10^5-10^7 clip range.
-AUDIO_SLICE_PAIRS = ([(i, (i + 1) % 8) for i in range(8)]
-                     + [(i, (i + 4) % 8) for i in range(4)])
+# Candidate keys are TRIPLES of 8-bit code slices (24-bit keys, 24
+# ring combos at strides 1/2/3), arrived at by measurement up the
+# entropy ladder:
+# - single 8-bit slices (one segment's band bits) carry ~6 effective
+#   bits: buckets hit 4.6k members at 60k clips and the 573M pair
+#   events OOM the per-bucket arrays (bucketed_pair_events
+#   materializes ~size^2/2 structs per bucket row before exploding).
+# - PAIR keys (16-bit) fix 60k (max bucket 499, 26M events at hot-cap
+#   256) but the cap must scale with n to hold recall — measured at
+#   240k: cap 256 drops coverage to 0.9229 (pipeline recall 0.926),
+#   and the cap (937) that restores 0.9993 costs 385M cold events.
+#   That's the n^2 wall arriving at 10^5.5.
+# - TRIPLE keys (~18 effective bits) push the wall out: at 240k,
+#   coverage 0.9981 with 61M events and ZERO star-degraded buckets at
+#   cap 256; at 60k, 0.9974 direct / 0.9977 after closure with 4.2M
+#   events (6x cheaper than pairs). 24 ring combos are the knee (all
+#   56 triples: 0.9997 for 2.3x the volume and rows).
+# Honest scale note: clip-LEVEL codes cap out around ~30 bits of
+# entropy, so candidate volume still grows ~n^2/2^18 — web-scale
+# audio matching wants frame-level sub-fingerprints with an inverted
+# index (Haitsma-Kalker's original design); the clip-dedup axis here
+# targets corpus dedup through the 10^6-10^7 clip range.
+AUDIO_SLICE_TRIPLES = (
+    [(i, (i + 1) % 8, (i + 2) % 8) for i in range(8)]
+    + [(i, (i + 2) % 8, (i + 4) % 8) for i in range(8)]
+    + [(i, (i + 3) % 8, (i + 6) % 8) for i in range(8)])
 
-# Hot-bucket cap measured at the coverage/volume knee (60k fixture):
-# 256 keeps truth-pair coverage at the full 0.9995 while cutting the
-# cold-pair candidate volume 31% (38.0M -> 26.2M + 74k star rows);
-# 128 drops coverage to 0.9846. A pair in a star-degraded bucket still
-# reaches verification through any of its other 11 combos.
+# Hot-bucket cap: with triple keys no 240k bucket reaches it (max
+# bucket < 256 measured); it guards pathological skew (e.g. a corpus
+# of near-identical clips, where star degrade + verify is the right
+# collapse) rather than shaping routine volume.
 AUDIO_MAX_BUCKET = 256
 
 def audio_sketch_table(clips: DataFrame, id_col: str = "clip_id",
@@ -104,13 +113,15 @@ def audio_sketch_table(clips: DataFrame, id_col: str = "clip_id",
 
 
 def _audio_bands(sk: DataFrame, id_col: str) -> DataFrame:
-    """Explode the 64-bit code into 12 pair-slice band keys — JVM bit
-    slicing, injective via the combo index in the key's high bits."""
+    """Explode the 64-bit code into 24 triple-slice band keys — JVM
+    bit slicing, injective via the combo index in the key's high
+    bits."""
     slices = [F.shiftrightunsigned(F.col("afp"), 8 * b)
               .bitwiseAND(F.lit(255)) for b in range(8)]
-    keys = [(F.lit(ci << 16) + slices[a]
-             + F.shiftleft(slices[b], 8))
-            for ci, (a, b) in enumerate(AUDIO_SLICE_PAIRS)]
+    keys = [(F.lit(ci << 24) + slices[a]
+             + F.shiftleft(slices[b], 8)
+             + F.shiftleft(slices[c], 16))
+            for ci, (a, b, c) in enumerate(AUDIO_SLICE_TRIPLES)]
     return sk.select(F.col(id_col).alias("__id"), F.col("afp"),
                      F.explode(F.array(*keys)).alias("band_key"))
 
