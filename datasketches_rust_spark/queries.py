@@ -3827,6 +3827,55 @@ def q_cumulative_users_by_day(spark, sf_dir):
         F.sum("new_users").over(w).alias("cum_users"))
 
 
+def q_user_balance_clamped(spark, sf_dir):
+    """NON-LINEAR RUNNING AGGREGATE (clamped balance / inventory with
+    a floor): per user, fold events in (ts, event_id) order as
+    balance = max(0, balance + delta) — signups credit, purchases
+    debit, and the floor at zero makes the fold NON-ASSOCIATIVE, so no
+    window sum, no scan-reduce trick, no SQL window expresses it. This
+    is the canonical applyInPandas shape: a per-key SEQUENTIAL fold
+    where state is one scalar and each group is bounded (a user's
+    history), grouped on the user key so the only corpus exchange is
+    the groupBy — the documented slow path (Python), used precisely
+    where the built-ins genuinely cannot express the semantics.
+    Integer cents keep the gate float-free; output is user-bounded
+    (final balance + how many times the floor clipped a debit). The
+    oracle is a WITH RECURSIVE walk over row_number — the SQL-native
+    form of the same fold (depth = max events/user, 43 at sf0.01)."""
+    from pyspark.sql.types import (LongType, StructField, StructType)
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("signup", "purchase"))
+          .select("user_id", "ts", "event_id",
+                  F.when(F.col("event_type") == "purchase",
+                         -F.round(F.col("value") * 100).cast("long"))
+                  .otherwise(F.round(F.col("value") * 100).cast("long"))
+                  .alias("delta")))
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("final_balance_cents", LongType()),
+        StructField("n_clamps", LongType()),
+    ])
+
+    def fold(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal, clamps = 0, 0
+        for d in pdf["delta"]:
+            nxt = bal + int(d)
+            if nxt < 0:
+                clamps += 1
+                nxt = 0
+            bal = nxt
+        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]],
+                             "n_events": [len(pdf)],
+                             "final_balance_cents": [bal],
+                             "n_clamps": [clamps]})
+
+    return ev.groupBy("user_id").applyInPandas(fold, schema=out_schema)
+
+
 BASKET_MIN_SUPPORT = 2  # pair-count floor; mirrored in the oracle
 
 
@@ -4011,6 +4060,7 @@ QUERIES = {
     "part_hierarchy_rollup": q_part_hierarchy_rollup,
     "abc_parts_by_revenue": q_abc_parts_by_revenue,
     "cumulative_users_by_day": q_cumulative_users_by_day,
+    "user_balance_clamped": q_user_balance_clamped,
     "search_documents_indexed": q_search_documents_indexed,
     "wau_daily": q_wau_daily,
     "search_documents": q_search_documents,
@@ -5867,3 +5917,33 @@ ORACLE_SQL["cumulative_users_by_day"] = """
                                      ROWS UNBOUNDED PRECEDING)
                 AS BIGINT) AS cum_users
     FROM per_day"""
+
+ORACLE_SQL["user_balance_clamped"] = """
+    WITH RECURSIVE ev AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CASE WHEN event_type = 'purchase'
+                  THEN -CAST(round(value * 100) AS BIGINT)
+                  ELSE CAST(round(value * 100) AS BIGINT) END AS delta
+      FROM events WHERE event_type IN ('signup', 'purchase')),
+    bal AS (
+      SELECT user_id, rn,
+             greatest(delta, 0) AS bal,
+             CASE WHEN delta < 0 THEN 1 ELSE 0 END AS clamps
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn,
+             greatest(b.bal + e.delta, 0) AS bal,
+             b.clamps + CASE WHEN b.bal + e.delta < 0
+                             THEN 1 ELSE 0 END AS clamps
+      FROM bal b JOIN ev e
+        ON e.user_id = b.user_id AND e.rn = b.rn + 1),
+    last AS (
+      SELECT user_id, max(rn) AS n_events FROM ev GROUP BY user_id)
+    SELECT l.user_id,
+           CAST(l.n_events AS BIGINT) AS n_events,
+           CAST(b.bal AS BIGINT) AS final_balance_cents,
+           CAST(b.clamps AS BIGINT) AS n_clamps
+    FROM last l JOIN bal b
+      ON b.user_id = l.user_id AND b.rn = l.n_events"""

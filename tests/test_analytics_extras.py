@@ -184,3 +184,27 @@ def test_cumulative_users_staggered(spark, tmp_path):
     base = dt.date(2024, 1, 1)
     assert got == [(base, 2, 2),
                    (base + dt.timedelta(days=2), 1, 3)]
+
+
+def test_clamped_balance_fold(spark, tmp_path):
+    # u1: +500 (signup), -300, -300 (clamped: 200 deficit -> 0),
+    #     +100, -50 -> final 50, clamps 1
+    # order ties: two events at the SAME ts resolve by event_id
+    def ev(i, sec, user, typ, val):
+        return (i, TS + dt.timedelta(seconds=sec), user, typ, val, "{}")
+
+    _events(spark, tmp_path, [
+        ev(1, 0, 1, "signup", 5.0), ev(2, 1, 1, "purchase", 3.0),
+        ev(3, 2, 1, "purchase", 3.0), ev(4, 3, 1, "signup", 1.0),
+        ev(5, 4, 1, "purchase", 0.5),
+        # u2: debit FIRST (clamp at rn=1), then credit
+        ev(6, 0, 2, "purchase", 2.0), ev(7, 1, 2, "signup", 4.0),
+        # ts tie on u3: event_id order decides (debit at id 8 BEFORE
+        # credit at id 9 -> clamp; reversed order would not clamp)
+        ev(8, 0, 3, "purchase", 1.0), ev(9, 0, 3, "signup", 1.0),
+    ])
+    from datasketches_rust_spark.queries import q_user_balance_clamped
+    got = {r.user_id: (r.n_events, r.final_balance_cents, r.n_clamps)
+           for r in q_user_balance_clamped(spark, str(tmp_path))
+           .collect()}
+    assert got == {1: (5, 50, 1), 2: (2, 400, 1), 3: (2, 100, 1)}
