@@ -3947,6 +3947,239 @@ def q_order_percentiles_daily(spark, sf_dir):
         F.ntile(4).over(w).cast("long").alias("quartile"))
 
 
+def q_orders_in_flight_daily(spark, sf_dir):
+    """SWEEP-LINE INTERVAL COVERAGE ("how many orders are in flight on
+    day d?") — the concurrency/occupancy class (active sessions, open
+    tickets, concurrent rentals). Counting intervals covering each day
+    by joining days-to-intervals is O(days x orders); the sweep-line
+    form is linear: each order [o_orderdate, max shipdate] becomes two
+    DELTA events (+1 at start, -1 the day after the end), deltas
+    aggregate per day (map-side combined — the corpus collapses to a
+    calendar-bounded table before any sort), and the running count is
+    one integer cumsum over the tiny densified day spine. The only
+    corpus exchanges are the lineitem end-date aggregate and its
+    co-keyed join with orders; the cumsum runs on ~days rows, not
+    corpus rows (same scale argument as cumulative_users_by_day). The
+    spine is built from the min/max aggregate via crossJoin + sequence
+    — no driver collect. Integer counts hash exactly cross-engine."""
+    o = _t(spark, sf_dir, "orders")
+    li = (_t(spark, sf_dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(F.max(F.to_date("l_shipdate")).alias("e")))
+    w = (o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+         .select(F.to_date("o_orderdate").alias("s"), "e"))
+    deltas = (w.select(F.col("s").alias("day"), F.lit(1).alias("delta"))
+              .unionAll(w.select(F.date_add("e", 1).alias("day"),
+                                 F.lit(-1).alias("delta")))
+              .groupBy("day").agg(F.sum("delta").alias("delta")))
+    spine = (w.agg(F.min("s").alias("mn"), F.max("e").alias("mx"))
+             .select(F.explode(F.sequence("mn", "mx")).alias("day")))
+    cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (spine.join(deltas, "day", "left")
+            .select("day", F.coalesce("delta", F.lit(0)).alias("d"))
+            .select("day", F.sum("d").over(cum).alias("n_in_flight")))
+
+
+def q_lwma_revenue_daily(spark, sf_dir):
+    """WEIGHTED MOVING AVERAGE (linearly-weighted 7-day revenue smooth
+    — the LWMA/WMA technical-analysis class, where recency matters and
+    a plain moving average lags). A window sum cannot weight rows by
+    their distance from the CURRENT row, so the naive form is a
+    per-row frame scan (O(days x k), and no engine's window machinery
+    expresses it directly). The algebraic identity removes the
+    per-row weights entirely: with day index d and weight
+    w_i = k - (d_cur - d_i),
+      num = sum(w_i * x_i) = (k - d_cur) * S + SIX
+    where S = sum(x_i) and SIX = sum(d_i * x_i) are PLAIN range-frame
+    window sums of precomputed columns — two integer window sums
+    replace the weighted scan (den likewise from count + sum(d_i)).
+    Everything stays in integer cents until the final division, so
+    both engines hash bit-identically (float window sums do NOT —
+    DuckDB's segment-tree addition order differs; CLAUDE.md). Corpus
+    exchange: ONE map-side-combined groupBy(day); the window runs on
+    the calendar-bounded day table. Gap days are handled by the RANGE
+    (not ROWS) frame — the frame is defined on the day index, so
+    missing days simply contribute nothing."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("long")
+    daily = (li.groupBy(F.to_date("l_shipdate").alias("day"))
+             .agg(F.sum(cents).alias("cents"))
+             .select("day", "cents",
+                     F.datediff("day", F.lit("1992-01-01"))
+                     .cast("long").alias("d")))
+    fr = Window.orderBy("d").rangeBetween(-6, 0)
+    wd = daily.select(
+        "day", "cents", "d",
+        F.sum("cents").over(fr).alias("s"),
+        F.sum(F.col("d") * F.col("cents")).over(fr).alias("six"),
+        F.sum("d").over(fr).alias("sd"),
+        F.count("*").over(fr).alias("cnt"))
+    num = (7 - F.col("d")) * F.col("s") + F.col("six")
+    den = (7 - F.col("d")) * F.col("cnt") + F.col("sd")
+    return wd.select(
+        "day", "cents",
+        num.alias("lwma_num"), den.alias("lwma_den"),
+        (num.cast("double") / den.cast("double")).alias("lwma_cents"))
+
+
+GEO_GRID = 1_000     # coordinate space [0, GEO_GRID)^2, md5-derived
+GEO_R = 25           # neighbor radius; cell size == R -> 3x3 cells cover
+
+
+def q_geo_nearby_customers(spark, sf_dir):
+    """SPATIAL GRID JOIN (distance self-join): customers at
+    deterministic md5-derived integer coordinates; per customer, how
+    many others lie within L2 distance R, plus the nearest one. The
+    naive form is the all-pairs O(n^2) cross join; the scale shape is
+    GRID BLOCKING (the geohash/S2-cell pattern): with cell size == R,
+    every point within distance R of p lies in p's 3x3 cell
+    neighborhood, so one side explodes to its 9 neighbor cells (a
+    bounded x9 fanout of id+coords rows, ~24 bytes each) and the other
+    stays at its home cell — an ordinary hash equi-join on the cell
+    key, exact integer distance as the residual. This is the same
+    candidates-then-verify architecture as the LSH dedup pipelines,
+    with geometry supplying the pigeonhole guarantee instead of
+    hashing. Hash-uniform coordinates cannot produce hot cells; REAL
+    geodata can (cities) — there the cell key feeds the same hot-cap /
+    AQE-skew machinery as operators/lsh.py. All-integer arithmetic
+    (coords, squared distances) hashes exactly cross-engine; ties on
+    min dist2 collapse via min, so no ordering ambiguity."""
+    c = _t(spark, sf_dir, "customer")
+
+    def coord(tag):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(tag + ":"),
+                           F.col("c_custkey").cast("string"))), 1, 8),
+            16, 10).cast("long") % GEO_GRID)
+
+    pts = c.select(F.col("c_custkey").alias("id"),
+                   coord("gx").alias("gx"), coord("gy").alias("gy"))
+    cell = pts.select(
+        "id", "gx", "gy",
+        F.expr(f"gx div {GEO_R}").alias("cx"),
+        F.expr(f"gy div {GEO_R}").alias("cy"))
+    probe = (cell.select(
+        "id", "gx", "gy",
+        F.explode(F.array(*[
+            F.struct((F.col("cx") + dx).alias("bx"),
+                     (F.col("cy") + dy).alias("by"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("b"))
+        .select("id", "gx", "gy",
+                F.col("b.bx").alias("bx"), F.col("b.by").alias("by")))
+    build = cell.select(F.col("id").alias("id2"),
+                        F.col("gx").alias("gx2"), F.col("gy").alias("gy2"),
+                        F.col("cx").alias("bx"), F.col("cy").alias("by"))
+    dx, dy = F.col("gx") - F.col("gx2"), F.col("gy") - F.col("gy2")
+    d2 = dx * dx + dy * dy
+    return (probe
+            .join(build, ["bx", "by"])
+            .where((F.col("id") != F.col("id2")) & (d2 <= GEO_R * GEO_R))
+            .groupBy(F.col("id").alias("c_custkey"))
+            .agg(F.count("*").alias("n_within_r"),
+                 F.min(d2).alias("min_dist2")))
+
+
+def q_mkt_target_encoding(spark, sf_dir):
+    """LEAVE-ONE-OUT TARGET ENCODING (supervised categorical encoding,
+    the ML-prep standard for high-cardinality categoricals): each
+    order's market segment is replaced by the mean order value of the
+    OTHER orders in that segment — excluding the row's own target is
+    what makes the feature leakage-safe for training. Scale shape: the
+    orders-to-customer join is the only corpus exchange (co-keyed on
+    custkey); the per-segment sums/counts are a category-bounded
+    aggregate that BROADCASTS back onto the corpus (no second
+    shuffle), and the LOO value is a pure expression
+    (seg_sum - own) / (seg_cnt - 1). Numerator/denominator stay exact
+    integers; the final division of exact longs is the identical IEEE
+    op on both engines (the ab_experiment_report recipe). Singleton
+    categories yield NULL (den = 0) rather than a self-leaked value."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rows = (o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", F.col("c_mktsegment").alias("segment"),
+                    cents.alias("cents")))
+    seg = rows.groupBy("segment").agg(
+        F.sum("cents").alias("seg_sum"), F.count("*").alias("seg_n"))
+    num = F.col("seg_sum") - F.col("cents")
+    den = F.col("seg_n") - 1
+    return (rows.join(F.broadcast(seg), "segment")
+            .select("o_orderkey", "segment", "cents",
+                    F.when(den > 0, num.cast("double") / den.cast("double"))
+                    .alias("loo_mean_cents")))
+
+
+def q_event_pattern_users(spark, sf_dir):
+    """SEQUENCE PATTERN MATCHING (MATCH_RECOGNIZE without the syntax):
+    user-days whose event sequence contains the browse-to-buy motif
+    "one or more views immediately followed by a purchase" (v+p). The
+    relational encoding: compress each user-day's events to a
+    character string in (ts, event_id) order — one char per event —
+    then run an ordinary regex over it. This turns arbitrary
+    regular-language patterns over event streams into string ops the
+    JVM executes in whole-stage codegen, with NO per-event joins and
+    NO self-join chains (the naive k-step funnel join is O(n^k)).
+    Scale shape: ONE groupBy(user, day) exchange; groups are bounded
+    by a user-day's activity, so collect_list is safe (same bound
+    argument as event_funnel_daily); everything after the aggregate is
+    a per-row expression. Ties at identical timestamps are ordered by
+    event_id on both engines — array_sort on (ts, event_id, chr)
+    structs here, string_agg ORDER BY ts, event_id in the oracle.
+    Both regex engines match left-to-right non-overlapping with greedy
+    +, so n_matches agrees; counts/lengths are integers."""
+    ev = _t(spark, sf_dir, "events")
+    ch = (F.when(F.col("event_type") == "view", "v")
+          .when(F.col("event_type") == "click", "c")
+          .when(F.col("event_type") == "purchase", "p")
+          .when(F.col("event_type") == "signup", "s")
+          .otherwise("e"))
+    seqs = (ev.select("user_id", F.to_date("ts").alias("day"),
+                      F.struct("ts", "event_id", ch.alias("c")).alias("t"))
+            .groupBy("user_id", "day")
+            .agg(F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("t")),
+                                lambda x: x["c"])).alias("s")))
+    n = F.regexp_count(F.col("s"), F.lit("v+p"))
+    return (seqs.select("user_id", "day",
+                        F.length("s").alias("seq_len"),
+                        n.alias("n_matches"))
+            .where(F.col("n_matches") >= 1))
+
+
+Q18_QTY_THRESHOLD = 250  # ~1.4% of orders at sf0.01 (204 rows) — non-vacuous
+
+
+def q_tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers) — the GROUP-HAVING SEMI-JOIN
+    class: orders whose total line quantity exceeds a threshold,
+    carried with their customer. The aggregate-filter runs FIRST
+    (map-side-combined sum per orderkey, then the HAVING filter cuts
+    ~99% of orders before any join) — pushing the having below the
+    joins is the whole plan; the surviving keys then join orders and
+    customer on their natural keys. At 100 TB the filtered set is
+    still corpus-proportional (a fixed quantile of orders), so the
+    joins stay shuffle equi-joins and AQE localizes them when the
+    survivor set happens to be small. Quantities are whole-valued in
+    the fixture, so round-to-long keeps the gate integer-exact; no
+    LIMIT (classic Q18's top-100 with ties is nondeterministic under
+    hash comparison) — the threshold alone bounds the result."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity")).cast("long").alias("total_qty"))
+           .where(F.col("total_qty") > Q18_QTY_THRESHOLD))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.to_date("o_orderdate").alias("o_orderdate"),
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                    .alias("totalprice_cents"),
+                    "total_qty"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4087,6 +4320,12 @@ QUERIES = {
     "ranked_event_days": q_ranked_event_days,
     "zorder_layout_plan": q_zorder_layout_plan,
     "order_percentiles_daily": q_order_percentiles_daily,
+    "orders_in_flight_daily": q_orders_in_flight_daily,
+    "lwma_revenue_daily": q_lwma_revenue_daily,
+    "geo_nearby_customers": q_geo_nearby_customers,
+    "mkt_target_encoding": q_mkt_target_encoding,
+    "event_pattern_users": q_event_pattern_users,
+    "tpch_q18_large_orders": q_tpch_q18_large_orders,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -5947,3 +6186,110 @@ ORACLE_SQL["user_balance_clamped"] = """
            CAST(b.clamps AS BIGINT) AS n_clamps
     FROM last l JOIN bal b
       ON b.user_id = l.user_id AND b.rn = l.n_events"""
+
+ORACLE_SQL["orders_in_flight_daily"] = """
+    WITH w AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS s,
+             CAST(max(l.l_shipdate) AS DATE) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, 1),
+    d AS (
+      SELECT s AS day, 1 AS delta FROM w
+      UNION ALL
+      SELECT e + 1 AS day, -1 FROM w),
+    agg AS (SELECT day, sum(delta) AS delta FROM d GROUP BY day),
+    span AS (SELECT min(s) AS mn, max(e) AS mx FROM w),
+    spine AS (
+      SELECT CAST(unnest(range(mn, mx + 1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span)
+    SELECT sp.day,
+           CAST(sum(coalesce(a.delta, 0))
+                OVER (ORDER BY sp.day) AS BIGINT) AS n_in_flight
+    FROM spine sp LEFT JOIN agg a USING (day)"""
+
+ORACLE_SQL["lwma_revenue_daily"] = """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(datediff('day', DATE '1992-01-01',
+                           CAST(l_shipdate AS DATE)) AS BIGINT) AS d,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS cents
+      FROM lineitem GROUP BY 1, 2),
+    w AS (
+      SELECT day, d, cents,
+             sum(cents) OVER fr AS s,
+             sum(d * cents) OVER fr AS six,
+             sum(d) OVER fr AS sd,
+             count(*) OVER fr AS cnt
+      FROM daily
+      WINDOW fr AS (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT day, cents,
+           CAST((7 - d) * s + six AS BIGINT) AS lwma_num,
+           CAST((7 - d) * cnt + sd AS BIGINT) AS lwma_den,
+           CAST((7 - d) * s + six AS DOUBLE)
+             / CAST((7 - d) * cnt + sd AS DOUBLE) AS lwma_cents
+    FROM w"""
+
+ORACLE_SQL["geo_nearby_customers"] = """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 1000 AS gx,
+             CAST(('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 1000 AS gy
+      FROM customer)
+    SELECT a.id AS c_custkey,
+           count(*) AS n_within_r,
+           CAST(min((a.gx - b.gx) * (a.gx - b.gx)
+                    + (a.gy - b.gy) * (a.gy - b.gy)) AS BIGINT) AS min_dist2
+    FROM pts a JOIN pts b
+      ON a.id <> b.id
+     AND (a.gx - b.gx) * (a.gx - b.gx)
+         + (a.gy - b.gy) * (a.gy - b.gy) <= 625
+    GROUP BY a.id"""
+
+ORACLE_SQL["mkt_target_encoding"] = """
+    WITH rows_ AS (
+      SELECT o.o_orderkey, c.c_mktsegment AS segment,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    seg AS (
+      SELECT segment, sum(cents) AS seg_sum, count(*) AS seg_n
+      FROM rows_ GROUP BY segment)
+    SELECT r.o_orderkey, r.segment, r.cents,
+           CASE WHEN s.seg_n > 1
+                THEN CAST(s.seg_sum - r.cents AS DOUBLE)
+                     / CAST(s.seg_n - 1 AS DOUBLE)
+                END AS loo_mean_cents
+    FROM rows_ r JOIN seg s USING (segment)"""
+
+ORACLE_SQL["event_pattern_users"] = """
+    WITH ch AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  ELSE 'e' END AS c
+      FROM events),
+    seq AS (
+      SELECT user_id, day,
+             string_agg(c, '' ORDER BY ts, event_id) AS s
+      FROM ch GROUP BY 1, 2)
+    SELECT user_id, day,
+           CAST(len(s) AS INTEGER) AS seq_len,
+           CAST(len(regexp_extract_all(s, 'v+p')) AS INTEGER) AS n_matches
+    FROM seq
+    WHERE len(regexp_extract_all(s, 'v+p')) >= 1"""
+
+ORACLE_SQL["tpch_q18_large_orders"] = """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(round(sum(l_quantity)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING CAST(round(sum(l_quantity)) AS BIGINT) > 250)
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey"""
