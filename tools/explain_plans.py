@@ -1014,6 +1014,34 @@ def main() -> None:
             or "HashAggregate" in p,
     })
 
+# 50. new round-3 classes: the geo grid join must be a hash equi-join
+    #     on the cell key (never BroadcastNestedLoop/cartesian — the
+    #     whole point of grid blocking); target encoding's segment
+    #     stats must broadcast back (no second corpus shuffle); the
+    #     in-flight sweep collapses the corpus BEFORE the cumsum (the
+    #     window runs on the day table, after aggregation).
+    geo = Q.q_geo_nearby_customers(spark, SF_DIR)
+    failures += audit("geo_nearby_customers", geo, {
+        "no BroadcastNestedLoopJoin": lambda p: "BroadcastNestedLoop" not in p,
+        "no CartesianProduct": lambda p: "CartesianProduct" not in p,
+        "partial aggregation before the final exchange":
+            lambda p: p.index("HashAggregate") < p.rindex("Exchange"),
+    })
+    te = Q.q_mkt_target_encoding(spark, SF_DIR)
+    failures += audit("mkt_target_encoding", te, {
+        "segment stats broadcast back": r"BroadcastHashJoin",
+    })
+    infl = Q.q_orders_in_flight_daily(spark, SF_DIR)
+    failures += audit("orders_in_flight_daily", infl, {
+        # tree prints root-first: the Window ABOVE the delta aggregate
+        # means the cumsum consumes the calendar-bounded aggregate,
+        # not corpus rows
+        "window consumes the aggregated day table":
+            lambda p: p.index("Window") < p.index("HashAggregate"),
+        "single Window (one cumsum, no per-order sort)":
+            lambda p: _n_nodes(p, "Window") == 1,
+    })
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")
