@@ -4180,6 +4180,156 @@ def q_tpch_q18_large_orders(spark, sf_dir):
                     "total_qty"))
 
 
+def q_rolling_corr_daily(spark, sf_dir):
+    """ROLLING BIVARIATE STATISTICS (trailing-30-day Pearson between
+    the click and purchase daily revenue series — "are these metrics
+    still coupled?", the drift monitor next to lineitem_corr_matrix's
+    GLOBAL correlation). Rolling corr has no built-in window form; the
+    one-pass recipe is six plain window sums of integer MOMENTS
+    (n, sx, sy, sxx, syy, sxy) over a RANGE frame on the day index,
+    with corr assembled per row from the exact-integer identity
+    (n*sxy - sx*sy) / sqrt(n*sxx - sx^2) / sqrt(n*syy - sy^2). Both
+    daily series come out of ONE conditional aggregate over the corpus
+    (map-side combined, the only corpus exchange; missing types
+    contribute 0 to their day), and the windows run on the
+    calendar-bounded day table. Integer moments hash exactly; the
+    final expression casts exact integers to double (deterministic
+    nearest), and sqrt/divide are correctly-rounded IEEE ops, so the
+    floats hash cross-engine too (the lineitem_corr_matrix argument).
+    Zero-variance windows (n=1, or a flat series) yield NULL, not NaN
+    — Spark sorts NaN above numbers, DuckDB doesn't (CLAUDE.md).
+    Moments stay in long here; at 10^12-row scale daily totals square
+    past 2^63 and the sums move to decimal(38,0), the
+    ab_experiment_report recipe."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum(F.when(F.col("event_type") == "click", cents)
+                        .otherwise(F.lit(0))).alias("x"),
+                  F.sum(F.when(F.col("event_type") == "purchase", cents)
+                        .otherwise(F.lit(0))).alias("y"))
+             .select("day", "x", "y",
+                     F.datediff("day", F.lit("2024-01-01"))
+                     .cast("long").alias("d")))
+    fr = Window.orderBy("d").rangeBetween(-29, 0)
+    m = daily.select(
+        "day", "x", "y",
+        F.count("*").over(fr).alias("n"),
+        F.sum("x").over(fr).alias("sx"),
+        F.sum("y").over(fr).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(fr).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(fr).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(fr).alias("sxy"))
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "day", "x", "y", "n",
+        F.when((vx > 0) & (vy > 0),
+               cov.cast("double")
+               / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))))
+        .alias("corr30"))
+
+
+FORGET_BUCKETS = 20  # md5 % 20 == 0 -> deterministic ~5% opt-out cohort
+
+
+def q_forget_users_purge_plan(spark, sf_dir):
+    """RIGHT-TO-BE-FORGOTTEN PURGE AUDIT (the compliance sweep every
+    training-data pipeline needs before a rebuild): given an opted-out
+    user cohort, report exactly what a cascade delete would remove
+    from each table — events by user_id, orders by custkey, lineitem
+    through the orders CASCADE (two hops: user -> order -> line), and
+    the customer rows themselves. The cohort is md5-deterministic
+    (re-derivable at audit time, same argument as ab_experiment_report
+    arm assignment). Scale shape: the cohort is a tiny fraction of the
+    user dimension, so it BROADCASTS into every semi-join (no corpus
+    shuffle for events/orders/customer); the lineitem hop semi-joins
+    on the purged ORDER keys — corpus-proportional to the cohort's
+    orders, still broadcastable at a 5% opt-out rate, and an ordinary
+    shuffled semi-join beyond that. Per-table counts union into a
+    4-row audit report; all integers."""
+    ev = _t(spark, sf_dir, "events")
+    forget = (ev.select("user_id").distinct()
+              .where((F.conv(F.substring(
+                  F.md5(F.concat(F.lit("forget:"),
+                                 F.col("user_id").cast("string"))), 1, 8),
+                  16, 10).cast("long") % FORGET_BUCKETS) == 0)
+              .select(F.col("user_id").alias("k")))
+    fb = F.broadcast(forget)
+    purged_ev = (ev.join(fb, ev["user_id"] == fb["k"], "left_semi")
+                 .agg(F.count("*").alias("n_rows"),
+                      F.count_distinct("user_id").alias("n_keys"))
+                 .select(F.lit("events").alias("tbl"), "n_rows", "n_keys"))
+    o = _t(spark, sf_dir, "orders")
+    po = o.join(fb, o["o_custkey"] == fb["k"], "left_semi")
+    purged_o = (po.agg(F.count("*").alias("n_rows"),
+                       F.count_distinct("o_custkey").alias("n_keys"))
+                .select(F.lit("orders").alias("tbl"), "n_rows", "n_keys"))
+    li = _t(spark, sf_dir, "lineitem")
+    pok = po.select(F.col("o_orderkey").alias("pk"))
+    pli = li.join(F.broadcast(pok), li["l_orderkey"] == pok["pk"],
+                  "left_semi")
+    purged_li = (pli.agg(F.count("*").alias("n_rows"),
+                         F.count_distinct("l_orderkey").alias("n_keys"))
+                 .select(F.lit("lineitem").alias("tbl"), "n_rows",
+                         "n_keys"))
+    c = _t(spark, sf_dir, "customer")
+    purged_c = (c.join(fb, c["c_custkey"] == fb["k"], "left_semi")
+                .agg(F.count("*").alias("n_rows"),
+                     F.count_distinct("c_custkey").alias("n_keys"))
+                .select(F.lit("customer").alias("tbl"), "n_rows",
+                        "n_keys"))
+    return purged_ev.unionAll(purged_o).unionAll(purged_li) \
+                    .unionAll(purged_c)
+
+
+def q_weekday_anomaly_flags(spark, sf_dir):
+    """SEASONAL ROBUST ANOMALY DETECTION (day-of-week baseline + MAD
+    residual screen — the metrics-monitoring class that a plain
+    3-sigma screen gets wrong on weekly-seasonal series, where Sunday
+    always "deviates" from the weekday mean). Per (event_type,
+    weekday): the residual of each day's revenue against its OWN
+    weekday's mean, flagged when it exceeds 2x the weekday's median
+    absolute residual. Everything stays integer via scaling tricks:
+    residual_scaled = cents*cnt - sum (== (cents - mean) * cnt, no
+    rational mean), and mad2 = the DOUBLED exact median of |residuals|
+    (sum of the two middle order statistics — covers odd and even
+    group sizes in one expression), so the flag |r|*2 > 2*mad2
+    simplifies to an integer compare |r| > mad2 with zero floats
+    anywhere. Weekday = day-index mod 7 from the shared epoch (both
+    engines' native dayofweek disagree on numbering). Scale shape: one
+    corpus groupBy to daily cells; weekday stats and medians aggregate
+    the calendar-bounded day table (sort_array over groups of
+    ~n_days/7 — bounded by the calendar, not the corpus); stats
+    broadcast back onto the day table."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).alias("cents"))
+             .select("event_type", "day", "cents",
+                     (F.datediff("day", F.lit("1970-01-01")) % 7)
+                     .cast("long").alias("wd")))
+    wk = daily.groupBy("event_type", "wd").agg(
+        F.sum("cents").alias("sw"), F.count("*").alias("cw"))
+    res = (daily.join(F.broadcast(wk), ["event_type", "wd"])
+           .select("event_type", "day", "wd", "cents",
+                   (F.col("cents") * F.col("cw") - F.col("sw"))
+                   .alias("r")))
+    med = (res.groupBy("event_type", "wd")
+           .agg(F.sort_array(F.collect_list(F.abs(F.col("r"))))
+                .alias("l"), F.count("*").alias("n"))
+           .select("event_type", "wd",
+                   (F.element_at("l", ((F.col("n") + 1) / 2)
+                                 .cast("int"))
+                    + F.element_at("l", ((F.col("n") + 2) / 2)
+                                   .cast("int"))).alias("mad2")))
+    return (res.join(F.broadcast(med), ["event_type", "wd"])
+            .select("event_type", "day", "cents", "r", "mad2",
+                    F.when(F.abs(F.col("r")) > F.col("mad2"), 1)
+                    .otherwise(0).alias("anomaly")))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4326,6 +4476,9 @@ QUERIES = {
     "mkt_target_encoding": q_mkt_target_encoding,
     "event_pattern_users": q_event_pattern_users,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
+    "rolling_corr_daily": q_rolling_corr_daily,
+    "forget_users_purge_plan": q_forget_users_purge_plan,
+    "weekday_anomaly_flags": q_weekday_anomaly_flags,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -6293,3 +6446,77 @@ ORACLE_SQL["tpch_q18_large_orders"] = """
     FROM big b
     JOIN orders o ON o.o_orderkey = b.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey"""
+
+ORACLE_SQL["rolling_corr_daily"] = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(datediff('day', DATE '2024-01-01',
+                           CAST(ts AS DATE)) AS BIGINT) AS d,
+             sum(CASE WHEN event_type = 'click'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS y
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT day, x, y,
+             count(*) OVER fr AS n,
+             sum(x) OVER fr AS sx, sum(y) OVER fr AS sy,
+             sum(x * x) OVER fr AS sxx, sum(y * y) OVER fr AS syy,
+             sum(x * y) OVER fr AS sxy
+      FROM daily
+      WINDOW fr AS (ORDER BY d RANGE BETWEEN 29 PRECEDING AND CURRENT ROW))
+    SELECT day, x, y, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                END AS corr30
+    FROM w"""
+
+ORACLE_SQL["forget_users_purge_plan"] = """
+    WITH forget AS (
+      SELECT DISTINCT user_id AS k FROM events
+      WHERE CAST(('0x' || substr(md5('forget:' || CAST(user_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 20 = 0),
+    po AS (SELECT o_orderkey, o_custkey FROM orders
+           WHERE o_custkey IN (SELECT k FROM forget))
+    SELECT 'events' AS tbl, count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_keys
+      FROM events WHERE user_id IN (SELECT k FROM forget)
+    UNION ALL
+    SELECT 'orders', count(*), count(DISTINCT o_custkey) FROM po
+    UNION ALL
+    SELECT 'lineitem', count(*), count(DISTINCT l_orderkey) FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM po)
+    UNION ALL
+    SELECT 'customer', count(*), count(DISTINCT c_custkey) FROM customer
+      WHERE c_custkey IN (SELECT k FROM forget)"""
+
+ORACLE_SQL["weekday_anomaly_flags"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(ts AS DATE)) % 7 AS BIGINT) AS wd,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2, 3),
+    wk AS (
+      SELECT event_type, wd, sum(cents) AS sw, count(*) AS cw
+      FROM daily GROUP BY 1, 2),
+    res AS (
+      SELECT d.event_type, d.day, d.wd, d.cents,
+             d.cents * w.cw - w.sw AS r
+      FROM daily d JOIN wk w USING (event_type, wd)),
+    med AS (
+      SELECT event_type, wd,
+             list(abs(r) ORDER BY abs(r)) AS l, count(*) AS n
+      FROM res GROUP BY 1, 2),
+    m2 AS (
+      SELECT event_type, wd,
+             l[(n + 1) // 2] + l[(n + 2) // 2] AS mad2
+      FROM med)
+    SELECT r.event_type, r.day, r.cents,
+           CAST(r.r AS BIGINT) AS r, CAST(m.mad2 AS BIGINT) AS mad2,
+           CASE WHEN abs(r.r) > m.mad2 THEN 1 ELSE 0 END AS anomaly
+    FROM res r JOIN m2 m USING (event_type, wd)"""
