@@ -4330,6 +4330,129 @@ def q_weekday_anomaly_flags(spark, sf_dir):
                     .otherwise(0).alias("anomaly")))
 
 
+BM25_K1, BM25_B = 1.2, 0.75  # the standard Robertson defaults
+
+
+def q_bm25_search_scores(spark, sf_dir):
+    """RANKED RETRIEVAL (BM25) — the scoring counterpart of
+    search_documents' boolean form: every doc matching ANY query term,
+    scored by Okapi BM25 (idf-weighted, length-normalized, tf-saturated
+    — raw tf ranking over-rewards long spammy docs). Same zero-shuffle
+    serving shape as the boolean query: with terms known, tf and dl
+    are row-local JVM expressions (no explode, no token exchange); the
+    corpus-level constants (N, avgdl, per-term df) come from ONE
+    map-side-combined aggregate whose single row broadcasts back via
+    crossJoin. Floats hash cross-engine because every input to the
+    formula is exact (integer tf/dl/df/N; 0.5/k1/b literals parse to
+    identical doubles), division/multiplication are correctly-rounded
+    IEEE ops, ln is within 1 ulp (driver rounds to 9 digits — the
+    doc_char_entropy argument), and the per-term sum is an EXPLICIT
+    left-associated chain in the same term order in both engines (a
+    data-dependent aggregation order would not be reproducible)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def _tf(term):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("dl"),
+        *[_tf(t).cast("long").alias(f"tf_{t}") for t in SEARCH_TERMS])
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"),
+        *[F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+          .alias(f"df_{t}") for t in SEARCH_TERMS])
+    j = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B)
+                             + F.lit(BM25_B)
+                             * (F.col("dl").cast("double") / avgdl))
+
+    def term_score(t):
+        tf = F.col(f"tf_{t}").cast("double")
+        df = F.col(f"df_{t}").cast("double")
+        idf = F.log(F.lit(1.0)
+                    + (F.col("n_docs").cast("double") - df + F.lit(0.5))
+                    / (df + F.lit(0.5)))
+        return F.when(F.col(f"tf_{t}") > 0,
+                      idf * tf * F.lit(BM25_K1 + 1.0) / (tf + norm)) \
+                .otherwise(F.lit(0.0))
+
+    score = term_score(SEARCH_TERMS[0])
+    for t in SEARCH_TERMS[1:]:
+        score = score + term_score(t)   # fixed left-assoc term order
+    return (j.select("doc_id", "dl",
+                     *[f"tf_{t}" for t in SEARCH_TERMS],
+                     score.alias("bm25"))
+            .where(F.col("bm25") > 0))
+
+
+def q_join_key_skew_report(spark, sf_dir):
+    """JOIN-KEY SKEW PROFILER (the ops diagnostic you run BEFORE a big
+    join: "will this key distribution melt a reducer?"). Per-key row
+    counts collapse the fact table (map-side combined — the only
+    corpus exchange), then keys bucket by floor(log2(count)) into a
+    doubling histogram: keys per bucket, rows per bucket, per-bucket
+    min/max, and each bucket's share of total rows in integer PARTS
+    PER MILLION (rows*1e6 div total — no float division, exact
+    cross-engine). floor(log2) is computed EXACTLY as
+    length(bin(cnt)) - 1 — bit-length arithmetic, immune to the
+    float-log edge at exact powers of two where ln(2^k)/ln(2) can land
+    a hair under k. The top buckets ARE the skew verdict: hot keys for
+    the salting/AQE-skew machinery (operators/skew.py) live there."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def profile(key):
+        per_key = li.groupBy(key).agg(F.count("*").alias("cnt"))
+        total = per_key.agg(F.sum("cnt").alias("total_rows"))
+        bucket = (F.length(F.bin(F.col("cnt"))) - 1).cast("long")
+        return (per_key.select(bucket.alias("log2_bucket"), "cnt")
+                .groupBy("log2_bucket")
+                .agg(F.count("*").alias("n_keys"),
+                     F.sum("cnt").alias("n_rows"),
+                     F.min("cnt").alias("min_rows_per_key"),
+                     F.max("cnt").alias("max_rows_per_key"))
+                .crossJoin(F.broadcast(total))
+                .select(F.lit(key).alias("key_col"), "log2_bucket",
+                        "n_keys", "n_rows",
+                        "min_rows_per_key", "max_rows_per_key",
+                        F.expr("n_rows * 1000000 div total_rows")
+                        .alias("share_ppm")))
+
+    out = profile("l_orderkey")
+    for key in ("l_partkey", "l_suppkey"):
+        out = out.unionAll(profile(key))
+    return out
+
+
+NEXT_EVENT_CTX = 3  # context length for the training-pair builder
+
+
+def q_next_event_training_pairs(spark, sf_dir):
+    """SEQUENCE-DATASET CONSTRUCTION (next-event prediction pairs —
+    the supervised-dataset builder that turns raw event streams into
+    (context window, label) training rows, the event-stream analogue
+    of next-token LM data prep). Per user in (ts, event_id) order,
+    each event becomes a training row labeled by its type with the 3
+    preceding types as features; rows without a full context are
+    dropped (no padding — a NULL-padded prefix teaches the model that
+    histories start everywhere). Shape: lag(k) windows over the
+    user-partitioned order — ONE corpus exchange on user_id, per-user
+    sorts bounded by a user's history, output one row per qualifying
+    event with tiny fixed-width feature columns. All strings/ints —
+    exact cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("event_type", k).over(w).alias(f"ctx{k}")
+            for k in range(NEXT_EVENT_CTX, 0, -1)]
+    out = ev.select("user_id", "event_id", *lags,
+                    F.col("event_type").alias("label"))
+    cond = F.lit(True)
+    for k in range(1, NEXT_EVENT_CTX + 1):
+        cond = cond & F.col(f"ctx{k}").isNotNull()
+    return out.where(cond)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4479,6 +4602,9 @@ QUERIES = {
     "rolling_corr_daily": q_rolling_corr_daily,
     "forget_users_purge_plan": q_forget_users_purge_plan,
     "weekday_anomaly_flags": q_weekday_anomaly_flags,
+    "bm25_search_scores": q_bm25_search_scores,
+    "join_key_skew_report": q_join_key_skew_report,
+    "next_event_training_pairs": q_next_event_training_pairs,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -6520,3 +6646,80 @@ ORACLE_SQL["weekday_anomaly_flags"] = """
            CAST(r.r AS BIGINT) AS r, CAST(m.mad2 AS BIGINT) AS mad2,
            CASE WHEN abs(r.r) > m.mad2 THEN 1 ELSE 0 END AS anomaly
     FROM res r JOIN m2 m USING (event_type, wd)"""
+
+ORACLE_SQL["bm25_search_scores"] = """
+    WITH s AS (
+      SELECT doc_id,
+        CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+             AS BIGINT) AS dl,
+        CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x = 'hash')) AS BIGINT)   AS tf_hash,
+        CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x = 'join')) AS BIGINT)   AS tf_join,
+        CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x = 'filter')) AS BIGINT) AS tf_filter
+      FROM documents),
+    st AS (
+      SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+             sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END)   AS df_hash,
+             sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)   AS df_join,
+             sum(CASE WHEN tf_filter > 0 THEN 1 ELSE 0 END) AS df_filter
+      FROM s)
+    SELECT doc_id, dl, tf_hash, tf_join, tf_filter,
+      (CASE WHEN tf_hash > 0 THEN
+         ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_hash AS DOUBLE) + 0.5)
+                  / (CAST(df_hash AS DOUBLE) + 0.5))
+         * CAST(tf_hash AS DOUBLE) * 2.2
+         / (CAST(tf_hash AS DOUBLE)
+            + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+                     / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+       ELSE 0.0 END
+       + CASE WHEN tf_join > 0 THEN
+         ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_join AS DOUBLE) + 0.5)
+                  / (CAST(df_join AS DOUBLE) + 0.5))
+         * CAST(tf_join AS DOUBLE) * 2.2
+         / (CAST(tf_join AS DOUBLE)
+            + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+                     / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+       ELSE 0.0 END
+       + CASE WHEN tf_filter > 0 THEN
+         ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_filter AS DOUBLE) + 0.5)
+                  / (CAST(df_filter AS DOUBLE) + 0.5))
+         * CAST(tf_filter AS DOUBLE) * 2.2
+         / (CAST(tf_filter AS DOUBLE)
+            + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+                     / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+       ELSE 0.0 END) AS bm25
+    FROM s CROSS JOIN st
+    WHERE tf_hash > 0 OR tf_join > 0 OR tf_filter > 0"""
+
+def _skew_oracle_sql() -> str:
+    one = """
+    SELECT '{key}' AS key_col,
+           CAST(length(bin(cnt)) - 1 AS BIGINT) AS log2_bucket,
+           count(*) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           min(cnt) AS min_rows_per_key,
+           max(cnt) AS max_rows_per_key,
+           CAST(sum(cnt) * 1000000 // total_rows AS BIGINT) AS share_ppm
+    FROM (SELECT {key}, count(*) AS cnt FROM lineitem GROUP BY 1) pk
+    CROSS JOIN (SELECT count(*) AS total_rows FROM lineitem) t
+    GROUP BY 2, total_rows"""
+    return " UNION ALL ".join(
+        one.format(key=k)
+        for k in ("l_orderkey", "l_partkey", "l_suppkey"))
+
+
+ORACLE_SQL["join_key_skew_report"] = _skew_oracle_sql()
+
+ORACLE_SQL["next_event_training_pairs"] = """
+    WITH w AS (
+      SELECT user_id, event_id,
+             lag(event_type, 3) OVER u AS ctx3,
+             lag(event_type, 2) OVER u AS ctx2,
+             lag(event_type, 1) OVER u AS ctx1,
+             event_type AS label
+      FROM events
+      WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT * FROM w
+    WHERE ctx1 IS NOT NULL AND ctx2 IS NOT NULL AND ctx3 IS NOT NULL"""
