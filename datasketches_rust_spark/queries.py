@@ -4453,6 +4453,79 @@ def q_next_event_training_pairs(spark, sf_dir):
     return out.where(cond)
 
 
+DRIFT_SPLIT_DAY = "2024-01-16"  # events span Jan 1-30: 15d vs 15d windows
+
+
+def q_event_type_drift_report(spark, sf_dir):
+    """DATASET DRIFT MONITOR (PSI — population stability index, the
+    ML-ops standard for "did the input distribution move between
+    training and serving?"): the event-type mix of the first half of
+    the month versus the second, one row per category with its PSI
+    term (p_a - p_b) * ln(p_a / p_b). The float discipline: PSI is
+    normally reported as a SUM over categories, but a float sum over a
+    data-dependent aggregation order is not reproducible cross-engine
+    — so the report emits the per-category TERMS as rows (each term is
+    a pure expression of exact integer counts; the reader sums, or
+    compares terms directly — a drilldown every real monitor wants
+    anyway). Counts and ppm shares are integers; one conditional
+    aggregate pass over the corpus (map-side combined, category-
+    bounded output). Categories absent from either window yield a NULL
+    term (PSI is undefined at zero mass; real monitors epsilon-floor
+    it — the NULL surfaces the new/vanished category loudly instead)."""
+    ev = _t(spark, sf_dir, "events")
+    in_a = F.to_date("ts") < F.lit(DRIFT_SPLIT_DAY).cast("date")
+    per = (ev.groupBy("event_type")
+           .agg(F.sum(F.when(in_a, 1).otherwise(0)).alias("na"),
+                F.sum(F.when(in_a, 0).otherwise(1)).alias("nb")))
+    tot = per.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    j = per.crossJoin(F.broadcast(tot))
+    pa = F.col("na").cast("double") / F.col("ta").cast("double")
+    pb = F.col("nb").cast("double") / F.col("tb").cast("double")
+    return j.select(
+        "event_type", "na", "nb",
+        F.expr("na * 1000000 div ta").alias("share_a_ppm"),
+        F.expr("nb * 1000000 div tb").alias("share_b_ppm"),
+        F.when((F.col("na") > 0) & (F.col("nb") > 0),
+               (pa - pb) * F.log(pa / pb)).alias("psi_term"))
+
+
+def q_order_value_lift_table(spark, sf_dir):
+    """LIFT / GAINS TABLE (the model-eval readout behind every
+    targeting decision: "if I act on the top decile, what fraction of
+    the outcome do I capture?"): orders sliced into value deciles
+    (exact positional ntile with the deterministic (cents, orderkey)
+    tie order — the order_percentiles_daily contract), per-decile
+    outcome rate (status 'F') in integer ppm, and top-down cumulative
+    CAPTURE of all F-orders — the gains curve, an integer cumsum over
+    the 10-row decile table ordered decile-descending. Lift =
+    rate/base-rate stays a ratio of the two ppm integers the row
+    already carries. One corpus exchange for the ntile sort at fixture
+    scale; at 10^12 rows positional deciles move to the histogram-walk
+    percentile machinery (source_profile) and this table keeps its
+    shape."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = o.select("o_orderkey", cents.alias("cents"),
+                 F.when(F.col("o_orderstatus") == "F", 1)
+                 .otherwise(0).alias("is_f"))
+    w = Window.orderBy("cents", "o_orderkey")
+    dec = d.select("is_f", F.ntile(10).over(w).cast("long").alias("decile"))
+    per = (dec.groupBy("decile")
+           .agg(F.count("*").alias("n_orders"),
+                F.sum("is_f").alias("n_f")))
+    tot = per.agg(F.sum("n_f").alias("tf"))
+    cum = (Window.orderBy(F.col("decile").desc())
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("decile", "n_orders", "n_f",
+                    F.expr("n_f * 1000000 div n_orders").alias("rate_ppm"),
+                    F.sum("n_f").over(cum).alias("cum_f"),
+                    F.expr("tf").alias("total_f"))
+            .select("decile", "n_orders", "n_f", "rate_ppm",
+                    F.expr("cum_f * 1000000 div total_f")
+                    .alias("cum_capture_ppm")))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4605,6 +4678,8 @@ QUERIES = {
     "bm25_search_scores": q_bm25_search_scores,
     "join_key_skew_report": q_join_key_skew_report,
     "next_event_training_pairs": q_next_event_training_pairs,
+    "event_type_drift_report": q_event_type_drift_report,
+    "order_value_lift_table": q_order_value_lift_table,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -6723,3 +6798,46 @@ ORACLE_SQL["next_event_training_pairs"] = """
       WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id))
     SELECT * FROM w
     WHERE ctx1 IS NOT NULL AND ctx2 IS NOT NULL AND ctx3 IS NOT NULL"""
+
+ORACLE_SQL["event_type_drift_report"] = """
+    WITH per AS (
+      SELECT event_type,
+             sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                      THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                      THEN 0 ELSE 1 END) AS nb
+      FROM events GROUP BY 1),
+    tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM per)
+    SELECT event_type,
+           CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           CAST(na * 1000000 // ta AS BIGINT) AS share_a_ppm,
+           CAST(nb * 1000000 // tb AS BIGINT) AS share_b_ppm,
+           CASE WHEN na > 0 AND nb > 0 THEN
+             (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+              - CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+             * ln((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+                  / (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)))
+           END AS psi_term
+    FROM per CROSS JOIN tot"""
+
+ORACLE_SQL["order_value_lift_table"] = """
+    WITH d AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f
+      FROM orders),
+    dec AS (
+      SELECT is_f,
+             CAST(ntile(10) OVER (ORDER BY cents, o_orderkey)
+                  AS BIGINT) AS decile
+      FROM d),
+    per AS (
+      SELECT decile, count(*) AS n_orders, sum(is_f) AS n_f
+      FROM dec GROUP BY 1),
+    tot AS (SELECT sum(n_f) AS tf FROM per)
+    SELECT decile,
+           n_orders, CAST(n_f AS BIGINT) AS n_f,
+           CAST(n_f * 1000000 // n_orders AS BIGINT) AS rate_ppm,
+           CAST(sum(n_f) OVER (ORDER BY decile DESC)
+                * 1000000 // tf AS BIGINT) AS cum_capture_ppm
+    FROM per CROSS JOIN tot"""
