@@ -4526,6 +4526,86 @@ def q_order_value_lift_table(spark, sf_dir):
                     .alias("cum_capture_ppm")))
 
 
+def q_benford_digit_report(spark, sf_dir):
+    """DATA FORENSICS (Benford first-digit test — the fraud/synthetic-
+    data screen auditors run on financial columns: natural multi-scale
+    amounts follow P(d) = log10(1 + 1/d); fabricated or truncated data
+    doesn't): first significant digit of each order's cents amount,
+    observed count + integer ppm share per digit, expected ppm from
+    the Benford law, and the per-digit chi-square term
+    (obs - exp)^2 / exp as its own ROW (the drift-report discipline:
+    no cross-row float sum, every term a pure expression of one row's
+    exact integers + double literals both engines parse identically).
+    First digit via substring of the decimal string of a positive
+    integer — no float log10, no locale. One conditional aggregate,
+    digit-bounded (9-row) output."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d1 = F.substring(cents.cast("string"), 1, 1).cast("long")
+    per = (o.select(d1.alias("digit"))
+           .where(F.col("digit") >= 1)   # guard zero/negative amounts
+           .groupBy("digit").agg(F.count("*").alias("n")))
+    tot = per.agg(F.sum("n").alias("t"))
+    j = per.crossJoin(F.broadcast(tot))
+    # expected share: log10(1 + 1/d) = ln(1 + 1/d) / ln(10)
+    p_exp = (F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+             / F.log(F.lit(10.0)))
+    exp_n = p_exp * F.col("t").cast("double")
+    obs = F.col("n").cast("double")
+    return j.select(
+        "digit", "n",
+        F.expr("n * 1000000 div t").alias("obs_ppm"),
+        F.floor(p_exp * F.lit(1000000.0)).cast("long")
+        .alias("benford_ppm"),
+        ((obs - exp_n) * (obs - exp_n) / exp_n).alias("chi2_term"))
+
+
+def q_customer_rfm_segments(spark, sf_dir):
+    """RFM SEGMENTATION (recency / frequency / monetary — the classic
+    CRM behavioral segmentation): per customer, days since last order
+    (against the corpus max date, so the query is reproducible — "now"
+    would not be), order count, and lifetime cents; each dimension
+    quintile-scored 1-5 with EXACT positional ntile under a
+    deterministic tie order (metric, custkey — the
+    order_percentiles_daily contract; recency ntiles DESCENDING so
+    5 = most recent, aligning all three scales as higher=better), then
+    the standard segment names from the (r,f) cell. Scale shape: the
+    orders corpus collapses to ONE customer-keyed aggregate (map-side
+    combined); the ntile sort runs on the customer table (dimension-
+    sized); at 10^9+ customers positional quintiles move to the
+    histogram-walk percentile machinery, same contract. All integers
+    and strings — exact cross-engine."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per = (o.groupBy("o_custkey")
+           .agg(F.max(F.to_date("o_orderdate")).alias("last_day"),
+                F.count("*").alias("frequency"),
+                F.sum(cents).alias("monetary_cents")))
+    mx = per.agg(F.max("last_day").alias("max_day"))
+    base = (per.crossJoin(F.broadcast(mx))
+            .select(F.col("o_custkey").alias("c_custkey"),
+                    F.datediff("max_day", "last_day").cast("long")
+                    .alias("recency_days"),
+                    "frequency", "monetary_cents"))
+    wr = Window.orderBy(F.col("recency_days").desc(),
+                        F.col("c_custkey"))
+    wf = Window.orderBy(F.col("frequency"), F.col("c_custkey"))
+    wm = Window.orderBy(F.col("monetary_cents"), F.col("c_custkey"))
+    scored = base.select(
+        "c_custkey", "recency_days", "frequency", "monetary_cents",
+        F.ntile(5).over(wr).cast("long").alias("r"),
+        F.ntile(5).over(wf).cast("long").alias("f"),
+        F.ntile(5).over(wm).cast("long").alias("m"))
+    seg = (F.when((F.col("r") >= 4) & (F.col("f") >= 4), "champion")
+           .when((F.col("r") >= 4) & (F.col("f") <= 2), "new")
+           .when((F.col("r") <= 2) & (F.col("f") >= 4), "at_risk")
+           .when((F.col("r") <= 2) & (F.col("f") <= 2), "hibernating")
+           .otherwise("core"))
+    return scored.select("c_custkey", "recency_days", "frequency",
+                         "monetary_cents", "r", "f", "m",
+                         seg.alias("segment"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4680,6 +4760,8 @@ QUERIES = {
     "next_event_training_pairs": q_next_event_training_pairs,
     "event_type_drift_report": q_event_type_drift_report,
     "order_value_lift_table": q_order_value_lift_table,
+    "benford_digit_report": q_benford_digit_report,
+    "customer_rfm_segments": q_customer_rfm_segments,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -6841,3 +6923,60 @@ ORACLE_SQL["order_value_lift_table"] = """
            CAST(sum(n_f) OVER (ORDER BY decile DESC)
                 * 1000000 // tf AS BIGINT) AS cum_capture_ppm
     FROM per CROSS JOIN tot"""
+
+ORACLE_SQL["benford_digit_report"] = """
+    WITH per AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             count(*) AS n
+      FROM orders
+      WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 1
+      GROUP BY 1),
+    tot AS (SELECT sum(n) AS t FROM per)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           CAST(n * 1000000 // t AS BIGINT) AS obs_ppm,
+           CAST(floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)
+                      * 1000000.0) AS BIGINT) AS benford_ppm,
+           (CAST(n AS DOUBLE)
+            - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)
+              * CAST(t AS DOUBLE))
+           * (CAST(n AS DOUBLE)
+              - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)
+                * CAST(t AS DOUBLE))
+           / (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)
+              * CAST(t AS DOUBLE)) AS chi2_term
+    FROM per CROSS JOIN tot
+    WHERE digit >= 1"""
+
+ORACLE_SQL["customer_rfm_segments"] = """
+    WITH per AS (
+      SELECT o_custkey AS c_custkey,
+             max(CAST(o_orderdate AS DATE)) AS last_day,
+             count(*) AS frequency,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS monetary_cents
+      FROM orders GROUP BY 1),
+    mx AS (SELECT max(last_day) AS max_day FROM per),
+    base AS (
+      SELECT c_custkey,
+             CAST(datediff('day', last_day, max_day) AS BIGINT)
+               AS recency_days,
+             frequency, monetary_cents
+      FROM per CROSS JOIN mx),
+    scored AS (
+      SELECT c_custkey, recency_days, frequency, monetary_cents,
+             CAST(ntile(5) OVER (ORDER BY recency_days DESC, c_custkey)
+                  AS BIGINT) AS r,
+             CAST(ntile(5) OVER (ORDER BY frequency, c_custkey)
+                  AS BIGINT) AS f,
+             CAST(ntile(5) OVER (ORDER BY monetary_cents, c_custkey)
+                  AS BIGINT) AS m
+      FROM base)
+    SELECT c_custkey, recency_days, CAST(frequency AS BIGINT) AS frequency,
+           monetary_cents, r, f, m,
+           CASE WHEN r >= 4 AND f >= 4 THEN 'champion'
+                WHEN r >= 4 AND f <= 2 THEN 'new'
+                WHEN r <= 2 AND f >= 4 THEN 'at_risk'
+                WHEN r <= 2 AND f <= 2 THEN 'hibernating'
+                ELSE 'core' END AS segment
+    FROM scored"""
