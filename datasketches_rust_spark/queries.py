@@ -4606,6 +4606,80 @@ def q_customer_rfm_segments(spark, sf_dir):
                          seg.alias("segment"))
 
 
+def q_nation_revenue_share(spark, sf_dir):
+    """SNOWFLAKE DIMENSION CHAIN + RATIO-TO-REPORT (the BI "share of
+    region" readout): revenue per nation through the
+    customer -> nation -> region dimension chain, each nation's share
+    of its REGION's total in integer ppm, and its rank within the
+    region. Scale shape: the fact side collapses through the
+    orders-customer co-keyed join, then the nation/region dimensions
+    chain on as BROADCAST joins (classic snowflake — the dims are
+    catalog-sized); the ratio-to-report denominator is a window sum
+    over the nation-bounded aggregate (no second corpus pass), and
+    share stays integer (cents * 1e6 div region_cents). Rank ties
+    break on nationkey for cross-engine determinism."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_c = (o.join(c, o["o_custkey"] == c["c_custkey"])
+             .groupBy("c_nationkey").agg(F.sum(cents).alias("cents")))
+    dims = (n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .select("n_nationkey", "n_name", "r_name"))
+    per_n = (per_c.join(F.broadcast(dims),
+                        per_c["c_nationkey"] == dims["n_nationkey"])
+             .select("n_nationkey", "n_name", "r_name", "cents"))
+    wreg = Window.partitionBy("r_name")
+    wrank = (Window.partitionBy("r_name")
+             .orderBy(F.col("cents").desc(), F.col("n_nationkey")))
+    region_cents = F.sum("cents").over(wreg)
+    return per_n.select(
+        "n_name", "r_name", "cents",
+        region_cents.alias("region_cents"),
+        # integer div of longs: (cents * 1e6) div region_total — exact
+        (F.col("cents") * F.lit(1000000)).alias("__num"),
+        F.rank().over(wrank).cast("long").alias("rank_in_region")) \
+        .select("n_name", "r_name", "cents", "region_cents",
+                F.expr("__num div region_cents").alias("share_ppm"),
+                "rank_in_region")
+
+
+PATH_TOPK = 20
+
+
+def q_top_purchase_paths(spark, sf_dir):
+    """FREQUENT-PATH MINING (the product-analytics "how do users reach
+    purchase?" readout): each user-day's event sequence compressed to
+    a path string (the event_pattern_users encoding), kept when it
+    contains a purchase, truncated AT the first purchase (the
+    conversion path, not the post-purchase tail), counted, top-20 by
+    frequency with the path string as the deterministic tie-break.
+    Scale shape: one groupBy(user, day) exchange builds the bounded
+    per-user-day strings; the path census groupBy exchanges one short
+    string per user-day (map-side combined — popular paths collapse
+    early); the global top-k is TakeOrderedAndProject (per-task heaps,
+    never a full sort — the tpch_q3 contract)."""
+    ev = _t(spark, sf_dir, "events")
+    ch = (F.when(F.col("event_type") == "view", "v")
+          .when(F.col("event_type") == "click", "c")
+          .when(F.col("event_type") == "purchase", "p")
+          .when(F.col("event_type") == "signup", "s")
+          .otherwise("e"))
+    seqs = (ev.select("user_id", F.to_date("ts").alias("day"),
+                      F.struct("ts", "event_id", ch.alias("c")).alias("t"))
+            .groupBy("user_id", "day")
+            .agg(F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("t")),
+                                lambda x: x["c"])).alias("s")))
+    path = F.concat(F.substring_index(F.col("s"), "p", 1), F.lit("p"))
+    return (seqs.where(F.col("s").contains("p"))
+            .select(path.alias("path"))
+            .groupBy("path").agg(F.count("*").alias("n_user_days"))
+            .orderBy(F.col("n_user_days").desc(), F.col("path").asc())
+            .limit(PATH_TOPK))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4762,6 +4836,8 @@ QUERIES = {
     "order_value_lift_table": q_order_value_lift_table,
     "benford_digit_report": q_benford_digit_report,
     "customer_rfm_segments": q_customer_rfm_segments,
+    "nation_revenue_share": q_nation_revenue_share,
+    "top_purchase_paths": q_top_purchase_paths,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -6980,3 +7056,43 @@ ORACLE_SQL["customer_rfm_segments"] = """
                 WHEN r <= 2 AND f <= 2 THEN 'hibernating'
                 ELSE 'core' END AS segment
     FROM scored"""
+
+ORACLE_SQL["nation_revenue_share"] = """
+    WITH per_c AS (
+      SELECT c.c_nationkey,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1),
+    per_n AS (
+      SELECT n.n_nationkey, n.n_name, r.r_name, p.cents
+      FROM per_c p
+      JOIN nation n ON n.n_nationkey = p.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey)
+    SELECT n_name, r_name, cents,
+           CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT)
+             AS region_cents,
+           CAST(cents * 1000000
+                // sum(cents) OVER (PARTITION BY r_name) AS BIGINT)
+             AS share_ppm,
+           CAST(rank() OVER (PARTITION BY r_name
+                             ORDER BY cents DESC, n_nationkey)
+                AS BIGINT) AS rank_in_region
+    FROM per_n"""
+
+ORACLE_SQL["top_purchase_paths"] = """
+    WITH ch AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  ELSE 'e' END AS c
+      FROM events),
+    seq AS (
+      SELECT user_id, day,
+             string_agg(c, '' ORDER BY ts, event_id) AS s
+      FROM ch GROUP BY 1, 2)
+    SELECT split_part(s, 'p', 1) || 'p' AS path,
+           count(*) AS n_user_days
+    FROM seq WHERE contains(s, 'p')
+    GROUP BY 1
+    ORDER BY n_user_days DESC, path ASC
+    LIMIT 20"""
