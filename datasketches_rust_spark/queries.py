@@ -4054,31 +4054,11 @@ def q_geo_nearby_customers(spark, sf_dir):
                            F.col("c_custkey").cast("string"))), 1, 8),
             16, 10).cast("long") % GEO_GRID)
 
-    pts = c.select(F.col("c_custkey").alias("id"),
+    from datasketches_rust_spark.operators.spatial import (
+        grid_neighbor_stats)
+    pts = c.select("c_custkey",
                    coord("gx").alias("gx"), coord("gy").alias("gy"))
-    cell = pts.select(
-        "id", "gx", "gy",
-        F.expr(f"gx div {GEO_R}").alias("cx"),
-        F.expr(f"gy div {GEO_R}").alias("cy"))
-    probe = (cell.select(
-        "id", "gx", "gy",
-        F.explode(F.array(*[
-            F.struct((F.col("cx") + dx).alias("bx"),
-                     (F.col("cy") + dy).alias("by"))
-            for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("b"))
-        .select("id", "gx", "gy",
-                F.col("b.bx").alias("bx"), F.col("b.by").alias("by")))
-    build = cell.select(F.col("id").alias("id2"),
-                        F.col("gx").alias("gx2"), F.col("gy").alias("gy2"),
-                        F.col("cx").alias("bx"), F.col("cy").alias("by"))
-    dx, dy = F.col("gx") - F.col("gx2"), F.col("gy") - F.col("gy2")
-    d2 = dx * dx + dy * dy
-    return (probe
-            .join(build, ["bx", "by"])
-            .where((F.col("id") != F.col("id2")) & (d2 <= GEO_R * GEO_R))
-            .groupBy(F.col("id").alias("c_custkey"))
-            .agg(F.count("*").alias("n_within_r"),
-                 F.min(d2).alias("min_dist2")))
+    return grid_neighbor_stats(pts, GEO_R, id_col="c_custkey")
 
 
 def q_mkt_target_encoding(spark, sf_dir):
