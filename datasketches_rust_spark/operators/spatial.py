@@ -47,11 +47,17 @@ def grid_neighbor_stats(pts: DataFrame, r: int,
     and hash cross-engine. Cell size equals ``r`` — the 3x3 blocking
     is then pigeonhole-complete for the <= r ball.
     """
+    # FLOOR division (integer-exact via pmod, which is non-negative) —
+    # Spark's `div` truncates toward zero, which would make the
+    # zero-straddling cell 2r-1 wide for signed coordinates and break
+    # the "cell size == r" pigeonhole geometry there; floor keeps every
+    # cell exactly r wide for any sign (identical to div on the
+    # non-negative coords the registered queries use)
     cell = pts.select(
         F.col(id_col).alias("id"),
         F.col(x_col).alias("gx"), F.col(y_col).alias("gy"),
-        F.expr(f"{x_col} div {r}").alias("cx"),
-        F.expr(f"{y_col} div {r}").alias("cy"))
+        F.expr(f"({x_col} - pmod({x_col}, {r})) div {r}").alias("cx"),
+        F.expr(f"({y_col} - pmod({y_col}, {r})) div {r}").alias("cy"))
     probe = (cell.select(
         "id", "gx", "gy",
         F.explode(F.array(*[

@@ -4091,6 +4091,39 @@ def q_mkt_target_encoding(spark, sf_dir):
                     .alias("loo_mean_cents")))
 
 
+def _user_day_seqs(ev):
+    """Compress each user-day's events to a one-char-per-event string
+    in (ts, event_id) order — the shared encoding behind the sequence-
+    regex and path-mining queries (v/c/p/s/e for view/click/purchase/
+    signup/other). ONE groupBy(user, day) exchange; groups bounded by
+    a user-day's activity. The oracle-side twin is
+    _USER_DAY_SEQS_CTE (string_agg ORDER BY ts, event_id)."""
+    ch = (F.when(F.col("event_type") == "view", "v")
+          .when(F.col("event_type") == "click", "c")
+          .when(F.col("event_type") == "purchase", "p")
+          .when(F.col("event_type") == "signup", "s")
+          .otherwise("e"))
+    return (ev.select("user_id", F.to_date("ts").alias("day"),
+                      F.struct("ts", "event_id", ch.alias("c")).alias("t"))
+            .groupBy("user_id", "day")
+            .agg(F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("t")),
+                                lambda x: x["c"])).alias("s")))
+
+
+# oracle twin of _user_day_seqs — splice as the head of a WITH chain
+_USER_DAY_SEQS_CTE = """ch AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  ELSE 'e' END AS c
+      FROM events),
+    seq AS (
+      SELECT user_id, day,
+             string_agg(c, '' ORDER BY ts, event_id) AS s
+      FROM ch GROUP BY 1, 2)"""
+
+
 def q_event_pattern_users(spark, sf_dir):
     """SEQUENCE PATTERN MATCHING (MATCH_RECOGNIZE without the syntax):
     user-days whose event sequence contains the browse-to-buy motif
@@ -4109,18 +4142,7 @@ def q_event_pattern_users(spark, sf_dir):
     structs here, string_agg ORDER BY ts, event_id in the oracle.
     Both regex engines match left-to-right non-overlapping with greedy
     +, so n_matches agrees; counts/lengths are integers."""
-    ev = _t(spark, sf_dir, "events")
-    ch = (F.when(F.col("event_type") == "view", "v")
-          .when(F.col("event_type") == "click", "c")
-          .when(F.col("event_type") == "purchase", "p")
-          .when(F.col("event_type") == "signup", "s")
-          .otherwise("e"))
-    seqs = (ev.select("user_id", F.to_date("ts").alias("day"),
-                      F.struct("ts", "event_id", ch.alias("c")).alias("t"))
-            .groupBy("user_id", "day")
-            .agg(F.concat_ws(
-                "", F.transform(F.array_sort(F.collect_list("t")),
-                                lambda x: x["c"])).alias("s")))
+    seqs = _user_day_seqs(_t(spark, sf_dir, "events"))
     n = F.regexp_count(F.col("s"), F.lit("v+p"))
     return (seqs.select("user_id", "day",
                         F.length("s").alias("seq_len"),
@@ -4222,12 +4244,14 @@ def q_forget_users_purge_plan(spark, sf_dir):
     through the orders CASCADE (two hops: user -> order -> line), and
     the customer rows themselves. The cohort is md5-deterministic
     (re-derivable at audit time, same argument as ab_experiment_report
-    arm assignment). Scale shape: the cohort is a tiny fraction of the
-    user dimension, so it BROADCASTS into every semi-join (no corpus
-    shuffle for events/orders/customer); the lineitem hop semi-joins
-    on the purged ORDER keys — corpus-proportional to the cohort's
-    orders, still broadcastable at a 5% opt-out rate, and an ordinary
-    shuffled semi-join beyond that. Per-table counts union into a
+    arm assignment). Scale shape: both the cohort and the purged-order
+    key set are corpus-PROPORTIONAL (5% of their dimensions), so
+    neither carries a mandatory broadcast hint — a F.broadcast() here
+    would force a driver collect of an unbounded relation at scale
+    (hinted broadcasts never auto-demote); instead AQE localizes each
+    semi-join to a broadcast when the build side is actually small
+    (always at fixture scale) and keeps the ordinary shuffled
+    semi-join beyond the threshold. Per-table counts union into a
     4-row audit report; all integers."""
     ev = _t(spark, sf_dir, "events")
     forget = (ev.select("user_id").distinct()
@@ -4236,7 +4260,7 @@ def q_forget_users_purge_plan(spark, sf_dir):
                                  F.col("user_id").cast("string"))), 1, 8),
                   16, 10).cast("long") % FORGET_BUCKETS) == 0)
               .select(F.col("user_id").alias("k")))
-    fb = F.broadcast(forget)
+    fb = forget
     purged_ev = (ev.join(fb, ev["user_id"] == fb["k"], "left_semi")
                  .agg(F.count("*").alias("n_rows"),
                       F.count_distinct("user_id").alias("n_keys"))
@@ -4248,8 +4272,7 @@ def q_forget_users_purge_plan(spark, sf_dir):
                 .select(F.lit("orders").alias("tbl"), "n_rows", "n_keys"))
     li = _t(spark, sf_dir, "lineitem")
     pok = po.select(F.col("o_orderkey").alias("pk"))
-    pli = li.join(F.broadcast(pok), li["l_orderkey"] == pok["pk"],
-                  "left_semi")
+    pli = li.join(pok, li["l_orderkey"] == pok["pk"], "left_semi")
     purged_li = (pli.agg(F.count("*").alias("n_rows"),
                          F.count_distinct("l_orderkey").alias("n_keys"))
                  .select(F.lit("lineitem").alias("tbl"), "n_rows",
@@ -4640,18 +4663,7 @@ def q_top_purchase_paths(spark, sf_dir):
     string per user-day (map-side combined — popular paths collapse
     early); the global top-k is TakeOrderedAndProject (per-task heaps,
     never a full sort — the tpch_q3 contract)."""
-    ev = _t(spark, sf_dir, "events")
-    ch = (F.when(F.col("event_type") == "view", "v")
-          .when(F.col("event_type") == "click", "c")
-          .when(F.col("event_type") == "purchase", "p")
-          .when(F.col("event_type") == "signup", "s")
-          .otherwise("e"))
-    seqs = (ev.select("user_id", F.to_date("ts").alias("day"),
-                      F.struct("ts", "event_id", ch.alias("c")).alias("t"))
-            .groupBy("user_id", "day")
-            .agg(F.concat_ws(
-                "", F.transform(F.array_sort(F.collect_list("t")),
-                                lambda x: x["c"])).alias("s")))
+    seqs = _user_day_seqs(_t(spark, sf_dir, "events"))
     path = F.concat(F.substring_index(F.col("s"), "p", 1), F.lit("p"))
     return (seqs.where(F.col("s").contains("p"))
             .select(path.alias("path"))
@@ -6755,17 +6767,8 @@ ORACLE_SQL["mkt_target_encoding"] = """
                 END AS loo_mean_cents
     FROM rows_ r JOIN seg s USING (segment)"""
 
-ORACLE_SQL["event_pattern_users"] = """
-    WITH ch AS (
-      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
-             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
-                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
-                  ELSE 'e' END AS c
-      FROM events),
-    seq AS (
-      SELECT user_id, day,
-             string_agg(c, '' ORDER BY ts, event_id) AS s
-      FROM ch GROUP BY 1, 2)
+ORACLE_SQL["event_pattern_users"] = f"""
+    WITH {_USER_DAY_SEQS_CTE}
     SELECT user_id, day,
            CAST(len(s) AS INTEGER) AS seq_len,
            CAST(len(regexp_extract_all(s, 'v+p')) AS INTEGER) AS n_matches
@@ -7059,17 +7062,8 @@ ORACLE_SQL["nation_revenue_share"] = """
                 AS BIGINT) AS rank_in_region
     FROM per_n"""
 
-ORACLE_SQL["top_purchase_paths"] = """
-    WITH ch AS (
-      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
-             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
-                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
-                  ELSE 'e' END AS c
-      FROM events),
-    seq AS (
-      SELECT user_id, day,
-             string_agg(c, '' ORDER BY ts, event_id) AS s
-      FROM ch GROUP BY 1, 2)
+ORACLE_SQL["top_purchase_paths"] = f"""
+    WITH {_USER_DAY_SEQS_CTE}
     SELECT split_part(s, 'p', 1) || 'p' AS path,
            count(*) AS n_user_days
     FROM seq WHERE contains(s, 'p')

@@ -63,10 +63,15 @@ def audit(name: str, df, checks: dict[str, bool],
 def checks_eval(plan: str, checks: dict[str, object]) -> dict[str, bool]:
     out = {}
     for desc, pred in checks.items():
-        if callable(pred):
-            out[desc] = bool(pred(plan))
-        else:
-            out[desc] = bool(re.search(pred, plan))
+        try:
+            if callable(pred):
+                out[desc] = bool(pred(plan))
+            else:
+                out[desc] = bool(re.search(pred, plan))
+        except Exception:
+            # a predicate that can't even evaluate (e.g. str.index on a
+            # renamed node) is a FAILED check, not a crashed audit run
+            out[desc] = False
     return out
 
 
@@ -1024,8 +1029,9 @@ def main() -> None:
     failures += audit("geo_nearby_customers", geo, {
         "no BroadcastNestedLoopJoin": lambda p: "BroadcastNestedLoop" not in p,
         "no CartesianProduct": lambda p: "CartesianProduct" not in p,
-        "partial aggregation before the final exchange":
-            lambda p: p.index("HashAggregate") < p.rindex("Exchange"),
+        # partial+final pair = map-side combine on the neighbor counts
+        "two-phase aggregation (map-side partial present)":
+            lambda p: len(re.findall(r"\bHashAggregate \(\d+\)", p)) >= 2,
     })
     te = Q.q_mkt_target_encoding(spark, SF_DIR)
     failures += audit("mkt_target_encoding", te, {
