@@ -4672,6 +4672,130 @@ def q_top_purchase_paths(spark, sf_dir):
             .limit(PATH_TOPK))
 
 
+def q_join_size_estimates(spark, sf_dir):
+    """SKETCH-DRIVEN JOIN PLANNING (the query-optimizer application of
+    the theta set algebra: estimate a join's output size from per-side
+    key sketches BEFORE running it — what a CBO does with NDV stats,
+    here with mergeable sketches that survive partition-parallel
+    collection). Per candidate join: per-side row counts and distinct
+    keys, the THETA-INTERSECTED common-key count, the independence
+    estimate n_common * (rows_a/na) * (rows_b/nb), and the true join
+    cardinality for calibration. Sketches are collected
+    partition-parallel with map-side combine (the sketch_agg scale
+    path — at 10^12 rows that is the entire point: one pass, bounded
+    state, no count_distinct shuffle per side); at fixture scale the
+    key universes sit below k=2^16 so theta is in EXACT mode and the
+    gate hash-matches a COUNT(DISTINCT) oracle bit-for-bit. The
+    estimate is a double expression over exact longs (identical IEEE
+    sequence both engines). Cites the reference set algebra:
+    theta/mod.rs intersection semantics."""
+    specs = [
+        ("orders_x_customer",
+         _t(spark, sf_dir, "orders"), "o_custkey",
+         _t(spark, sf_dir, "customer"), "c_custkey"),
+        ("lineitem_x_part",
+         _t(spark, sf_dir, "lineitem"), "l_partkey",
+         _t(spark, sf_dir, "part"), "p_partkey"),
+        ("lineitem_x_supplier",
+         _t(spark, sf_dir, "lineitem"), "l_suppkey",
+         _t(spark, sf_dir, "supplier"), "s_suppkey"),
+    ]
+    est = agg.estimate_udf("theta", as_long=True, lg_k=16)
+    inter = agg.theta_set_op_udf("intersect", as_long=True)
+    out = None
+    for name, la, ka, lb, kb in specs:
+        ra = la.agg(F.count("*").alias("rows_a"))
+        rb = lb.agg(F.count("*").alias("rows_b"))
+        sa = (agg.sketch_agg(la, [], ka, "theta", lg_k=16)
+              .select(F.col("sketch").alias("ska")))
+        sb = (agg.sketch_agg(lb, [], kb, "theta", lg_k=16)
+              .select(F.col("sketch").alias("skb")))
+        tru = (la.join(lb, la[ka] == lb[kb])
+               .agg(F.count("*").alias("exact_rows")))
+        row = (ra.crossJoin(rb).crossJoin(sa).crossJoin(sb)
+               .crossJoin(tru)
+               .select(F.lit(name).alias("join_name"),
+                       "rows_a", "rows_b",
+                       est("ska").alias("distinct_a"),
+                       est("skb").alias("distinct_b"),
+                       inter("ska", "skb").alias("n_common"),
+                       "exact_rows")
+               .select("join_name", "rows_a", "rows_b",
+                       "distinct_a", "distinct_b", "n_common",
+                       (F.col("n_common").cast("double")
+                        * (F.col("rows_a").cast("double")
+                           / F.col("distinct_a").cast("double"))
+                        * (F.col("rows_b").cast("double")
+                           / F.col("distinct_b").cast("double")))
+                       .alias("est_rows"), "exact_rows"))
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def q_cusum_change_points(spark, sf_dir):
+    """CHANGE-POINT DETECTION (one-sided CUSUM control chart — the
+    SPC/monitoring class that catches a sustained LEVEL SHIFT a
+    point-outlier screen misses, because small same-sign deviations
+    accumulate): per event type over its daily revenue series, fold
+    S_t = max(0, S_{t-1} + r_t) where r_t is the scaled-integer
+    residual cents_t * n - sum (zero-mean by construction, no
+    rational mean — the weekday_anomaly trick). The clamp at zero
+    makes the fold NON-ASSOCIATIVE (the user_balance_clamped class),
+    but here each series is CALENDAR-BOUNDED, so the right shape is a
+    JVM F.aggregate over the sorted day array with a struct
+    accumulator — no Python, no per-key shuffle beyond the one
+    groupBy(type) — tracking the running S, its max, the FIRST day
+    achieving that max (strict > keeps the argmax deterministic), and
+    how many days S sat above the natural integer scale
+    h = sum(|r|). Output per type: S_max, its day, days-above-h —
+    all integers. Oracle = WITH RECURSIVE over row_number (the
+    balance_clamped recipe; depth = days)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).alias("cents")))
+    per = (daily.groupBy("event_type")
+           .agg(F.sum("cents").alias("tot"), F.count("*").alias("n"),
+                F.array_sort(F.collect_list(F.struct("day", "cents")))
+                .alias("ds")))
+    # residual array in day order + its |.| sum (the threshold scale)
+    r = F.transform(F.col("ds"),
+                    lambda x: x["cents"] * F.col("n") - F.col("tot"))
+    base = per.select(
+        "event_type", "n",
+        F.col("ds").alias("ds"), r.alias("r"),
+        F.aggregate(r, F.lit(0).cast("long"),
+                    lambda a, x: a + F.abs(x)).alias("h"))
+    zero = F.named_struct(
+        F.lit("s"), F.lit(0).cast("long"),
+        F.lit("smax"), F.lit(0).cast("long"),
+        F.lit("imax"), F.lit(-1).cast("int"),
+        F.lit("i"), F.lit(0).cast("int"),
+        F.lit("nab"), F.lit(0).cast("long"))
+
+    def step(acc, x):
+        s = F.greatest(acc["s"] + x, F.lit(0).cast("long"))
+        hit = s > acc["smax"]
+        return F.named_struct(
+            F.lit("s"), s,
+            F.lit("smax"), F.greatest(s, acc["smax"]),
+            F.lit("imax"), F.when(hit, acc["i"]).otherwise(acc["imax"]),
+            F.lit("i"), acc["i"] + 1,
+            F.lit("nab"), acc["nab"]
+            + F.when(s * 4 > F.col("h"), 1).otherwise(0).cast("long"))
+
+    folded = base.select(
+        "event_type", "n", "ds", "h",
+        F.aggregate(F.col("r"), zero, step).alias("acc"))
+    return folded.select(
+        "event_type", F.col("n").cast("long").alias("n_days"), "h",
+        F.col("acc.smax").alias("cusum_max"),
+        F.when(F.col("acc.imax") >= 0,
+               F.element_at("ds", F.col("acc.imax") + 1)["day"])
+        .alias("cusum_max_day"),
+        F.col("acc.nab").alias("n_days_above_q"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4830,6 +4954,8 @@ QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "nation_revenue_share": q_nation_revenue_share,
     "top_purchase_paths": q_top_purchase_paths,
+    "join_size_estimates": q_join_size_estimates,
+    "cusum_change_points": q_cusum_change_points,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -7070,3 +7196,85 @@ ORACLE_SQL["top_purchase_paths"] = f"""
     GROUP BY 1
     ORDER BY n_user_days DESC, path ASC
     LIMIT 20"""
+
+def _join_size_oracle_sql() -> str:
+    one = """
+    SELECT '{name}' AS join_name,
+           (SELECT count(*) FROM {ta}) AS rows_a,
+           (SELECT count(*) FROM {tb}) AS rows_b,
+           (SELECT count(DISTINCT {ka}) FROM {ta}) AS distinct_a,
+           (SELECT count(DISTINCT {kb}) FROM {tb}) AS distinct_b,
+           (SELECT count(*) FROM
+              (SELECT DISTINCT {ka} AS k FROM {ta}) x
+              JOIN (SELECT DISTINCT {kb} AS k FROM {tb}) y USING (k))
+             AS n_common,
+           CAST((SELECT count(*) FROM
+              (SELECT DISTINCT {ka} AS k FROM {ta}) x
+              JOIN (SELECT DISTINCT {kb} AS k FROM {tb}) y USING (k))
+              AS DOUBLE)
+           * (CAST((SELECT count(*) FROM {ta}) AS DOUBLE)
+              / CAST((SELECT count(DISTINCT {ka}) FROM {ta}) AS DOUBLE))
+           * (CAST((SELECT count(*) FROM {tb}) AS DOUBLE)
+              / CAST((SELECT count(DISTINCT {kb}) FROM {tb}) AS DOUBLE))
+             AS est_rows,
+           (SELECT count(*) FROM {ta} a JOIN {tb} b
+              ON a.{ka} = b.{kb}) AS exact_rows"""
+    specs = [
+        ("orders_x_customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem_x_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem_x_supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+    ]
+    return " UNION ALL ".join(
+        one.format(name=n, ta=ta, ka=ka, tb=tb, kb=kb)
+        for n, ta, ka, tb, kb in specs)
+
+
+ORACLE_SQL["join_size_estimates"] = _join_size_oracle_sql()
+
+ORACLE_SQL["cusum_change_points"] = """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT event_type, sum(cents) AS tot, count(*) AS n
+      FROM daily GROUP BY 1),
+    r AS (
+      SELECT d.event_type, d.day,
+             row_number() OVER (PARTITION BY d.event_type
+                                ORDER BY d.day) AS rn,
+             d.cents * s.n - s.tot AS r
+      FROM daily d JOIN st s USING (event_type)),
+    hh AS (SELECT event_type, sum(abs(r)) AS h FROM r GROUP BY 1),
+    rec AS (
+      SELECT r.event_type, r.rn,
+             greatest(r.r, 0) AS s,
+             greatest(r.r, 0) AS smax,
+             CASE WHEN greatest(r.r, 0) > 0 THEN r.day END AS dmax,
+             CASE WHEN greatest(r.r, 0) * 4 > hh.h
+                  THEN 1 ELSE 0 END AS nab
+      FROM r JOIN hh USING (event_type) WHERE r.rn = 1
+      UNION ALL
+      SELECT e.event_type, e.rn,
+             greatest(b.s + e.r, 0),
+             greatest(greatest(b.s + e.r, 0), b.smax),
+             CASE WHEN greatest(b.s + e.r, 0) > b.smax
+                  THEN e.day ELSE b.dmax END,
+             b.nab + CASE WHEN greatest(b.s + e.r, 0) * 4 > hh.h
+                          THEN 1 ELSE 0 END
+      FROM rec b
+      JOIN r e ON e.event_type = b.event_type AND e.rn = b.rn + 1
+      JOIN hh ON hh.event_type = e.event_type),
+    last AS (
+      SELECT event_type, max(rn) AS n_days FROM r GROUP BY 1)
+    SELECT l.event_type,
+           CAST(l.n_days AS BIGINT) AS n_days,
+           CAST(h.h AS BIGINT) AS h,
+           CAST(b.smax AS BIGINT) AS cusum_max,
+           b.dmax AS cusum_max_day,
+           CAST(b.nab AS BIGINT) AS n_days_above_q
+    FROM last l
+    JOIN rec b ON b.event_type = l.event_type AND b.rn = l.n_days
+    JOIN hh h ON h.event_type = l.event_type"""
