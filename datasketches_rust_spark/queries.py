@@ -4796,6 +4796,84 @@ def q_cusum_change_points(spark, sf_dir):
         F.col("acc.nab").alias("n_days_above_q"))
 
 
+def q_streaming_drift_monitor(spark, sf_dir):
+    """REAL streaming DRIFT MONITOR (the 9th streaming query — the
+    serving-side counterpart of event_type_drift_report: watch the
+    LIVE event-type mix drift away from the training baseline, per
+    event-time day window). The stream side is a built-in windowed
+    count (engine-managed state, watermark 0), so state per open
+    window is one long per (window, type) — no custom state op needed;
+    the PSI readout then runs BATCH-side on the collected window table
+    joined against the STATIC baseline (the first-half-of-month mix
+    from the batch table — the 'training mix'): per (window, type)
+    rows with integer counts/ppm and the per-category PSI term, the
+    same no-cross-row-float-sum discipline as the batch drift report.
+    Deterministic end-to-end: one file -> one data micro-batch, update
+    mode emits each window's full-day count exactly once."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    ev_path = f"{sf_dir}/events.parquet"
+    src_dir = tempfile.mkdtemp(prefix="dsrs_drift_src_")
+    ck = tempfile.mkdtemp(prefix="dsrs_drift_ck_")
+    try:
+        # stage the source via symlinks (no copy): testdata ships a
+        # single parquet FILE; crafted fixtures write a DIRECTORY of
+        # part files — the file-stream source does not follow a
+        # directory symlink, so link the parts individually there
+        if os.path.isdir(ev_path):
+            parts = [f for f in sorted(os.listdir(ev_path))
+                     if f.endswith(".parquet")]
+            for i, f in enumerate(parts):
+                os.symlink(os.path.join(os.path.abspath(ev_path), f),
+                           os.path.join(src_dir, f"part{i}.parquet"))
+        else:
+            os.symlink(os.path.abspath(ev_path),
+                       os.path.join(src_dir, "events.parquet"))
+        schema = spark.read.parquet(ev_path).schema
+        stream = (spark.readStream.schema(schema).parquet(src_dir)
+                  .select(F.col("ts").cast("timestamp").alias("ts"),
+                          "event_type"))
+        counts = (stream.withWatermark("ts", "0 seconds")
+                  .groupBy(F.window("ts", "1 day"), "event_type")
+                  .count())
+        name = "dsrs_drift_" + uuid.uuid4().hex[:8]
+        q = (counts.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_drift_monitor did not finish within 300s")
+        tbl = (spark.table(name)
+               .select(F.unix_micros("window.start").alias("ws_us"),
+                       "event_type", F.col("count").alias("n_events")))
+        # batch-side readout: window totals + PSI vs the static
+        # training baseline (first half of the month)
+        ev = _t(spark, sf_dir, "events")
+        in_a = F.to_date("ts") < F.lit(DRIFT_SPLIT_DAY).cast("date")
+        base = (ev.where(in_a).groupBy("event_type")
+                .agg(F.count("*").alias("na")))
+        bt = base.agg(F.sum("na").alias("ta"))
+        wt = tbl.groupBy("ws_us").agg(F.sum("n_events").alias("tw"))
+        j = (tbl.join(wt, "ws_us")
+             .join(F.broadcast(base), "event_type")
+             .crossJoin(F.broadcast(bt)))
+        pb = F.col("n_events").cast("double") / F.col("tw").cast("double")
+        pa = F.col("na").cast("double") / F.col("ta").cast("double")
+        return j.select(
+            "ws_us", "event_type", "n_events", "tw",
+            F.expr("n_events * 1000000 div tw").alias("share_ppm"),
+            F.expr("na * 1000000 div ta").alias("base_ppm"),
+            F.when((F.col("n_events") > 0) & (F.col("na") > 0),
+                   (pb - pa) * F.log(pb / pa)).alias("psi_term"))
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4956,6 +5034,7 @@ QUERIES = {
     "top_purchase_paths": q_top_purchase_paths,
     "join_size_estimates": q_join_size_estimates,
     "cusum_change_points": q_cusum_change_points,
+    "streaming_drift_monitor": q_streaming_drift_monitor,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -7278,3 +7357,32 @@ ORACLE_SQL["cusum_change_points"] = """
     FROM last l
     JOIN rec b ON b.event_type = l.event_type AND b.rn = l.n_days
     JOIN hh h ON h.event_type = l.event_type"""
+
+ORACLE_SQL["streaming_drift_monitor"] = """
+    WITH e AS (
+      SELECT epoch_us(ts::TIMESTAMP) AS us, CAST(ts AS DATE) AS day,
+             event_type
+      FROM events),
+    c AS (
+      SELECT (us - us % 86400000000) AS ws_us, event_type,
+             count(*) AS n_events
+      FROM e GROUP BY 1, 2),
+    wt AS (SELECT ws_us, sum(n_events) AS tw FROM c GROUP BY 1),
+    base AS (
+      SELECT event_type, count(*) AS na FROM e
+      WHERE day < DATE '2024-01-16' GROUP BY 1),
+    bt AS (SELECT sum(na) AS ta FROM base)
+    SELECT c.ws_us, c.event_type,
+           CAST(c.n_events AS BIGINT) AS n_events,
+           CAST(w.tw AS BIGINT) AS tw,
+           CAST(c.n_events * 1000000 // w.tw AS BIGINT) AS share_ppm,
+           CAST(b.na * 1000000 // t.ta AS BIGINT) AS base_ppm,
+           CASE WHEN c.n_events > 0 AND b.na > 0 THEN
+             (CAST(c.n_events AS DOUBLE) / CAST(w.tw AS DOUBLE)
+              - CAST(b.na AS DOUBLE) / CAST(t.ta AS DOUBLE))
+             * ln((CAST(c.n_events AS DOUBLE) / CAST(w.tw AS DOUBLE))
+                  / (CAST(b.na AS DOUBLE) / CAST(t.ta AS DOUBLE)))
+           END AS psi_term
+    FROM c JOIN wt w USING (ws_us)
+    JOIN base b ON b.event_type = c.event_type
+    CROSS JOIN bt t"""

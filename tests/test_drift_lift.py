@@ -64,3 +64,28 @@ def test_lift_table_capture_curve(spark, tmp_path):
             out[10]["cum_capture_ppm"]) == (10, 1_000_000, 500_000)
     assert (out[9]["n_f"], out[9]["cum_capture_ppm"]) == (10, 1_000_000)
     assert out[1]["n_f"] == 0 and out[1]["cum_capture_ppm"] == 1_000_000
+
+
+def test_streaming_drift_window_vs_baseline(spark, tmp_path):
+    """End-to-end streaming drift: baseline days (before the split)
+    define the training mix; a post-split window with a shifted mix
+    gets the hand-computed PSI term; a window identical to the
+    baseline mix gets PSI exactly 0."""
+    import math
+    from datasketches_rust_spark.queries import q_streaming_drift_monitor
+    a_day, b_day = D(2024, 1, 5), D(2024, 1, 20)
+    rows = [(a_day, "click")] * 50 + [(a_day, "view")] * 50   # baseline
+    rows += [(b_day, "click")] * 30 + [(b_day, "view")] * 10  # shifted
+    d = str(tmp_path / "t")
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    out = {(r["ws_us"], r["event_type"]): r
+           for r in q_streaming_drift_monitor(spark, d).collect()}
+    us = int(b_day.timestamp() * 1_000_000)
+    shifted = out[(us, "click")]
+    assert (shifted["n_events"], shifted["tw"],
+            shifted["share_ppm"], shifted["base_ppm"]) == \
+        (30, 40, 750000, 500000)
+    assert abs(shifted["psi_term"] - 0.25 * math.log(1.5)) < 1e-12
+    base_us = int(a_day.timestamp() * 1_000_000)
+    # the baseline-period window matches the baseline mix exactly
+    assert out[(base_us, "click")]["psi_term"] == 0.0
