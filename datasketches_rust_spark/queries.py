@@ -4874,6 +4874,63 @@ def q_streaming_drift_monitor(spark, sf_dir):
         shutil.rmtree(ck, ignore_errors=True)
 
 
+def q_tpch_q4_late_orders(spark, sf_dir):
+    """TPC-H Q4 (order-priority checking) — the EXISTS-with-residual
+    class: count orders per priority that have AT LEAST ONE late line
+    (shipdate more than 60 days after the order date — adapted from
+    Q4's commitdate predicate, which this fixture's lineitem lacks).
+    The scale shape is the LEFT SEMI join on the natural key with the
+    lateness predicate as the join residual — the corpus never
+    duplicates (semi stops at first match per order, no distinct
+    needed), both sides co-keyed on orderkey, then a tiny
+    priority-bounded aggregate. Counts are integers."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (F.to_date(F.col("l_shipdate"))
+            > F.date_add(F.to_date(F.col("o_orderdate")), 60))
+    return (o.join(li, (o["o_orderkey"] == li["l_orderkey"]) & late,
+                   "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_late_orders")))
+
+
+def q_monthly_seasonality_index(spark, sf_dir):
+    """CALENDAR SEASONALITY INDEX (the BI "is December always big?"
+    readout): each calendar month's average share of its year's
+    revenue, across all years — the multiplicative seasonal profile
+    (weekday_anomaly_flags is the additive weekly counterpart).
+    Integer discipline: per-(year, month) shares in floored ppm
+    (cents * 1e6 div year_cents), then the cross-year average as a
+    second floored integer division (floor-of-floor is deterministic
+    in both engines; a float mean of shares would hash-drift).
+    Partial years dilute their months' index — real reports drop
+    them; kept here because the gate needs the fixture's exact
+    calendar. Scale shape: one corpus groupBy to (year, month) cells
+    (calendar-bounded), year totals via a window over that tiny
+    table, month profile via a 12-row aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("long")
+    ym = (li.groupBy(F.year("l_shipdate").alias("y"),
+                     F.month("l_shipdate").alias("mo"))
+          .agg(F.sum(cents).alias("cents")))
+    wy = Window.partitionBy("y")
+    shares = ym.select(
+        "y", "mo",
+        F.expr("cents * 1000000").alias("__num"),
+        F.sum("cents").over(wy).alias("ycents")) \
+        .select("y", "mo",
+                F.expr("__num div ycents").alias("share_ppm"))
+    return (shares.groupBy("mo")
+            .agg(F.count("*").alias("n_years"),
+                 F.sum("share_ppm").alias("__s"),
+                 F.min("share_ppm").alias("min_share_ppm"),
+                 F.max("share_ppm").alias("max_share_ppm"))
+            .select("mo", "n_years",
+                    F.expr("__s div n_years").alias("avg_share_ppm"),
+                    "min_share_ppm", "max_share_ppm"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5035,6 +5092,8 @@ QUERIES = {
     "join_size_estimates": q_join_size_estimates,
     "cusum_change_points": q_cusum_change_points,
     "streaming_drift_monitor": q_streaming_drift_monitor,
+    "tpch_q4_late_orders": q_tpch_q4_late_orders,
+    "monthly_seasonality_index": q_monthly_seasonality_index,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -7386,3 +7445,31 @@ ORACLE_SQL["streaming_drift_monitor"] = """
     FROM c JOIN wt w USING (ws_us)
     JOIN base b ON b.event_type = c.event_type
     CROSS JOIN bt t"""
+
+ORACLE_SQL["tpch_q4_late_orders"] = """
+    SELECT o.o_orderpriority, count(*) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND CAST(l.l_shipdate AS DATE)
+            > CAST(o.o_orderdate AS DATE) + 60)
+    GROUP BY 1"""
+
+ORACLE_SQL["monthly_seasonality_index"] = """
+    WITH ym AS (
+      SELECT year(l_shipdate) AS y, month(l_shipdate) AS mo,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS cents
+      FROM lineitem GROUP BY 1, 2),
+    shares AS (
+      SELECT y, CAST(mo AS INTEGER) AS mo,
+             CAST(cents * 1000000
+                  // sum(cents) OVER (PARTITION BY y) AS BIGINT)
+               AS share_ppm
+      FROM ym)
+    SELECT mo, count(*) AS n_years,
+           CAST(sum(share_ppm) // count(*) AS BIGINT) AS avg_share_ppm,
+           min(share_ppm) AS min_share_ppm,
+           max(share_ppm) AS max_share_ppm
+    FROM shares GROUP BY 1"""

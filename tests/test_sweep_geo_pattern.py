@@ -238,3 +238,43 @@ def test_q18_threshold_is_strict(spark, tmp_path):
     r = rows[0]
     assert (r["o_orderkey"], r["c_custkey"], r["total_qty"],
             r["totalprice_cents"]) == (10, 1, 251, 12345)
+
+
+def test_q4_semi_counts_order_once_and_strict_60(spark, tmp_path):
+    """An order with TWO late lines counts once (semi join, no
+    distinct); a line at exactly orderdate+60 is NOT late (strict >);
+    an order with only on-time lines is absent."""
+    from datasketches_rust_spark.queries import q_tpch_q4_late_orders
+    d = str(tmp_path / "t")
+    _orders(spark, [(1, 1, 1.0, D(2024, 1, 1)),     # two late lines
+                    (2, 1, 1.0, D(2024, 1, 1)),     # boundary: not late
+                    (3, 1, 1.0, D(2024, 1, 1))]).write.parquet(
+        f"{d}/orders.parquet")
+    _lineitem(spark, [
+        (1, 1.0, 1.0, D(2024, 3, 15)), (1, 1.0, 1.0, D(2024, 4, 1)),
+        (2, 1.0, 1.0, D(2024, 3, 1)),   # Jan 1 + 60 = Mar 1 exactly
+        (3, 1.0, 1.0, D(2024, 1, 20)),
+    ]).write.parquet(f"{d}/lineitem.parquet")
+    out = {r["o_orderpriority"]: r["n_late_orders"]
+           for r in q_tpch_q4_late_orders(spark, d).collect()}
+    assert out == {"1-URGENT": 1}   # only order 1, counted once
+
+
+def test_seasonality_index_two_years(spark, tmp_path):
+    """Hand-computed profile: year 1 splits Jan/Feb 75/25, year 2
+    50/50 -> Jan avg floor((750000+500000)/2)=625000, Feb 375000;
+    min/max carry the per-year extremes."""
+    from datasketches_rust_spark.queries import q_monthly_seasonality_index
+    d = str(tmp_path / "t")
+    _lineitem(spark, [
+        (1, 1.0, 3.00, D(2023, 1, 10)), (2, 1.0, 1.00, D(2023, 2, 10)),
+        (3, 1.0, 2.00, D(2024, 1, 10)), (4, 1.0, 2.00, D(2024, 2, 10)),
+    ]).write.parquet(f"{d}/lineitem.parquet")
+    out = {r["mo"]: r for r in
+           q_monthly_seasonality_index(spark, d).collect()}
+    jan, feb = out[1], out[2]
+    assert (jan["n_years"], jan["avg_share_ppm"],
+            jan["min_share_ppm"], jan["max_share_ppm"]) == \
+        (2, 625000, 500000, 750000)
+    assert (feb["avg_share_ppm"], feb["min_share_ppm"],
+            feb["max_share_ppm"]) == (375000, 250000, 500000)
