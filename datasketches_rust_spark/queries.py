@@ -4847,26 +4847,50 @@ def q_streaming_drift_monitor(spark, sf_dir):
             q.stop()
             raise TimeoutError(
                 "streaming_drift_monitor did not finish within 300s")
-        tbl = (spark.table(name)
-               .select(F.unix_micros("window.start").alias("ws_us"),
-                       "event_type", F.col("count").alias("n_events")))
+        def _tbl():
+            # each spark.table() call resolves to FRESH attribute ids
+            # — the spine below both derives from and rejoins these
+            # rows, and sharing one lineage trips the analyzer's
+            # conflicting-references check on the self-join
+            return (spark.table(name)
+                    .select(F.unix_micros("window.start").alias("ws_us"),
+                            # explicit self-alias mints a fresh
+                            # attribute id — a bare reference keeps the
+                            # view's fixed id and the self-joins clash
+                            F.col("event_type").alias("event_type"),
+                            F.col("count").alias("n_events")))
+
+        tbl = _tbl()
         # batch-side readout: window totals + PSI vs the static
-        # training baseline (first half of the month)
+        # training baseline (first half of the month). The category
+        # axis is the UNION of window and baseline types per window —
+        # an inner join would silently drop exactly the strongest
+        # drift signals (a NEW type the baseline never saw, a baseline
+        # type that VANISHED from a window); those rows surface with a
+        # NULL psi_term, the batch drift report's discipline.
         ev = _t(spark, sf_dir, "events")
         in_a = F.to_date("ts") < F.lit(DRIFT_SPLIT_DAY).cast("date")
         base = (ev.where(in_a).groupBy("event_type")
                 .agg(F.count("*").alias("na")))
         bt = base.agg(F.sum("na").alias("ta"))
-        wt = tbl.groupBy("ws_us").agg(F.sum("n_events").alias("tw"))
-        j = (tbl.join(wt, "ws_us")
-             .join(F.broadcast(base), "event_type")
-             .crossJoin(F.broadcast(bt)))
+        wt = _tbl().groupBy("ws_us").agg(F.sum("n_events").alias("tw"))
+        types = (_tbl().select("event_type")
+                 .unionAll(base.select("event_type")).distinct())
+        spine = _tbl().select("ws_us").distinct().crossJoin(
+            F.broadcast(types))
+        j = (spine.join(tbl, ["ws_us", "event_type"], "left")
+             .join(wt, "ws_us")
+             .join(F.broadcast(base), "event_type", "left")
+             .crossJoin(F.broadcast(bt))
+             .select("ws_us", "event_type",
+                     F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                     "tw", "na", "ta"))
         pb = F.col("n_events").cast("double") / F.col("tw").cast("double")
         pa = F.col("na").cast("double") / F.col("ta").cast("double")
         return j.select(
             "ws_us", "event_type", "n_events", "tw",
             F.expr("n_events * 1000000 div tw").alias("share_ppm"),
-            F.expr("na * 1000000 div ta").alias("base_ppm"),
+            F.expr("coalesce(na, 0) * 1000000 div ta").alias("base_ppm"),
             F.when((F.col("n_events") > 0) & (F.col("na") > 0),
                    (pb - pa) * F.log(pb / pa)).alias("psi_term"))
     finally:
@@ -7430,20 +7454,33 @@ ORACLE_SQL["streaming_drift_monitor"] = """
     base AS (
       SELECT event_type, count(*) AS na FROM e
       WHERE day < DATE '2024-01-16' GROUP BY 1),
-    bt AS (SELECT sum(na) AS ta FROM base)
-    SELECT c.ws_us, c.event_type,
-           CAST(c.n_events AS BIGINT) AS n_events,
+    bt AS (SELECT sum(na) AS ta FROM base),
+    types AS (
+      SELECT DISTINCT event_type FROM c
+      UNION SELECT event_type FROM base),
+    spine AS (
+      SELECT w.ws_us, t.event_type
+      FROM (SELECT DISTINCT ws_us FROM c) w CROSS JOIN types t),
+    j AS (
+      SELECT s.ws_us, s.event_type,
+             coalesce(c.n_events, 0) AS n_events, b.na
+      FROM spine s
+      LEFT JOIN c ON c.ws_us = s.ws_us
+                 AND c.event_type = s.event_type
+      LEFT JOIN base b ON b.event_type = s.event_type)
+    SELECT j.ws_us, j.event_type,
+           CAST(j.n_events AS BIGINT) AS n_events,
            CAST(w.tw AS BIGINT) AS tw,
-           CAST(c.n_events * 1000000 // w.tw AS BIGINT) AS share_ppm,
-           CAST(b.na * 1000000 // t.ta AS BIGINT) AS base_ppm,
-           CASE WHEN c.n_events > 0 AND b.na > 0 THEN
-             (CAST(c.n_events AS DOUBLE) / CAST(w.tw AS DOUBLE)
-              - CAST(b.na AS DOUBLE) / CAST(t.ta AS DOUBLE))
-             * ln((CAST(c.n_events AS DOUBLE) / CAST(w.tw AS DOUBLE))
-                  / (CAST(b.na AS DOUBLE) / CAST(t.ta AS DOUBLE)))
+           CAST(j.n_events * 1000000 // w.tw AS BIGINT) AS share_ppm,
+           CAST(coalesce(j.na, 0) * 1000000 // t.ta AS BIGINT)
+             AS base_ppm,
+           CASE WHEN j.n_events > 0 AND j.na > 0 THEN
+             (CAST(j.n_events AS DOUBLE) / CAST(w.tw AS DOUBLE)
+              - CAST(j.na AS DOUBLE) / CAST(t.ta AS DOUBLE))
+             * ln((CAST(j.n_events AS DOUBLE) / CAST(w.tw AS DOUBLE))
+                  / (CAST(j.na AS DOUBLE) / CAST(t.ta AS DOUBLE)))
            END AS psi_term
-    FROM c JOIN wt w USING (ws_us)
-    JOIN base b ON b.event_type = c.event_type
+    FROM j JOIN wt w USING (ws_us)
     CROSS JOIN bt t"""
 
 ORACLE_SQL["tpch_q4_late_orders"] = """

@@ -69,13 +69,17 @@ def test_lift_table_capture_curve(spark, tmp_path):
 def test_streaming_drift_window_vs_baseline(spark, tmp_path):
     """End-to-end streaming drift: baseline days (before the split)
     define the training mix; a post-split window with a shifted mix
-    gets the hand-computed PSI term; a window identical to the
-    baseline mix gets PSI exactly 0."""
+    gets the hand-computed PSI term; a window matching the baseline
+    mix gets PSI exactly 0; a NEW type (absent from the baseline) and
+    a VANISHED type (baseline-only) both still get rows — with NULL
+    psi_term — instead of being silently dropped."""
     import math
     from datasketches_rust_spark.queries import q_streaming_drift_monitor
     a_day, b_day = D(2024, 1, 5), D(2024, 1, 20)
-    rows = [(a_day, "click")] * 50 + [(a_day, "view")] * 50   # baseline
-    rows += [(b_day, "click")] * 30 + [(b_day, "view")] * 10  # shifted
+    rows = [(a_day, "click")] * 50 + [(a_day, "view")] * 50 \
+        + [(a_day, "error")] * 20                       # baseline: 120
+    rows += [(b_day, "click")] * 30 + [(b_day, "view")] * 10 \
+        + [(b_day, "purchase")] * 5                     # window: 45
     d = str(tmp_path / "t")
     _events(spark, rows).write.parquet(f"{d}/events.parquet")
     out = {(r["ws_us"], r["event_type"]): r
@@ -84,8 +88,22 @@ def test_streaming_drift_window_vs_baseline(spark, tmp_path):
     shifted = out[(us, "click")]
     assert (shifted["n_events"], shifted["tw"],
             shifted["share_ppm"], shifted["base_ppm"]) == \
-        (30, 40, 750000, 500000)
-    assert abs(shifted["psi_term"] - 0.25 * math.log(1.5)) < 1e-12
+        (30, 45, 666666, 416666)
+    pb, pa = 30 / 45, 50 / 120
+    assert abs(shifted["psi_term"]
+               - (pb - pa) * math.log(pb / pa)) < 1e-12
+    # NEW type: in the window, never in the baseline -> row with NULL
+    new = out[(us, "purchase")]
+    assert (new["n_events"], new["base_ppm"]) == (5, 0)
+    assert new["psi_term"] is None
+    # VANISHED type: in the baseline, absent from this window -> row
+    # with zero count, its baseline share, NULL psi
+    gone = out[(us, "error")]
+    assert (gone["n_events"], gone["share_ppm"],
+            gone["base_ppm"]) == (0, 0, 166666)
+    assert gone["psi_term"] is None
     base_us = int(a_day.timestamp() * 1_000_000)
     # the baseline-period window matches the baseline mix exactly
     assert out[(base_us, "click")]["psi_term"] == 0.0
+    # and carries a zero-count row for the later-only type
+    assert out[(base_us, "purchase")]["n_events"] == 0
