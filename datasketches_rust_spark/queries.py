@@ -4955,6 +4955,94 @@ def q_monthly_seasonality_index(spark, sf_dir):
                     "min_share_ppm", "max_share_ppm"))
 
 
+def q_brand_price_trends(spark, sf_dir):
+    """GROUPED LINEAR REGRESSION (per-entity trend fitting — "is this
+    brand's realized price drifting over time?"; the per-group
+    counterpart of lineitem_corr_matrix's global correlation): per
+    part brand, the OLS slope and intercept of line-item revenue cents
+    against the day index, from EXACT integer moments
+    (n, sx, sxx, sy, sxy) accumulated in one map-side-combined
+    groupBy — slope = (n*sxy - sx*sy) / (n*sxx - sx^2) only touches
+    floats in the final expression over exact integers (identical
+    IEEE sequence cross-engine; the ab_experiment/corr recipe).
+    Moments use decimal(38,0): day-index*cents products reach ~1e13
+    per row and sum over 60k rows past what a cautious reviewer wants
+    near 2^63 (the sums here are ~1e17 — representable, but decimal
+    removes the audit burden and is the stated 10^12-row shape).
+    Degenerate brands (all sales on one day: zero x-variance) yield
+    NULL slope, not a division blowup. The part dim joins BROADCAST
+    (brand is catalog metadata); one corpus exchange total."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("long")
+    rows = (li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                    li["l_partkey"] == p["p_partkey"])
+            .select("p_brand",
+                    F.datediff(F.to_date("l_shipdate"),
+                               F.lit("1992-01-01")).cast("long")
+                    .alias("x"),
+                    cents.alias("y")))
+    dec = "decimal(38,0)"
+    m = rows.groupBy("p_brand").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"))
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = num.cast("double") / det.cast("double")
+    # intercept = (sy - slope*sx) / n — same float discipline
+    intercept = ((F.col("sy").cast("double")
+                  - slope * F.col("sx").cast("double"))
+                 / F.col("n").cast("double"))
+    return m.select(
+        "p_brand", F.col("n").cast("long").alias("n_lines"),
+        F.when(det > 0, slope).alias("slope_cents_per_day"),
+        F.when(det > 0, intercept).alias("intercept_cents"))
+
+
+WINSOR_LO_PPM, WINSOR_HI_PPM = 50_000, 950_000  # p5 / p95
+
+
+def q_winsorized_order_values(spark, sf_dir):
+    """WINSORIZATION (robust preprocessing — cap the tails at p5/p95
+    before a mean-sensitive model sees them; the ML-prep step next to
+    price_decile_bins' binning and weekday_anomaly's robust location).
+    The exact percentile convention is pinned to POSITION arithmetic
+    both engines share: rank the orders by (cents, orderkey), take the
+    value at rn = (n-1)*p div 1e6 + 1 (floored lower quantile — no
+    interpolation, no engine quantile function with its own
+    convention). The two cut values come from a rank filter on the
+    window table and broadcast back as a 1-row cross join; the clamp
+    is a pure expression. Output: order, raw cents, winsorized cents,
+    and which side (if any) clipped — integers only. The global sort
+    is order-table-bounded at fixture scale; at 10^12 rows the cuts
+    come from the histogram-walk percentile machinery
+    (source_profile) and the clamp expression is unchanged."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = o.select("o_orderkey", cents.alias("cents"))
+    w = Window.orderBy("cents", "o_orderkey")
+    ranked = d.select("o_orderkey", "cents",
+                      F.row_number().over(w).cast("long").alias("rn"))
+    n1 = ranked.agg(F.max("rn").alias("n"))
+    cuts = (ranked.crossJoin(F.broadcast(n1))
+            .where((F.col("rn") == F.expr(
+                f"(n - 1) * {WINSOR_LO_PPM} div 1000000 + 1"))
+                | (F.col("rn") == F.expr(
+                    f"(n - 1) * {WINSOR_HI_PPM} div 1000000 + 1")))
+            .agg(F.min("cents").alias("lo"), F.max("cents").alias("hi")))
+    return (d.crossJoin(F.broadcast(cuts))
+            .select("o_orderkey", "cents",
+                    F.greatest(F.least(F.col("cents"), F.col("hi")),
+                               F.col("lo")).alias("winsorized_cents"),
+                    F.when(F.col("cents") < F.col("lo"), F.lit("low"))
+                    .when(F.col("cents") > F.col("hi"), F.lit("high"))
+                    .alias("clipped")))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5118,6 +5206,8 @@ QUERIES = {
     "streaming_drift_monitor": q_streaming_drift_monitor,
     "tpch_q4_late_orders": q_tpch_q4_late_orders,
     "monthly_seasonality_index": q_monthly_seasonality_index,
+    "brand_price_trends": q_brand_price_trends,
+    "winsorized_order_values": q_winsorized_order_values,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -7510,3 +7600,51 @@ ORACLE_SQL["monthly_seasonality_index"] = """
            min(share_ppm) AS min_share_ppm,
            max(share_ppm) AS max_share_ppm
     FROM shares GROUP BY 1"""
+
+ORACLE_SQL["brand_price_trends"] = """
+    WITH rows_ AS (
+      SELECT p.p_brand,
+             CAST(datediff('day', DATE '1992-01-01',
+                           CAST(l.l_shipdate AS DATE)) AS BIGINT) AS x,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    m AS (
+      SELECT p_brand,
+             count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+             sum(y) AS sy, sum(x * y) AS sxy
+      FROM rows_ GROUP BY 1)
+    SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope_cents_per_day,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             (CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE)
+           END AS intercept_cents
+    FROM m"""
+
+ORACLE_SQL["winsorized_order_values"] = """
+    WITH d AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    ranked AS (
+      SELECT o_orderkey, cents,
+             row_number() OVER (ORDER BY cents, o_orderkey) AS rn
+      FROM d),
+    n1 AS (SELECT max(rn) AS n FROM ranked),
+    cuts AS (
+      SELECT min(cents) AS lo, max(cents) AS hi
+      FROM ranked CROSS JOIN n1
+      WHERE rn = (n - 1) * 50000 // 1000000 + 1
+         OR rn = (n - 1) * 950000 // 1000000 + 1)
+    SELECT d.o_orderkey, d.cents,
+           greatest(least(d.cents, c.hi), c.lo) AS winsorized_cents,
+           CASE WHEN d.cents < c.lo THEN 'low'
+                WHEN d.cents > c.hi THEN 'high' END AS clipped
+    FROM d CROSS JOIN cuts c"""

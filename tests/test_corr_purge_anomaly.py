@@ -159,3 +159,58 @@ def test_weekday_anomaly_spike_flagged_baseline_not(spark, tmp_path):
     for day in ("2024-01-02", "2024-01-09", "2024-01-16"):
         assert (out[day]["r"], out[day]["mad2"],
                 out[day]["anomaly"]) == (0, 0, 0)
+
+
+def test_brand_trend_exact_two_point_fit(spark, tmp_path):
+    """Two points determine the line exactly: (d0, 100c) and (d10,
+    200c) -> slope 10 c/day, intercept 100; a brand whose sales all
+    land on ONE day has zero x-variance -> NULL fit, no blowup."""
+    from datasketches_rust_spark.queries import q_brand_price_trends
+    from pyspark.sql import Row
+    base = D(1992, 1, 1)
+    d = str(tmp_path / "t")
+    spark.createDataFrame([
+        Row(p_partkey=1, p_name="a", p_brand="A", p_type="T",
+            p_size=1, p_retailprice=1.0),
+        Row(p_partkey=2, p_name="b", p_brand="B", p_type="T",
+            p_size=1, p_retailprice=1.0)]).write.parquet(
+        f"{d}/part.parquet")
+    _lineitem_pk = lambda rows: spark.createDataFrame(
+        [Row(l_orderkey=i, l_partkey=pk, l_suppkey=1, l_linenumber=i,
+             l_quantity=1.0, l_extendedprice=p, l_discount=0.0,
+             l_tax=0.0, l_returnflag="N", l_linestatus="O",
+             l_shipdate=ts) for i, (pk, p, ts) in enumerate(rows)])
+    _lineitem_pk([
+        (1, 1.00, base),
+        (1, 2.00, base + datetime.timedelta(days=10)),
+        (2, 5.00, base), (2, 7.00, base),      # brand B: one day only
+    ]).write.parquet(f"{d}/lineitem.parquet")
+    out = {r["p_brand"]: r for r in
+           q_brand_price_trends(spark, d).collect()}
+    assert abs(out["A"]["slope_cents_per_day"] - 10.0) < 1e-9
+    assert abs(out["A"]["intercept_cents"] - 100.0) < 1e-9
+    assert out["B"]["slope_cents_per_day"] is None
+    assert out["B"]["intercept_cents"] is None
+
+
+def test_winsorize_cuts_and_clip_sides(spark, tmp_path):
+    """100 orders at 1..100 cents: the p5 cut is the 5th order
+    statistic (rn = 99*0.05 floored + 1 = 5 -> 5c), p95 the 95th
+    (95c); 1-4 clip low, 96-100 clip high, the middle passes
+    through untouched."""
+    from datasketches_rust_spark.queries import q_winsorized_order_values
+    d = str(tmp_path / "t")
+    _orders(spark, [(k, k, k / 100.0, D(2024, 1, 1))
+                    for k in range(1, 101)]).write.parquet(
+        f"{d}/orders.parquet")
+    out = {r["o_orderkey"]: r for r in
+           q_winsorized_order_values(spark, d).collect()}
+    assert (out[1]["winsorized_cents"], out[1]["clipped"]) == (5, "low")
+    assert (out[4]["winsorized_cents"], out[4]["clipped"]) == (5, "low")
+    assert (out[5]["winsorized_cents"], out[5]["clipped"]) == (5, None)
+    assert (out[50]["winsorized_cents"], out[50]["clipped"]) == (50, None)
+    assert (out[95]["winsorized_cents"], out[95]["clipped"]) == (95, None)
+    assert (out[96]["winsorized_cents"], out[96]["clipped"]) == \
+        (95, "high")
+    assert (out[100]["winsorized_cents"], out[100]["clipped"]) == \
+        (95, "high")
