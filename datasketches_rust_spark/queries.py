@@ -5043,6 +5043,78 @@ def q_winsorized_order_values(spark, sf_dir):
                     .alias("clipped")))
 
 
+def q_quantile_normalized_orders(spark, sf_dir):
+    """QUANTILE NORMALIZATION (the batch-effect correction standard —
+    map each group's value distribution onto the GLOBAL distribution
+    so downstream models see comparable scales; genomics' quantile
+    normalization, applied per market segment). Position arithmetic
+    only, the winsorized_order_values discipline: each order's rank
+    within its segment (rn of n_g, deterministic (cents, orderkey)
+    ties) maps to the global order statistic at position
+    (rn-1)*(N-1) div (n_g-1) + 1 — floored linear position mapping,
+    no engine quantile function, no interpolation floats; a singleton
+    group maps to the global lower median (N+1) div 2. Shape: two
+    rank tables over the order table (segment-partitioned and global)
+    and one equi-join on the computed position — all order-table-
+    bounded; at 10^12 rows both rank sides move to the histogram-walk
+    percentile machinery, the mapping expression unchanged."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rows = (o.join(c, o["o_custkey"] == c["c_custkey"])
+            .select("o_orderkey", F.col("c_mktsegment").alias("segment"),
+                    cents.alias("cents")))
+    wg = Window.partitionBy("segment").orderBy("cents", "o_orderkey")
+    ranked = rows.select(
+        "o_orderkey", "segment", "cents",
+        F.row_number().over(wg).cast("long").alias("rn"))
+    ng = rows.groupBy("segment").agg(F.count("*").alias("n_g"))
+    wall = Window.orderBy("cents", "o_orderkey")
+    gl = rows.select(F.row_number().over(wall).cast("long").alias("g"),
+                     F.col("cents").alias("norm_cents"))
+    n1 = rows.agg(F.count("*").alias("n_all"))
+    pos = F.when(F.col("n_g") > 1,
+                 F.expr("(rn - 1) * (n_all - 1) div (n_g - 1) + 1")) \
+           .otherwise(F.expr("(n_all + 1) div 2"))
+    keyed = (ranked.join(F.broadcast(ng), "segment")
+             .crossJoin(F.broadcast(n1))
+             .select("o_orderkey", "segment", "cents",
+                     pos.alias("g")))
+    return (keyed.join(gl, "g")
+            .select("o_orderkey", "segment", "cents", "norm_cents"))
+
+
+def q_order_skyline(spark, sf_dir):
+    """SKYLINE / PARETO FRONTIER (multi-criteria "best" rows — the
+    classic skyline query: orders not strictly dominated on BOTH the
+    value and recency axes; dominance = another order with strictly
+    higher cents AND a strictly later date). The naive form is the
+    O(n^2) dominance self-join; the 2D sorted-pass form is ONE window:
+    ordered by cents, the running max of the day index over rows with
+    STRICTLY higher cents (an integer RANGE frame ending 1 PRECEDING
+    on the descending key — exact, no ties leak in) tells each row
+    whether a higher-valued, later order exists. Integer cents and
+    day indices keep it exact; equal-cents rows never dominate each
+    other (strict on both axes), which the range frame encodes for
+    free. Global sort is order-table-bounded; higher dimensions or
+    10^12 rows use the grid/partition skyline decomposition (same
+    candidates-then-verify idea as operators/spatial.py)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = o.select("o_orderkey", cents.alias("cents"),
+                 F.to_date("o_orderdate").alias("day"),
+                 F.datediff(F.to_date("o_orderdate"),
+                            F.lit("1992-01-01")).cast("long").alias("di"))
+    fr = (Window.orderBy(F.col("cents").desc())
+          .rangeBetween(Window.unboundedPreceding, -1))
+    marked = d.select(
+        "o_orderkey", "cents", "day",
+        F.max("di").over(fr).alias("best_later"), "di")
+    return (marked.where(F.col("best_later").isNull()
+                         | (F.col("best_later") < F.col("di")))
+            .select("o_orderkey", "cents", "day"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5208,6 +5280,8 @@ QUERIES = {
     "monthly_seasonality_index": q_monthly_seasonality_index,
     "brand_price_trends": q_brand_price_trends,
     "winsorized_order_values": q_winsorized_order_values,
+    "quantile_normalized_orders": q_quantile_normalized_orders,
+    "order_skyline": q_order_skyline,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -7648,3 +7722,45 @@ ORACLE_SQL["winsorized_order_values"] = """
            CASE WHEN d.cents < c.lo THEN 'low'
                 WHEN d.cents > c.hi THEN 'high' END AS clipped
     FROM d CROSS JOIN cuts c"""
+
+ORACLE_SQL["quantile_normalized_orders"] = """
+    WITH rows_ AS (
+      SELECT o.o_orderkey, c.c_mktsegment AS segment,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    ranked AS (
+      SELECT o_orderkey, segment, cents,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY cents, o_orderkey) AS rn
+      FROM rows_),
+    ng AS (SELECT segment, count(*) AS n_g FROM rows_ GROUP BY 1),
+    gl AS (
+      SELECT row_number() OVER (ORDER BY cents, o_orderkey) AS g,
+             cents AS norm_cents
+      FROM rows_),
+    n1 AS (SELECT count(*) AS n_all FROM rows_),
+    keyed AS (
+      SELECT r.o_orderkey, r.segment, r.cents,
+             CASE WHEN s.n_g > 1
+                  THEN (r.rn - 1) * (t.n_all - 1) // (s.n_g - 1) + 1
+                  ELSE (t.n_all + 1) // 2 END AS g
+      FROM ranked r JOIN ng s USING (segment) CROSS JOIN n1 t)
+    SELECT k.o_orderkey, k.segment, k.cents, gl.norm_cents
+    FROM keyed k JOIN gl ON gl.g = k.g"""
+
+ORACLE_SQL["order_skyline"] = """
+    WITH d AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS day,
+             CAST(datediff('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS di
+      FROM orders),
+    m AS (
+      SELECT o_orderkey, cents, day, di,
+             max(di) OVER (ORDER BY cents DESC
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS best_later
+      FROM d)
+    SELECT o_orderkey, cents, day FROM m
+    WHERE best_later IS NULL OR best_later < di"""
