@@ -5115,6 +5115,107 @@ def q_order_skyline(spark, sf_dir):
             .select("o_orderkey", "cents", "day"))
 
 
+def q_segment_priority_chi2(spark, sf_dir):
+    """CHI-SQUARE INDEPENDENCE CROSS-TAB ("does market segment predict
+    order priority?" — the categorical-association screen behind every
+    feature-selection and bias audit): the segment x priority
+    contingency table with each cell's observed count, the
+    independence-expected count n_r*n_c/N, and the cell's chi-square
+    term (obs-exp)^2/exp emitted as its own ROW (the drift/benford
+    float discipline — the reader sums the cell-bounded table; a
+    cross-row float total would depend on aggregation order). Exp is
+    a double from three exact integers, so the floats hash
+    cross-engine. One corpus pass to the cell counts (map-side
+    combined, cell-bounded output); margins re-aggregate the tiny
+    cell table and broadcast back via window sums."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cells = (o.join(c, o["o_custkey"] == c["c_custkey"])
+             .groupBy(F.col("c_mktsegment").alias("segment"),
+                      F.col("o_orderpriority").alias("priority"))
+             .agg(F.count("*").alias("n")))
+    wr = Window.partitionBy("segment")
+    wc = Window.partitionBy("priority")
+    wall = Window.partitionBy()
+    m = cells.select(
+        "segment", "priority", "n",
+        F.sum("n").over(wr).alias("n_row"),
+        F.sum("n").over(wc).alias("n_col"),
+        F.sum("n").over(wall).alias("n_all"))
+    exp = (F.col("n_row").cast("double") * F.col("n_col").cast("double")
+           / F.col("n_all").cast("double"))
+    obs = F.col("n").cast("double")
+    return m.select("segment", "priority", "n",
+                    F.col("n_row").alias("n_segment"),
+                    F.col("n_col").alias("n_priority"),
+                    exp.alias("expected"),
+                    ((obs - exp) * (obs - exp) / exp).alias("chi2_term"))
+
+
+CUPED_SPLIT_DAY = "2024-01-16"  # pre-period / experiment-period boundary
+
+
+def q_cuped_adjusted_metrics(spark, sf_dir):
+    """CUPED VARIANCE REDUCTION (the experimentation-platform
+    technique next to ab_experiment_report's Welch t: shrink metric
+    variance with pre-period covariates so experiments need fewer
+    users — y_adj = y - theta*(x - x_mean), theta = cov(x,y)/var(x)
+    from the pooled data). All moments are EXACT: per-user pre-period
+    (x) and experiment-period (y) revenue in integer cents from ONE
+    conditional aggregate (the only corpus exchange), the pooled
+    n/sx/sy/sxx/sxy in decimal(38,0), and theta/means become doubles
+    only in the final per-arm expression — the identical IEEE
+    sequence on both engines. Output per md5 arm: user count, raw
+    mean of y, CUPED-adjusted mean, and the pooled theta — the
+    readout an experimenter compares against the unadjusted report.
+    Zero pre-period variance (no signal to regress on) yields
+    theta NULL and adjusted = raw."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.when(F.col("event_type") == "purchase",
+                   F.round(F.col("value") * 100).cast("long")) \
+             .otherwise(F.lit(0))
+    pre = F.to_date("ts") < F.lit(CUPED_SPLIT_DAY).cast("date")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.sum(F.when(pre, cents).otherwise(F.lit(0)))
+                     .alias("x"),
+                     F.sum(F.when(pre, F.lit(0)).otherwise(cents))
+                     .alias("y")))
+    dec = "decimal(38,0)"
+    mom = per_user.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"))
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    covxy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    theta = F.when(varx > 0,
+                   covxy.cast("double") / varx.cast("double"))
+    xmean = F.col("sx").cast("double") / F.col("n").cast("double")
+    arm = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 8), 16, 10)
+           .cast("long") % AB_ARMS).alias("arm")
+    # per-arm INTEGER sums only — a float sum of per-user adjusted
+    # values would depend on aggregation order (not cross-engine
+    # reproducible); the algebra folds instead:
+    # sum(y_adj) = sum(y) - theta * (sum(x) - n*x_mean)
+    per_arm = (per_user.select(arm, "x", "y")
+               .groupBy("arm")
+               .agg(F.count("*").alias("n_users"),
+                    F.sum("x").alias("sum_x_cents"),
+                    F.sum("y").alias("sum_y_cents")))
+    nd = F.col("n_users").cast("double")
+    adj_sum = (F.col("sum_y_cents").cast("double")
+               - F.coalesce(theta, F.lit(0.0))
+               * (F.col("sum_x_cents").cast("double") - nd * xmean))
+    return (per_arm.crossJoin(F.broadcast(mom))
+            .select("arm", "n_users", "sum_x_cents", "sum_y_cents",
+                    theta.alias("theta"),
+                    (F.col("sum_y_cents").cast("double") / nd)
+                    .alias("raw_mean_cents"),
+                    (adj_sum / nd).alias("cuped_mean_cents")))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5282,6 +5383,8 @@ QUERIES = {
     "winsorized_order_values": q_winsorized_order_values,
     "quantile_normalized_orders": q_quantile_normalized_orders,
     "order_skyline": q_order_skyline,
+    "segment_priority_chi2": q_segment_priority_chi2,
+    "cuped_adjusted_metrics": q_cuped_adjusted_metrics,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -7764,3 +7867,74 @@ ORACLE_SQL["order_skyline"] = """
       FROM d)
     SELECT o_orderkey, cents, day FROM m
     WHERE best_later IS NULL OR best_later < di"""
+
+ORACLE_SQL["segment_priority_chi2"] = """
+    WITH cells AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+             count(*) AS n
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    m AS (
+      SELECT segment, priority, n,
+             sum(n) OVER (PARTITION BY segment) AS n_row,
+             sum(n) OVER (PARTITION BY priority) AS n_col,
+             sum(n) OVER () AS n_all
+      FROM cells)
+    SELECT segment, priority, CAST(n AS BIGINT) AS n,
+           CAST(n_row AS BIGINT) AS n_segment,
+           CAST(n_col AS BIGINT) AS n_priority,
+           CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE)
+             / CAST(n_all AS DOUBLE) AS expected,
+           (CAST(n AS DOUBLE)
+            - CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE)
+              / CAST(n_all AS DOUBLE))
+           * (CAST(n AS DOUBLE)
+              - CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE)
+                / CAST(n_all AS DOUBLE))
+           / (CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE)
+              / CAST(n_all AS DOUBLE)) AS chi2_term
+    FROM m"""
+
+ORACLE_SQL["cuped_adjusted_metrics"] = """
+    WITH per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) < DATE '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS y
+      FROM events GROUP BY 1),
+    mom AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM per_user),
+    arms AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS arm,
+             x, y
+      FROM per_user),
+    per_arm AS (
+      SELECT arm, count(*) AS n_users,
+             sum(x) AS sum_x_cents, sum(y) AS sum_y_cents
+      FROM arms GROUP BY 1)
+    SELECT a.arm, CAST(a.n_users AS BIGINT) AS n_users,
+           CAST(a.sum_x_cents AS BIGINT) AS sum_x_cents,
+           CAST(a.sum_y_cents AS BIGINT) AS sum_y_cents,
+           CASE WHEN m.n * m.sxx - m.sx * m.sx > 0 THEN
+             CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+             / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+           END AS theta,
+           CAST(a.sum_y_cents AS DOUBLE)
+             / CAST(a.n_users AS DOUBLE) AS raw_mean_cents,
+           (CAST(a.sum_y_cents AS DOUBLE)
+            - coalesce(CASE WHEN m.n * m.sxx - m.sx * m.sx > 0 THEN
+                CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) END, 0.0)
+              * (CAST(a.sum_x_cents AS DOUBLE)
+                 - CAST(a.n_users AS DOUBLE)
+                   * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))))
+           / CAST(a.n_users AS DOUBLE) AS cuped_mean_cents
+    FROM per_arm a CROSS JOIN mom m"""
