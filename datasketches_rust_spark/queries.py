@@ -5216,6 +5216,102 @@ def q_cuped_adjusted_metrics(spark, sf_dir):
                     (adj_sum / nd).alias("cuped_mean_cents")))
 
 
+def q_order_penny_allocation(spark, sf_dir):
+    """PRORATION WITH LARGEST-REMAINDER ROUNDING (the financial
+    allocation class: split an order's total cents across its line
+    items proportionally to quantity so the allocations are integers
+    that sum EXACTLY to the total — naive rounding leaks pennies, and
+    leaked pennies fail audits). Pure integer arithmetic: each line's
+    base share is (total_cents * qty) div total_qty, the order's
+    leftover pennies (total - sum(base), always < n_lines) go to the
+    lines with the LARGEST integer remainders, ties broken by line
+    number — the largest-remainder / Hamilton method, fully
+    deterministic. Shape: one orderkey-partitioned window pass
+    (per-order groups are bounded by lines-per-order) — sums, ranks,
+    and the +1 assignment all on the same partition key, so the only
+    corpus exchange is the orderkey repartition. The invariant
+    sum(allocated) == total per order is tested, not assumed."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    total = F.round(F.col("o_totalprice") * 100).cast("long")
+    rows = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .select("l_orderkey", "l_linenumber",
+                    F.round("l_quantity").cast("long").alias("qty"),
+                    total.alias("total_cents")))
+    wo = Window.partitionBy("l_orderkey")
+    den = F.sum("qty").over(wo)
+    based = rows.select(
+        "l_orderkey", "l_linenumber", "qty", "total_cents",
+        F.expr("total_cents * qty").alias("num"),
+        den.alias("den")) \
+        .select("l_orderkey", "l_linenumber", "qty", "total_cents",
+                F.expr("num div den").alias("base"),
+                F.expr("num % den").alias("rem"))
+    wrank = (Window.partitionBy("l_orderkey")
+             .orderBy(F.col("rem").desc(), F.col("l_linenumber")))
+    leftover = F.col("total_cents") - F.sum("base").over(wo)
+    ranked = based.select(
+        "l_orderkey", "l_linenumber", "qty", "base",
+        leftover.alias("leftover"),
+        F.row_number().over(wrank).cast("long").alias("rk"))
+    return ranked.select(
+        "l_orderkey", "l_linenumber", "qty",
+        (F.col("base")
+         + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .alias("allocated_cents"))
+
+
+def q_cohort_ltv_weekly(spark, sf_dir):
+    """COHORT LTV CURVE (cumulative revenue per user by cohort age —
+    the monetary counterpart of cohort_retention_weekly's presence
+    matrix; "how much is a week-N-old signup cohort worth so far?").
+    Cohort = the user's first signup week; each purchase lands at an
+    integer week age (day delta div 7); revenue aggregates to the
+    (cohort, age) grid (map-side combined — the grid is
+    calendar-bounded in both axes) and the running LTV is an integer
+    cumsum over each cohort's bounded age series, divided by the
+    cohort's user count only in the final per-row expression.
+    Purchases BEFORE a user's signup (possible in messy data) are
+    clamped to age 0 rather than dropped — money is money; the
+    docstring is the contract and the test pins it."""
+    ev = _t(spark, sf_dir, "events")
+    signup = (ev.where(F.col("event_type") == "signup")
+              .groupBy("user_id")
+              .agg(F.min(F.to_date("ts")).alias("c_day")))
+    # ISO Monday week start via date_trunc — the engines' native
+    # dayofweek numberings disagree (CLAUDE.md), date_trunc('week')
+    # is Monday-based in BOTH
+    cohort = signup.select(
+        "user_id", "c_day",
+        F.date_trunc("week", F.col("c_day")).cast("date")
+        .alias("c_week"))
+    sizes = cohort.groupBy("c_week").agg(
+        F.count("*").alias("n_users"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    buys = (ev.where(F.col("event_type") == "purchase")
+            .select("user_id", F.to_date("ts").alias("day"),
+                    cents.alias("cents"))
+            .join(cohort, "user_id")
+            .select("c_week",
+                    F.greatest(F.datediff("day", "c_day"), F.lit(0))
+                    .alias("age_days"), "cents")
+            .select("c_week",
+                    F.expr("age_days div 7").alias("age_week"),
+                    "cents"))
+    grid = buys.groupBy("c_week", "age_week").agg(
+        F.sum("cents").alias("week_cents"))
+    cum = (Window.partitionBy("c_week").orderBy("age_week")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.select("c_week", "age_week", "week_cents",
+                        F.sum("week_cents").over(cum).alias("cum_cents"))
+            .join(F.broadcast(sizes), "c_week")
+            .select("c_week", "age_week", "week_cents", "cum_cents",
+                    "n_users",
+                    (F.col("cum_cents").cast("double")
+                     / F.col("n_users").cast("double"))
+                    .alias("ltv_cents_per_user")))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5385,6 +5481,8 @@ QUERIES = {
     "order_skyline": q_order_skyline,
     "segment_priority_chi2": q_segment_priority_chi2,
     "cuped_adjusted_metrics": q_cuped_adjusted_metrics,
+    "order_penny_allocation": q_order_penny_allocation,
+    "cohort_ltv_weekly": q_cohort_ltv_weekly,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -7938,3 +8036,59 @@ ORACLE_SQL["cuped_adjusted_metrics"] = """
                    * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))))
            / CAST(a.n_users AS DOUBLE) AS cuped_mean_cents
     FROM per_arm a CROSS JOIN mom m"""
+
+ORACLE_SQL["order_penny_allocation"] = """
+    WITH rows_ AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             CAST(round(l.l_quantity) AS BIGINT) AS qty,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    based AS (
+      SELECT l_orderkey, l_linenumber, qty, total_cents,
+             (total_cents * qty)
+               // sum(qty) OVER (PARTITION BY l_orderkey) AS base,
+             (total_cents * qty)
+               % sum(qty) OVER (PARTITION BY l_orderkey) AS rem
+      FROM rows_),
+    ranked AS (
+      SELECT l_orderkey, l_linenumber, qty, base,
+             total_cents
+               - sum(base) OVER (PARTITION BY l_orderkey) AS leftover,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY rem DESC, l_linenumber) AS rk
+      FROM based)
+    SELECT l_orderkey, l_linenumber, qty,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocated_cents
+    FROM ranked"""
+
+ORACLE_SQL["cohort_ltv_weekly"] = """
+    WITH signup AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS c_day
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+    cohort AS (
+      SELECT user_id, c_day,
+             CAST(date_trunc('week', c_day) AS DATE) AS c_week
+      FROM signup),
+    sizes AS (SELECT c_week, count(*) AS n_users FROM cohort GROUP BY 1),
+    buys AS (
+      SELECT c.c_week,
+             greatest(datediff('day', c.c_day, CAST(e.ts AS DATE)), 0)
+               // 7 AS age_week,
+             CAST(round(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN cohort c USING (user_id)
+      WHERE e.event_type = 'purchase'),
+    grid AS (
+      SELECT c_week, age_week, sum(cents) AS week_cents
+      FROM buys GROUP BY 1, 2)
+    SELECT g.c_week, CAST(g.age_week AS BIGINT) AS age_week,
+           CAST(g.week_cents AS BIGINT) AS week_cents,
+           CAST(sum(g.week_cents)
+                OVER (PARTITION BY g.c_week ORDER BY g.age_week)
+                AS BIGINT) AS cum_cents,
+           s.n_users,
+           CAST(sum(g.week_cents)
+                OVER (PARTITION BY g.c_week ORDER BY g.age_week)
+                AS DOUBLE) / CAST(s.n_users AS DOUBLE)
+             AS ltv_cents_per_user
+    FROM grid g JOIN sizes s USING (c_week)"""
