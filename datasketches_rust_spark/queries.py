@@ -5312,6 +5312,101 @@ def q_cohort_ltv_weekly(spark, sf_dir):
                     .alias("ltv_cents_per_user")))
 
 
+def q_conversion_latency_daily(spark, sf_dir):
+    """LATENCY DISTRIBUTION (time-to-convert: first view -> first
+    purchase per user-day, summarized per day with EXACT order
+    statistics — the funnel's "how long does conversion take" axis
+    that event_funnel_daily's counts don't carry). Integer discipline
+    for the percentiles: the doubled exact median med2 (sum of the
+    two middle order statistics — the weekday_anomaly recipe) and the
+    positional lower p90 (rank (n-1)*9 div 10 + 1, the
+    winsorized_order_values convention) over each day's bounded
+    latency set — sort_array on groups bounded by converters-per-day,
+    never a corpus sort. One groupBy(user, day) collapses events to
+    first-view/first-purchase micros (map-side combined via
+    conditional mins); only user-days that VIEWED BEFORE purchasing
+    convert (purchase-first user-days are browsing after buying, not
+    conversion — pinned in the test)."""
+    ev = _t(spark, sf_dir, "events")
+    ud = (ev.groupBy("user_id", F.to_date("ts").alias("day"))
+          .agg(F.min(F.when(
+                   F.col("event_type") == "view",
+                   F.unix_micros(F.col("ts").cast("timestamp"))))
+               .alias("v_us"),
+               F.min(F.when(
+                   F.col("event_type") == "purchase",
+                   F.unix_micros(F.col("ts").cast("timestamp"))))
+               .alias("p_us")))
+    lat = (ud.where(F.col("v_us").isNotNull()
+                    & F.col("p_us").isNotNull()
+                    & (F.col("p_us") > F.col("v_us")))
+           .select("day", (F.col("p_us") - F.col("v_us"))
+                   .alias("lat_us")))
+    per_day = (lat.groupBy("day")
+               .agg(F.sort_array(F.collect_list("lat_us")).alias("l"),
+                    F.count("*").alias("n")))
+    med2 = (F.element_at("l", ((F.col("n") + 1) / 2).cast("int"))
+            + F.element_at("l", ((F.col("n") + 2) / 2).cast("int")))
+    p90 = F.element_at(
+        "l", (F.expr("(n - 1) * 9 div 10") + 1).cast("int"))
+    return per_day.select(
+        "day", F.col("n").alias("n_conversions"),
+        med2.alias("med2_latency_us"), p90.alias("p90_latency_us"))
+
+
+NEG_SAMPLE_DRAWS = 8   # md5 draws per user
+NEG_SAMPLE_KEEP = 3    # negatives kept per user after the anti join
+
+
+def q_negative_samples(spark, sf_dir):
+    """NEGATIVE SAMPLING (recommender/contrastive training prep: for
+    each customer, deterministic pseudo-random parts they did NOT
+    buy — the negatives a two-tower or BPR model trains against).
+    Draws are md5-derived (reproducible at any later rebuild — the
+    ab_experiment arm-assignment argument; rand() would re-randomize
+    under task retry), candidate part ids land in the REAL part key
+    space via mod, the customer's actual purchase set knocks out
+    collisions (anti join on (custkey, partkey) against the distinct
+    interaction set), and the first KEEP survivors per customer (by
+    draw index — deterministic) become the sample. Shape: the draw
+    table is users x DRAWS rows (explode of a literal range — no
+    corpus explode); the interaction set is the only corpus-derived
+    side (distinct orders x lineitem join, orderkey-co-keyed); the
+    anti join keys are (custkey, partkey) — uniform, no skew. DRAWS
+    > KEEP gives collision headroom; a user who bought everything
+    (impossible here) would just yield fewer negatives."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    c = _t(spark, sf_dir, "customer")
+    bought = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+              .select(F.col("o_custkey").alias("ck"),
+                      F.col("l_partkey").alias("pk")).distinct())
+    np_ = p.agg(F.max("p_partkey").alias("np"))
+    draws = (c.select(F.col("c_custkey").alias("ck"))
+             .crossJoin(F.broadcast(np_))
+             .select("ck", "np", F.explode(
+                 F.array(*[F.lit(i) for i in range(NEG_SAMPLE_DRAWS)]))
+                 .alias("i")))
+    cand = draws.select(
+        "ck", "i",
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit("neg:"), F.col("ck").cast("string"),
+                           F.lit(":"), F.col("i").cast("string"))),
+            1, 12), 16, 10).cast("long") % F.col("np") + 1).alias("pk"))
+    surv = (cand.join(bought, ["ck", "pk"], "left_anti")
+            # two draws can collide on the same part — one negative
+            # per (user, part), keeping the earliest draw index
+            .groupBy("ck", "pk").agg(F.min("i").alias("i")))
+    wk = Window.partitionBy("ck").orderBy("i")
+    return (surv.select("ck", "i", "pk",
+                        F.row_number().over(wk).cast("long").alias("rk"))
+            .where(F.col("rk") <= NEG_SAMPLE_KEEP)
+            .select(F.col("ck").alias("c_custkey"),
+                    F.col("rk").alias("neg_rank"),
+                    F.col("pk").alias("p_partkey")))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5483,6 +5578,8 @@ QUERIES = {
     "cuped_adjusted_metrics": q_cuped_adjusted_metrics,
     "order_penny_allocation": q_order_penny_allocation,
     "cohort_ltv_weekly": q_cohort_ltv_weekly,
+    "conversion_latency_daily": q_conversion_latency_daily,
+    "negative_samples": q_negative_samples,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -8092,3 +8189,52 @@ ORACLE_SQL["cohort_ltv_weekly"] = """
                 AS DOUBLE) / CAST(s.n_users AS DOUBLE)
              AS ltv_cents_per_user
     FROM grid g JOIN sizes s USING (c_week)"""
+
+ORACLE_SQL["conversion_latency_daily"] = """
+    WITH ud AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             min(CASE WHEN event_type = 'view'
+                      THEN epoch_us(ts::TIMESTAMP) END) AS v_us,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts::TIMESTAMP) END) AS p_us
+      FROM events GROUP BY 1, 2),
+    lat AS (
+      SELECT day, p_us - v_us AS lat_us FROM ud
+      WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND p_us > v_us),
+    per_day AS (
+      SELECT day, list(lat_us ORDER BY lat_us) AS l, count(*) AS n
+      FROM lat GROUP BY 1)
+    SELECT day, CAST(n AS BIGINT) AS n_conversions,
+           CAST(l[(n + 1) // 2] + l[(n + 2) // 2] AS BIGINT)
+             AS med2_latency_us,
+           CAST(l[(n - 1) * 9 // 10 + 1] AS BIGINT) AS p90_latency_us
+    FROM per_day"""
+
+ORACLE_SQL["negative_samples"] = """
+    WITH bought AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    np_ AS (SELECT max(p_partkey) AS np FROM part),
+    draws AS (
+      SELECT c.c_custkey AS ck, t.np, CAST(u.i AS BIGINT) AS i
+      FROM customer c CROSS JOIN np_ t
+      CROSS JOIN (SELECT unnest(range(8)) AS i) u),
+    cand AS (
+      SELECT ck, i,
+             CAST(('0x' || substr(md5('neg:' || CAST(ck AS VARCHAR)
+                                       || ':' || CAST(i AS VARCHAR)),
+                                  1, 12)) AS BIGINT) % np + 1 AS pk
+      FROM draws),
+    surv AS (
+      SELECT c.ck, c.pk, min(c.i) AS i
+      FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM bought b
+                        WHERE b.ck = c.ck AND b.pk = c.pk)
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT ck, pk, i,
+             row_number() OVER (PARTITION BY ck ORDER BY i) AS rk
+      FROM surv)
+    SELECT ck AS c_custkey, CAST(rk AS BIGINT) AS neg_rank,
+           pk AS p_partkey
+    FROM ranked WHERE rk <= 3"""
