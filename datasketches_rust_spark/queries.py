@@ -3947,6 +3947,19 @@ def q_order_percentiles_daily(spark, sf_dir):
         F.ntile(4).over(w).cast("long").alias("quartile"))
 
 
+def _med2(lst, n):
+    """Doubled exact median of a SORTED array column: the sum of the
+    two middle order statistics — one integer expression covering odd
+    (2x the middle) and even (sum of the two middles) group sizes.
+    Used wherever a robust location must stay integer (MAD screens,
+    latency medians). Oracle twin: _MED2_SQL.format(l=..., n=...)."""
+    return (F.element_at(lst, ((n + 1) / 2).cast("int"))
+            + F.element_at(lst, ((n + 2) / 2).cast("int")))
+
+
+_MED2_SQL = "({l}[({n} + 1) // 2] + {l}[({n} + 2) // 2])"
+
+
 def q_orders_in_flight_daily(spark, sf_dir):
     """SWEEP-LINE INTERVAL COVERAGE ("how many orders are in flight on
     day d?") — the concurrency/occupancy class (active sessions, open
@@ -4266,7 +4279,11 @@ def q_forget_users_purge_plan(spark, sf_dir):
                       F.count_distinct("user_id").alias("n_keys"))
                  .select(F.lit("events").alias("tbl"), "n_rows", "n_keys"))
     o = _t(spark, sf_dir, "orders")
-    po = o.join(fb, o["o_custkey"] == fb["k"], "left_semi")
+    # po feeds BOTH the orders audit row and the lineitem cascade —
+    # localCheckpoint materializes the semi-join once instead of
+    # re-executing the orders scan + cohort derivation per branch
+    po = (o.join(fb, o["o_custkey"] == fb["k"], "left_semi")
+          .localCheckpoint(eager=False))
     purged_o = (po.agg(F.count("*").alias("n_rows"),
                        F.count_distinct("o_custkey").alias("n_keys"))
                 .select(F.lit("orders").alias("tbl"), "n_rows", "n_keys"))
@@ -4323,10 +4340,7 @@ def q_weekday_anomaly_flags(spark, sf_dir):
            .agg(F.sort_array(F.collect_list(F.abs(F.col("r"))))
                 .alias("l"), F.count("*").alias("n"))
            .select("event_type", "wd",
-                   (F.element_at("l", ((F.col("n") + 1) / 2)
-                                 .cast("int"))
-                    + F.element_at("l", ((F.col("n") + 2) / 2)
-                                   .cast("int"))).alias("mad2")))
+                   _med2(F.col("l"), F.col("n")).alias("mad2")))
     return (res.join(F.broadcast(med), ["event_type", "wd"])
             .select("event_type", "day", "cents", "r", "mad2",
                     F.when(F.abs(F.col("r")) > F.col("mad2"), 1)
@@ -4746,9 +4760,12 @@ def q_cusum_change_points(spark, sf_dir):
     accumulator — no Python, no per-key shuffle beyond the one
     groupBy(type) — tracking the running S, its max, the FIRST day
     achieving that max (strict > keeps the argmax deterministic), and
-    how many days S sat above the natural integer scale
-    h = sum(|r|). Output per type: S_max, its day, days-above-h —
-    all integers. Oracle = WITH RECURSIVE over row_number (the
+    how many days S sat above a QUARTER of the natural integer
+    scale h = sum(|r|) — evaluated as the scale-free integer compare
+    4*S > h, never a rational threshold (and never h itself:
+    residuals sum to zero, so S_max <= h/2 and S > h would be
+    vacuously false). Output per type: S_max, its day,
+    n_days_above_q — all integers. Oracle = WITH RECURSIVE over row_number (the
     balance_clamped recipe; depth = days)."""
     ev = _t(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
@@ -4983,13 +5000,17 @@ def q_brand_price_trends(spark, sf_dir):
                                F.lit("1992-01-01")).cast("long")
                     .alias("x"),
                     cents.alias("y")))
-    dec = "decimal(38,0)"
+    # cast the SUMMANDS, not the finished sum — F.sum(long).cast
+    # would still accumulate (and silently wrap) in long; decimal(19)
+    # products widen to decimal(38,0) so accumulation itself is exact
+    d19 = "decimal(19,0)"
+    xd, yd = F.col("x").cast(d19), F.col("y").cast(d19)
     m = rows.groupBy("p_brand").agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum("x").cast(dec).alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
-        F.sum("y").cast(dec).alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"))
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"))
     det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     slope = num.cast("double") / det.cast("double")
@@ -5110,8 +5131,10 @@ def q_order_skyline(spark, sf_dir):
     marked = d.select(
         "o_orderkey", "cents", "day",
         F.max("di").over(fr).alias("best_later"), "di")
+    # dominated iff best_later > di STRICTLY — a same-day
+    # higher-priced order does not dominate (strict on BOTH axes)
     return (marked.where(F.col("best_later").isNull()
-                         | (F.col("best_later") < F.col("di")))
+                         | (F.col("best_later") <= F.col("di")))
             .select("o_orderkey", "cents", "day"))
 
 
@@ -5180,13 +5203,16 @@ def q_cuped_adjusted_metrics(spark, sf_dir):
                      .alias("x"),
                      F.sum(F.when(pre, F.lit(0)).otherwise(cents))
                      .alias("y")))
-    dec = "decimal(38,0)"
+    # summands cast to decimal BEFORE the sum (the brand_price_trends
+    # note: cast-after-sum still accumulates in long and can wrap)
+    d19 = "decimal(19,0)"
+    xd, yd = F.col("x").cast(d19), F.col("y").cast(d19)
     mom = per_user.agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum("x").cast(dec).alias("sx"),
-        F.sum("y").cast(dec).alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"))
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"))
     varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     covxy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     theta = F.when(varx > 0,
@@ -5345,8 +5371,7 @@ def q_conversion_latency_daily(spark, sf_dir):
     per_day = (lat.groupBy("day")
                .agg(F.sort_array(F.collect_list("lat_us")).alias("l"),
                     F.count("*").alias("n")))
-    med2 = (F.element_at("l", ((F.col("n") + 1) / 2).cast("int"))
-            + F.element_at("l", ((F.col("n") + 2) / 2).cast("int")))
+    med2 = _med2(F.col("l"), F.col("n"))
     p90 = F.element_at(
         "l", (F.expr("(n - 1) * 9 div 10") + 1).cast("int"))
     return per_day.select(
@@ -7606,7 +7631,7 @@ ORACLE_SQL["weekday_anomaly_flags"] = """
       FROM res GROUP BY 1, 2),
     m2 AS (
       SELECT event_type, wd,
-             l[(n + 1) // 2] + l[(n + 2) // 2] AS mad2
+             {med2} AS mad2
       FROM med)
     SELECT r.event_type, r.day, r.cents,
            CAST(r.r AS BIGINT) AS r, CAST(m.mad2 AS BIGINT) AS mad2,
@@ -8061,7 +8086,7 @@ ORACLE_SQL["order_skyline"] = """
                                      AND 1 PRECEDING) AS best_later
       FROM d)
     SELECT o_orderkey, cents, day FROM m
-    WHERE best_later IS NULL OR best_later < di"""
+    WHERE best_later IS NULL OR best_later <= di"""
 
 ORACLE_SQL["segment_priority_chi2"] = """
     WITH cells AS (
@@ -8205,7 +8230,7 @@ ORACLE_SQL["conversion_latency_daily"] = """
       SELECT day, list(lat_us ORDER BY lat_us) AS l, count(*) AS n
       FROM lat GROUP BY 1)
     SELECT day, CAST(n AS BIGINT) AS n_conversions,
-           CAST(l[(n + 1) // 2] + l[(n + 2) // 2] AS BIGINT)
+           CAST({med2} AS BIGINT)
              AS med2_latency_us,
            CAST(l[(n - 1) * 9 // 10 + 1] AS BIGINT) AS p90_latency_us
     FROM per_day"""
@@ -8238,3 +8263,9 @@ ORACLE_SQL["negative_samples"] = """
     SELECT ck AS c_custkey, CAST(rk AS BIGINT) AS neg_rank,
            pk AS p_partkey
     FROM ranked WHERE rk <= 3"""
+
+
+# splice the shared doubled-median fragment into its oracle twins
+for _k in ("weekday_anomaly_flags", "conversion_latency_daily"):
+    ORACLE_SQL[_k] = ORACLE_SQL[_k].replace(
+        "{med2}", _MED2_SQL.format(l="l", n="n"))

@@ -63,6 +63,8 @@ def test_skyline_strict_dominance_and_price_ties(spark, tmp_path):
         (3, 1, 0.95, base + 5 * day),    # dominated by order 1
         (4, 1, 1.00, base + 1 * day),    # price tie with 1 -> frontier
         (5, 1, 0.80, base + 15 * day),   # dominated by order 2
+        (6, 1, 0.99, base + 10 * day),   # DATE tie with pricier order 1
+                                         # -> NOT dominated (strict)
     ]).write.parquet(f"{d}/orders.parquet")
     out = {r["o_orderkey"] for r in q_order_skyline(spark, d).collect()}
-    assert out == {1, 2, 4}
+    assert out == {1, 2, 4, 6}
