@@ -5432,6 +5432,82 @@ def q_negative_samples(spark, sf_dir):
                     F.col("pk").alias("p_partkey")))
 
 
+def q_open_order_aging(spark, sf_dir):
+    """AGING BUCKETS (the accounts-receivable report: open orders
+    bucketed by age as of the ledger date — 0-30 / 31-60 / 61-90 /
+    90+ days; finance ops runs this daily and reconciles it to the
+    penny). "As of" is the corpus max order date (reproducible — wall
+    clock would not be; the rfm recency argument); open = status 'O'.
+    The bucket is integer arithmetic on the day delta — explicit
+    boundaries, no division tricks; per (priority, bucket): order
+    count, total cents, and each bucket's share of the open total in
+    floored ppm. One corpus pass to the bucket cells (map-side
+    combined, bucket-bounded output); the as-of scalar broadcasts
+    via crossJoin."""
+    o = _t(spark, sf_dir, "orders")
+    open_ = o.where(F.col("o_orderstatus") == "O")
+    asof = open_.agg(F.max(F.to_date("o_orderdate")).alias("asof"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    aged = (open_.crossJoin(F.broadcast(asof))
+            .select("o_orderpriority", cents.alias("cents"),
+                    F.datediff("asof", F.to_date("o_orderdate"))
+                    .cast("long").alias("age")))
+    bucket = (F.when(F.col("age") <= 30, "00-30")
+              .when(F.col("age") <= 60, "31-60")
+              .when(F.col("age") <= 90, "61-90")
+              .otherwise("90+"))
+    cells = (aged.groupBy(F.col("o_orderpriority").alias("priority"),
+                          bucket.alias("age_bucket"))
+             .agg(F.count("*").alias("n_orders"),
+                  F.sum("cents").alias("total_cents")))
+    wall = Window.partitionBy()
+    return cells.select(
+        "priority", "age_bucket", "n_orders", "total_cents",
+        F.expr("total_cents * 1000000").alias("__num"),
+        F.sum("total_cents").over(wall).alias("__all")) \
+        .select("priority", "age_bucket", "n_orders", "total_cents",
+                F.expr("__num div __all").alias("share_ppm"))
+
+
+def q_rapid_repeat_orders(spark, sf_dir):
+    """DUPLICATE-TRANSACTION SCREEN (the payments-ops "possible
+    double charge" triage: the same customer ordering again within
+    one day — retries and accidental resubmits land here; the
+    amount delta is REPORTED as the triage signal rather than
+    filtered on, because real duplicates re-price fees/shipping and
+    an exact-amount filter misses them). Scale shape: the self-join
+    blocks on custkey — an ordinary hash equi-join whose groups are
+    bounded by orders-per-customer — with the |date delta| <= 1
+    residual and orderkey < orderkey dedup inside the block (the
+    candidates-then-verify architecture with the natural key doing
+    the blocking; a pathological daily-subscription customer routes
+    through operators/skew.py). Output one row per candidate pair:
+    both orderkeys, the two amounts, the absolute cents delta, and
+    the amount-relative delta in floored ppm — all integers."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = o.select(F.col("o_custkey").alias("ck"),
+                 F.col("o_orderkey").alias("ok"),
+                 cents.alias("cents"),
+                 F.to_date("o_orderdate").alias("day"))
+    a, b = d.alias("a"), d.alias("b")
+    gap = F.abs(F.datediff(F.col("a.day"), F.col("b.day")))
+    delta = F.abs(F.col("a.cents") - F.col("b.cents"))
+    return (a.join(b, (F.col("a.ck") == F.col("b.ck"))
+                   & (F.col("a.ok") < F.col("b.ok")))
+            .where(gap <= 1)
+            .select(F.col("a.ck").alias("c_custkey"),
+                    F.col("a.ok").alias("orderkey_1"),
+                    F.col("b.ok").alias("orderkey_2"),
+                    F.col("a.cents").alias("cents_1"),
+                    F.col("b.cents").alias("cents_2"),
+                    delta.alias("delta_cents"),
+                    gap.cast("long").alias("day_gap"),
+                    F.expr("abs(a.cents - b.cents) * 1000000"
+                           " div greatest(a.cents, b.cents)")
+                    .alias("delta_ppm")))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5605,6 +5681,8 @@ QUERIES = {
     "cohort_ltv_weekly": q_cohort_ltv_weekly,
     "conversion_latency_daily": q_conversion_latency_daily,
     "negative_samples": q_negative_samples,
+    "open_order_aging": q_open_order_aging,
+    "rapid_repeat_orders": q_rapid_repeat_orders,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -8269,3 +8347,44 @@ ORACLE_SQL["negative_samples"] = """
 for _k in ("weekday_anomaly_flags", "conversion_latency_daily"):
     ORACLE_SQL[_k] = ORACLE_SQL[_k].replace(
         "{med2}", _MED2_SQL.format(l="l", n="n"))
+
+ORACLE_SQL["open_order_aging"] = """
+    WITH open_ AS (
+      SELECT o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS day
+      FROM orders WHERE o_orderstatus = 'O'),
+    ledger AS (SELECT max(day) AS ledger_day FROM open_),
+    aged AS (
+      SELECT priority, cents,
+             CAST(datediff('day', day, ledger_day) AS BIGINT) AS age
+      FROM open_ CROSS JOIN ledger),
+    cells AS (
+      SELECT priority,
+             CASE WHEN age <= 30 THEN '00-30'
+                  WHEN age <= 60 THEN '31-60'
+                  WHEN age <= 90 THEN '61-90'
+                  ELSE '90+' END AS age_bucket,
+             count(*) AS n_orders, sum(cents) AS total_cents
+      FROM aged GROUP BY 1, 2)
+    SELECT priority, age_bucket,
+           n_orders, CAST(total_cents AS BIGINT) AS total_cents,
+           CAST(total_cents * 1000000 // sum(total_cents) OVER ()
+                AS BIGINT) AS share_ppm
+    FROM cells"""
+
+ORACLE_SQL["rapid_repeat_orders"] = """
+    WITH d AS (
+      SELECT o_custkey AS ck, o_orderkey AS ok,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS day
+      FROM orders)
+    SELECT a.ck AS c_custkey, a.ok AS orderkey_1, b.ok AS orderkey_2,
+           a.cents AS cents_1, b.cents AS cents_2,
+           abs(a.cents - b.cents) AS delta_cents,
+           CAST(abs(datediff('day', a.day, b.day)) AS BIGINT)
+             AS day_gap,
+           CAST(abs(a.cents - b.cents) * 1000000
+                // greatest(a.cents, b.cents) AS BIGINT) AS delta_ppm
+    FROM d a JOIN d b ON a.ck = b.ck AND a.ok < b.ok
+    WHERE abs(datediff('day', a.day, b.day)) <= 1"""

@@ -78,3 +78,65 @@ def test_cohort_ltv_grid_and_clamp(spark, tmp_path):
     # age 1: 200c (u1 day+8) + 300c (u2 day+7) = 500; cum 1100
     assert (out[1]["week_cents"], out[1]["cum_cents"]) == (500, 1100)
     assert out[1]["ltv_cents_per_user"] == 550.0
+
+
+def test_aging_buckets_boundaries(spark, tmp_path):
+    """Bucket boundaries are inclusive on the upper edge (30 -> 00-30,
+    31 -> 31-60, 90 -> 61-90, 91 -> 90+); closed orders are excluded;
+    shares are of the OPEN total only."""
+    from datasketches_rust_spark.queries import q_open_order_aging
+    from pyspark.sql import Row
+    base = D(2024, 6, 1)
+
+    def o(k, status, price, days_before):
+        return Row(o_orderkey=k, o_custkey=1, o_orderstatus=status,
+                   o_totalprice=price,
+                   o_orderdate=base - datetime.timedelta(days=days_before),
+                   o_orderpriority="1-URGENT")
+
+    d = str(tmp_path / "t")
+    spark.createDataFrame([
+        o(1, "O", 1.00, 0),     # as-of anchor, age 0  -> 00-30
+        o(2, "O", 1.00, 30),    # age 30 -> 00-30 (upper edge in)
+        o(3, "O", 1.00, 31),    # age 31 -> 31-60
+        o(4, "O", 1.00, 90),    # age 90 -> 61-90
+        o(5, "O", 1.00, 91),    # age 91 -> 90+
+        o(6, "F", 99.0, 10),    # closed: excluded entirely
+    ]).write.parquet(f"{d}/orders.parquet")
+    out = {r["age_bucket"]: r for r in
+           q_open_order_aging(spark, d).collect()}
+    assert {k: v["n_orders"] for k, v in out.items()} == \
+        {"00-30": 2, "31-60": 1, "61-90": 1, "90+": 1}
+    assert out["00-30"]["share_ppm"] == 2 * 1_000_000 // 5
+
+
+def test_rapid_repeat_pairs_and_deltas(spark, tmp_path):
+    """Same-customer orders within one day pair up (0- and 1-day
+    gaps); a 2-day gap does not; different customers never pair; the
+    amount delta and ppm triage signals are exact."""
+    from datasketches_rust_spark.queries import q_rapid_repeat_orders
+    d0 = D(2024, 1, 10)
+    day = datetime.timedelta(days=1)
+    d = str(tmp_path / "t")
+    from pyspark.sql import Row
+    spark.createDataFrame([
+        Row(o_orderkey=1, o_custkey=1, o_orderstatus="O",
+            o_totalprice=10.00, o_orderdate=d0, o_orderpriority="1"),
+        Row(o_orderkey=2, o_custkey=1, o_orderstatus="O",
+            o_totalprice=8.00, o_orderdate=d0, o_orderpriority="1"),
+        Row(o_orderkey=3, o_custkey=1, o_orderstatus="O",
+            o_totalprice=10.00, o_orderdate=d0 + day,
+            o_orderpriority="1"),
+        Row(o_orderkey=4, o_custkey=1, o_orderstatus="O",
+            o_totalprice=10.00, o_orderdate=d0 + 3 * day,
+            o_orderpriority="1"),
+        Row(o_orderkey=5, o_custkey=2, o_orderstatus="O",
+            o_totalprice=10.00, o_orderdate=d0, o_orderpriority="1"),
+    ]).write.parquet(f"{d}/orders.parquet")
+    out = {(r["orderkey_1"], r["orderkey_2"]): r for r in
+           q_rapid_repeat_orders(spark, d).collect()}
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    r = out[(1, 2)]
+    assert (r["day_gap"], r["delta_cents"]) == (0, 200)
+    assert r["delta_ppm"] == 200 * 1_000_000 // 1000
+    assert out[(1, 3)]["day_gap"] == 1 and out[(1, 3)]["delta_cents"] == 0
