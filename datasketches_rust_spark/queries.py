@@ -5508,6 +5508,113 @@ def q_rapid_repeat_orders(spark, sf_dir):
                     .alias("delta_ppm")))
 
 
+KS_SEG_A, KS_SEG_B = "BUILDING", "MACHINERY"
+
+
+def q_two_sample_ks(spark, sf_dir):
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV (distribution-shift test between
+    two segments' order values — the nonparametric "are these the
+    same distribution?" screen behind covariate-shift checks). The
+    statistic D = max |F1(v) - F2(v)| is EXACT INTEGER here: with
+    sample sizes n1, n2 and running counts i, j at threshold v,
+    D_scaled = max |i*n2 - j*n1| over the merged thresholds and
+    D = D_scaled / (n1*n2) — cross-multiplication instead of float
+    ECDFs, so the max and its location admit no rounding ambiguity
+    (the first/lowest cents value achieving the max reported as the
+    deterministic argmax). Shape: per-value counts per side (ONE
+    map-side-combined groupBy), two integer cumsums over the
+    value-bounded distinct table, one struct-max aggregate. At 10^12
+    rows the thresholds bin through the histogram-walk machinery and
+    D gets a bin-width resolution bound; the expression is unchanged."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rows = (o.join(c, o["o_custkey"] == c["c_custkey"])
+            .where(F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
+            .select(F.col("c_mktsegment").alias("seg"),
+                    cents.alias("cents")))
+    per_v = (rows.groupBy("cents")
+             .agg(F.sum(F.when(F.col("seg") == KS_SEG_A, 1)
+                        .otherwise(0)).alias("a"),
+                  F.sum(F.when(F.col("seg") == KS_SEG_B, 1)
+                        .otherwise(0)).alias("b")))
+    cum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    ecdf = per_v.select(
+        "cents",
+        F.sum("a").over(cum).alias("i"),
+        F.sum("b").over(cum).alias("j"))
+    tot = rows.agg(
+        F.sum(F.when(F.col("seg") == KS_SEG_A, 1).otherwise(0))
+        .alias("n1"),
+        F.sum(F.when(F.col("seg") == KS_SEG_B, 1).otherwise(0))
+        .alias("n2"))
+    scored = (ecdf.crossJoin(F.broadcast(tot))
+              .select("n1", "n2", "cents",
+                      F.abs(F.col("i") * F.col("n2")
+                            - F.col("j") * F.col("n1"))
+                      .alias("dnum")))
+    # struct-max picks (max dnum, then LOWEST cents) deterministically
+    best = scored.agg(
+        F.max("n1").alias("n1"), F.max("n2").alias("n2"),
+        F.max(F.struct(F.col("dnum"), (-F.col("cents")).alias("nc")))
+        .alias("m"))
+    return best.select(
+        "n1", "n2",
+        F.col("m.dnum").alias("d_scaled"),
+        (-F.col("m.nc")).alias("ks_at_cents"),
+        (F.col("m.dnum").cast("double")
+         / (F.col("n1").cast("double") * F.col("n2").cast("double")))
+        .alias("ks_d"))
+
+
+QQ_POINTS = tuple(range(5, 100, 5))  # p5 .. p95
+
+
+def q_segment_qq_table(spark, sf_dir):
+    """QQ COMPARISON TABLE (matched quantiles of two segments' order
+    values — the table behind a QQ plot, the visual companion of
+    two_sample_ks's single-number verdict). Each percentile p in
+    5..95 maps to BOTH segments' exact order statistic at position
+    (n-1)*p div 100 + 1 (the winsorized_order_values position
+    convention — no interpolation, no engine quantile function), so
+    every cell is an integer and the per-row delta is exact. The
+    percentile spine is a literal 19-row table that joins each
+    segment's rank table on the computed position — all sorts are
+    order-table-bounded; the histogram-walk machinery takes over at
+    10^12 rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rows = (o.join(c, o["o_custkey"] == c["c_custkey"])
+            .where(F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
+            .select(F.col("c_mktsegment").alias("seg"),
+                    cents.alias("cents"), "o_orderkey"))
+    wseg = Window.partitionBy("seg").orderBy("cents", "o_orderkey")
+    ranked = rows.select(
+        "seg", "cents",
+        F.row_number().over(wseg).cast("long").alias("rn"))
+    ns = rows.groupBy("seg").agg(F.count("*").alias("n"))
+    spine = None
+    for p in QQ_POINTS:
+        r = F.lit(p)
+        spine = (spine.unionAll(ns.select(r.alias("p"), "seg", "n"))
+                 if spine is not None
+                 else ns.select(r.alias("p"), "seg", "n"))
+    keyed = spine.select(
+        "p", "seg", F.expr("(n - 1) * p div 100 + 1").alias("rn"))
+    vals = keyed.join(ranked, ["seg", "rn"])
+    a = (vals.where(F.col("seg") == KS_SEG_A)
+         .select("p", F.col("cents").alias("a_cents")))
+    b = (vals.where(F.col("seg") == KS_SEG_B)
+         .select("p", F.col("cents").alias("b_cents")))
+    return (a.join(b, "p")
+            .select(F.col("p").cast("long").alias("percentile"),
+                    "a_cents", "b_cents",
+                    (F.col("a_cents") - F.col("b_cents"))
+                    .alias("delta_cents")))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5683,6 +5790,8 @@ QUERIES = {
     "negative_samples": q_negative_samples,
     "open_order_aging": q_open_order_aging,
     "rapid_repeat_orders": q_rapid_repeat_orders,
+    "two_sample_ks": q_two_sample_ks,
+    "segment_qq_table": q_segment_qq_table,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -8388,3 +8497,62 @@ ORACLE_SQL["rapid_repeat_orders"] = """
                 // greatest(a.cents, b.cents) AS BIGINT) AS delta_ppm
     FROM d a JOIN d b ON a.ck = b.ck AND a.ok < b.ok
     WHERE abs(datediff('day', a.day, b.day)) <= 1"""
+
+ORACLE_SQL["two_sample_ks"] = """
+    WITH rows_ AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    per_v AS (
+      SELECT cents,
+             sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS b
+      FROM rows_ GROUP BY 1),
+    ecdf AS (
+      SELECT cents,
+             sum(a) OVER (ORDER BY cents) AS i,
+             sum(b) OVER (ORDER BY cents) AS j
+      FROM per_v),
+    tot AS (
+      SELECT sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS n2
+      FROM rows_),
+    scored AS (
+      SELECT t.n1, t.n2, e.cents,
+             abs(e.i * t.n2 - e.j * t.n1) AS dnum
+      FROM ecdf e CROSS JOIN tot t),
+    mx AS (SELECT max(dnum) AS d FROM scored)
+    SELECT CAST(s.n1 AS BIGINT) AS n1, CAST(s.n2 AS BIGINT) AS n2,
+           CAST(m.d AS BIGINT) AS d_scaled,
+           min(s.cents) AS ks_at_cents,
+           CAST(m.d AS DOUBLE)
+             / (CAST(s.n1 AS DOUBLE) * CAST(s.n2 AS DOUBLE)) AS ks_d
+    FROM scored s JOIN mx m ON s.dnum = m.d
+    GROUP BY s.n1, s.n2, m.d"""
+
+ORACLE_SQL["segment_qq_table"] = """
+    WITH rows_ AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+             o.o_orderkey
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    ranked AS (
+      SELECT seg, cents,
+             row_number() OVER (PARTITION BY seg
+                                ORDER BY cents, o_orderkey) AS rn
+      FROM rows_),
+    ns AS (SELECT seg, count(*) AS n FROM rows_ GROUP BY 1),
+    spine AS (
+      SELECT CAST(u.p AS BIGINT) AS p, ns.seg,
+             (ns.n - 1) * u.p // 100 + 1 AS rn
+      FROM ns CROSS JOIN (SELECT unnest(range(5, 100, 5)) AS p) u),
+    vals AS (
+      SELECT s.p, s.seg, r.cents
+      FROM spine s JOIN ranked r ON r.seg = s.seg AND r.rn = s.rn)
+    SELECT a.p AS percentile, a.cents AS a_cents, b.cents AS b_cents,
+           a.cents - b.cents AS delta_cents
+    FROM (SELECT p, cents FROM vals WHERE seg = 'BUILDING') a
+    JOIN (SELECT p, cents FROM vals WHERE seg = 'MACHINERY') b
+      USING (p)"""

@@ -1,0 +1,66 @@
+"""Semantic pins for the two-sample KS and QQ-table classes."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+
+D = datetime.datetime
+
+
+def _fixture(spark, d, seg_values):
+    custs, orders, ck, ok = [], [], 0, 0
+    for seg, vals in seg_values.items():
+        ck += 1
+        custs.append(Row(c_custkey=ck, c_name=f"c{ck}", c_nationkey=0,
+                         c_acctbal=0.0, c_mktsegment=seg))
+        for v in vals:
+            ok += 1
+            orders.append(Row(o_orderkey=ok, o_custkey=ck,
+                              o_orderstatus="O", o_totalprice=v,
+                              o_orderdate=D(2024, 1, 1),
+                              o_orderpriority="1"))
+    spark.createDataFrame(custs).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(orders).write.parquet(f"{d}/orders.parquet")
+
+
+def test_ks_interleaved_and_disjoint(spark, tmp_path):
+    """Interleaved samples: D_scaled = 3 over n1*n2 = 9 -> D = 1/3,
+    achieved first at the lowest threshold (10c)."""
+    from datasketches_rust_spark.queries import q_two_sample_ks
+    d = str(tmp_path / "a")
+    _fixture(spark, d, {"BUILDING": [0.10, 0.20, 0.30],
+                        "MACHINERY": [0.15, 0.25, 0.35]})
+    r = q_two_sample_ks(spark, d).collect()[0]
+    assert (r["n1"], r["n2"], r["d_scaled"], r["ks_at_cents"]) == \
+        (3, 3, 3, 10)
+    assert abs(r["ks_d"] - 1 / 3) < 1e-12
+
+
+def test_ks_disjoint_is_one(spark, tmp_path):
+    """Fully separated samples: D = 1 exactly, at the last A value."""
+    from datasketches_rust_spark.queries import q_two_sample_ks
+    d = str(tmp_path / "b")
+    _fixture(spark, d, {"BUILDING": [0.01, 0.02],
+                        "MACHINERY": [0.10, 0.20]})
+    r = q_two_sample_ks(spark, d).collect()[0]
+    assert (r["d_scaled"], r["ks_at_cents"], r["ks_d"]) == (4, 2, 1.0)
+
+
+def test_qq_positions_and_delta(spark, tmp_path):
+    """20 values per segment shifted by a constant: every matched
+    quantile differs by exactly that constant; position convention
+    (n-1)*p div 100 + 1 pinned at p5/p50/p95."""
+    from datasketches_rust_spark.queries import q_segment_qq_table
+    d = str(tmp_path / "c")
+    _fixture(spark, d, {
+        "BUILDING": [k / 100.0 for k in range(1, 21)],
+        "MACHINERY": [(k + 100) / 100.0 for k in range(1, 21)]})
+    out = {r["percentile"]: r for r in
+           q_segment_qq_table(spark, d).collect()}
+    assert sorted(out) == list(range(5, 100, 5))
+    assert out[5]["a_cents"] == 1        # rank (19*5)//100+1 = 1
+    assert out[50]["a_cents"] == 10      # rank 10
+    assert out[95]["a_cents"] == 19      # rank 19
+    assert all(r["delta_cents"] == -100 for r in out.values())
