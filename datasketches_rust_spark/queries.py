@@ -5615,6 +5615,45 @@ def q_segment_qq_table(spark, sf_dir):
                     .alias("delta_cents")))
 
 
+def q_gini_revenue_concentration(spark, sf_dir):
+    """GINI COEFFICIENT (revenue-concentration inequality — the
+    single-number "how dependent are we on few customers" readout
+    next to abc_parts_by_revenue's cumulative classes; 0 = perfectly
+    even, ->1 = one customer is the business). The exact rank
+    formula over ascending-sorted customer revenues x_1..x_n:
+      G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+    keeps EVERYTHING integer until the final division — sum(i*x) in
+    decimal(38,0) (rank x cents products; the brand_price_trends
+    summand-cast discipline), so both engines hash the identical
+    double. Revenue ties are rank-broken by custkey; the standard
+    identity is tie-invariant in aggregate (equal x under adjacent
+    ranks contribute the same total — the test pins it). Shape: the
+    corpus collapses to one customer-keyed aggregate; the rank sort
+    runs on the customer-bounded table (per-key revenue, the
+    dimension's size); output is one row: n, total_cents, gini."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_c = (o.groupBy("o_custkey")
+             .agg(F.sum(cents).alias("x")))
+    w = Window.orderBy("x", "o_custkey")
+    ranked = per_c.select(
+        "x", F.row_number().over(w).cast("long").alias("i"))
+    d19 = "decimal(19,0)"
+    agg_ = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i").cast(d19) * F.col("x").cast(d19)).alias("six"))
+    num = (F.lit(2).cast("decimal(38,0)") * F.col("six")
+           - (F.col("n") + 1).cast("decimal(38,0)")
+           * F.col("sx").cast("decimal(38,0)"))
+    den = (F.col("n").cast("decimal(38,0)")
+           * F.col("sx").cast("decimal(38,0)"))
+    return agg_.select(
+        F.col("n").alias("n_customers"),
+        F.col("sx").alias("total_cents"),
+        (num.cast("double") / den.cast("double")).alias("gini"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5792,6 +5831,7 @@ QUERIES = {
     "rapid_repeat_orders": q_rapid_repeat_orders,
     "two_sample_ks": q_two_sample_ks,
     "segment_qq_table": q_segment_qq_table,
+    "gini_revenue_concentration": q_gini_revenue_concentration,
 }
 
 _SHINGLE_PAIRS_CTE = """
@@ -8556,3 +8596,20 @@ ORACLE_SQL["segment_qq_table"] = """
     FROM (SELECT p, cents FROM vals WHERE seg = 'BUILDING') a
     JOIN (SELECT p, cents FROM vals WHERE seg = 'MACHINERY') b
       USING (p)"""
+
+ORACLE_SQL["gini_revenue_concentration"] = """
+    WITH per_c AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i
+      FROM per_c),
+    agg_ AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(i * x) AS six
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS BIGINT) AS total_cents,
+           CAST(2 * six - (n + 1) * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE) AS gini
+    FROM agg_"""

@@ -64,3 +64,39 @@ def test_qq_positions_and_delta(spark, tmp_path):
     assert out[50]["a_cents"] == 10      # rank 10
     assert out[95]["a_cents"] == 19      # rank 19
     assert all(r["delta_cents"] == -100 for r in out.values())
+
+
+def test_gini_extremes_and_tie_invariance(spark, tmp_path):
+    """Perfect equality -> Gini 0; total concentration over n
+    customers -> (n-1)/n; a tie in revenues gives the same G
+    whichever way ranks break (identity is tie-invariant in
+    aggregate)."""
+    from datasketches_rust_spark.queries import (
+        q_gini_revenue_concentration)
+
+    def run(dirname, totals):
+        d = str(tmp_path / dirname)
+        spark.createDataFrame(
+            [Row(o_orderkey=i, o_custkey=ck, o_orderstatus="O",
+                 o_totalprice=v, o_orderdate=D(2024, 1, 1),
+                 o_orderpriority="1")
+             for i, (ck, v) in enumerate(totals)]).write.parquet(
+            f"{d}/orders.parquet")
+        return q_gini_revenue_concentration(spark, d).collect()[0]
+
+    eq = run("eq", [(1, 5.0), (2, 5.0), (3, 5.0), (4, 5.0)])
+    assert eq["gini"] == 0.0
+    conc = run("conc", [(1, 0.00001), (2, 0.00001), (3, 0.00001),
+                        (4, 100.0)])
+    # near-total concentration over 4 customers -> ~3/4 (tiny
+    # epsilons from the 0-cent rounding of the dust customers)
+    assert abs(conc["gini"] - 0.75) < 1e-9
+    # hand check: revenues 1,2,3 (dollars) -> cents 100,200,300
+    # G = (2*(1*100+2*200+3*300) - 4*600) / (3*600) = 400/1800 = 2/9
+    mid = run("mid", [(1, 1.0), (2, 2.0), (3, 3.0)])
+    assert abs(mid["gini"] - 2 / 9) < 1e-12
+    # tie: 100,200,200 under either rank order of the tied pair:
+    # six = 1*100 + 2*200 + 3*200 = 1100 both ways -> same G
+    tie = run("tie", [(1, 1.0), (2, 2.0), (3, 2.0)])
+    assert abs(tie["gini"]
+               - (2 * 1100 - 4 * 500) / (3 * 500)) < 1e-12
