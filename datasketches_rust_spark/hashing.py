@@ -206,8 +206,10 @@ def encode_values(values) -> list[bytes]:
     """Canonical byte encodings for hashable column values, following the
     reference's hash_value conventions (hash_value/mod.rs:24-73):
     ints sign-extended to 8-byte LE (sign_extend.rs), floats canonical f64
-    bit pattern with -0.0 -> +0.0 (canonical_float.rs), strings/bytes raw
-    (raw_bytes.rs). None -> b'' (callers should pre-filter nulls)."""
+    bit pattern with -0.0 -> +0.0 and ALL NaN payloads collapsed to the
+    Java Double.doubleToLongBits quiet NaN 0x7ff8000000000000
+    (canonical_float.rs:105-118), strings/bytes raw (raw_bytes.rs).
+    None -> b'' (callers should pre-filter nulls)."""
     out = []
     for v in values:
         if v is None:
@@ -222,6 +224,10 @@ def encode_values(values) -> list[bytes]:
             out.append(np.int64(v).astype("<i8").tobytes())
         elif isinstance(v, (float, np.floating)):
             f = float(v)
+            if f != f:  # any NaN payload -> one canonical bit pattern
+                out.append(np.uint64(0x7FF8000000000000)
+                           .astype("<u8").tobytes())
+                continue
             if f == 0.0:
                 f = 0.0  # canonicalize -0.0
             out.append(np.float64(f).astype("<f8").tobytes())

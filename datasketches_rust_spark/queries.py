@@ -328,7 +328,7 @@ def q_dup_cluster_radius(spark, sf_dir):
     return (labels.join(dist, labels["id"] == dist["node"])
             .groupBy("cluster_id")
             .agg(F.count("*").alias("n_members"),
-                 F.max("dist").alias("radius"),
+                 F.max("dist").cast("long").alias("radius"),
                  F.sum("dist").alias("sum_dist")))
 
 
@@ -2196,7 +2196,16 @@ def q_event_twap_daily(spark, sf_dir):
                     F.date_from_unix_date(
                         F.expr("day_us div 86400000000").cast("int"))
                     .alias("day"),
-                    "n_obs", "wsum_cents_us", "wtot_us"))
+                    "n_obs",
+                    # decimal(38,0) can exceed int64 (a cents x
+                    # day-micros term is ~2^60), so the EXACT value is
+                    # emitted as its decimal-digit string — the one
+                    # lossless form both engines render identically in
+                    # pandas (Spark Decimal objects vs DuckDB
+                    # HUGEINT->float64 would diverge in the driver hash)
+                    F.col("wsum_cents_us").cast("string")
+                    .alias("wsum_cents_us"),
+                    "wtot_us"))
 
 
 def q_user_activity_islands(spark, sf_dir):
@@ -3647,8 +3656,12 @@ def q_ab_experiment_report(spark, sf_dir):
     return mom.select(
         F.col("n0").cast("long").alias("n_control"),
         F.col("n1").cast("long").alias("n_treatment"),
-        F.col("s0").alias("rev_cents_control"),
-        F.col("s1").alias("rev_cents_treatment"),
+        # decimal(38,0) is the ACCUMULATOR discipline (sumsq headroom);
+        # the revenue totals themselves fit long at any real scale, and
+        # long is the one integer type both engines render identically
+        # in pandas (DuckDB HUGEINT -> float64 trips the driver hash)
+        F.col("s0").cast("long").alias("rev_cents_control"),
+        F.col("s1").cast("long").alias("rev_cents_treatment"),
         (mean("1") - mean("0")).alias("mean_diff_cents"),
         ((mean("1") - mean("0"))
          / F.sqrt(var_over_n("1") + var_over_n("0"))).alias("welch_t"))
@@ -3952,9 +3965,14 @@ def _med2(lst, n):
     two middle order statistics — one integer expression covering odd
     (2x the middle) and even (sum of the two middles) group sizes.
     Used wherever a robust location must stay integer (MAD screens,
-    latency medians). Oracle twin: _MED2_SQL.format(l=..., n=...)."""
-    return (F.element_at(lst, ((n + 1) / 2).cast("int"))
-            + F.element_at(lst, ((n + 2) / 2).cast("int")))
+    latency medians). Oracle twin: _MED2_SQL.format(l=..., n=...).
+
+    The middle positions are computed with shiftright(x, 1) — integer
+    (x div 2) for the nonnegative count n — NOT (x / 2).cast(...):
+    Column `/` is DOUBLE division, exact only below 2^53 and a
+    different operation from the oracle twin's integer `//`."""
+    return (F.element_at(lst, F.shiftright(n + 1, 1).cast("int"))
+            + F.element_at(lst, F.shiftright(n + 2, 1).cast("int")))
 
 
 _MED2_SQL = "({l}[({n} + 1) // 2] + {l}[({n} + 2) // 2])"
@@ -3974,13 +3992,30 @@ def q_orders_in_flight_daily(spark, sf_dir):
     co-keyed join with orders; the cumsum runs on ~days rows, not
     corpus rows (same scale argument as cumulative_users_by_day). The
     spine is built from the min/max aggregate via crossJoin + sequence
-    — no driver collect. Integer counts hash exactly cross-engine."""
+    — no driver collect. Integer counts hash exactly cross-engine.
+
+    Inverted intervals (e < s — impossible in TPC-H but possible in
+    messy data) are clamped to the zero-length [s, s]: without the
+    clamp the -1 delta lands at or before the +1 and the running count
+    goes negative — silently, since BOTH engines would agree (the
+    oracle gate can't catch a shared semantic bug). Clamped in the
+    Spark query and the oracle identically; the inverted-interval case
+    is pinned in tests/test_analytics_edges.py."""
     o = _t(spark, sf_dir, "orders")
     li = (_t(spark, sf_dir, "lineitem")
           .groupBy("l_orderkey")
           .agg(F.max(F.to_date("l_shipdate")).alias("e")))
     w = (o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-         .select(F.to_date("o_orderdate").alias("s"), "e"))
+         .select(F.to_date("o_orderdate").alias("s"),
+                 F.greatest("e", F.to_date("o_orderdate")).alias("e")))
+    return _inflight_from_intervals(w)
+
+
+def _inflight_from_intervals(w):
+    """Sweep-line daily coverage over DataFrame[s: date, e: date] with
+    s <= e guaranteed by the caller (clamp first). Split out so the
+    inverted-interval clamp semantics can be pinned by a unit test on
+    a constructed frame."""
     deltas = (w.select(F.col("s").alias("day"), F.lit(1).alias("delta"))
               .unionAll(w.select(F.date_add("e", 1).alias("day"),
                                  F.lit(-1).alias("delta")))
@@ -6068,8 +6103,14 @@ ORACLE_SQL = {
           SELECT e.d, b.dd + 1 FROM bfs b JOIN edges e ON e.s = b.node
           WHERE b.dd < 16),
         dist AS (SELECT node, min(dd) AS dist FROM bfs GROUP BY node)
+        -- CASTs are load-bearing: DuckDB sum(INTEGER) returns HUGEINT
+        -- (and min/max of the recursive dd is INTEGER) where Spark
+        -- emits BIGINT; a type-sensitive hash diverges on equal values
+        -- (driver r3's one red row). Same discipline as
+        -- dup_graph_triangles.
         SELECT c.cluster_id, count(*) AS n_members,
-               max(t.dist) AS radius, sum(t.dist) AS sum_dist
+               CAST(max(t.dist) AS BIGINT) AS radius,
+               CAST(sum(t.dist) AS BIGINT) AS sum_dist
         FROM cl c JOIN dist t ON t.node = c.node
         GROUP BY c.cluster_id""",
     "dup_graph_triangles": _SHINGLE_PAIRS_CTE + """,
@@ -7696,7 +7737,11 @@ ORACLE_SQL["user_balance_clamped"] = """
 ORACLE_SQL["orders_in_flight_daily"] = """
     WITH w AS (
       SELECT CAST(o.o_orderdate AS DATE) AS s,
-             CAST(max(l.l_shipdate) AS DATE) AS e
+             -- clamp inverted intervals (e < s) to zero length, same
+             -- as the Spark side — unclamped, the -1 delta lands at or
+             -- before the +1 and the running count goes negative
+             greatest(CAST(max(l.l_shipdate) AS DATE),
+                      CAST(o.o_orderdate AS DATE)) AS e
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       GROUP BY o.o_orderkey, 1),
     d AS (
@@ -8613,3 +8658,194 @@ ORACLE_SQL["gini_revenue_concentration"] = """
            CAST(2 * six - (n + 1) * sx AS DOUBLE)
              / CAST(n * sx AS DOUBLE) AS gini
     FROM agg_"""
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate dtype normalization (round 4)
+# ---------------------------------------------------------------------------
+# The driver compares Spark and oracle results as PANDAS frames, and its
+# value hash is dtype-sensitive with equal values (r3's one red row:
+# DuckDB sum(INTEGER) -> HUGEINT -> float64 vs Spark BIGINT -> int64).
+# tools/audit_oracle_types.py sweeps every oracle for exactly this class.
+# Two divergence families and their fixes:
+#
+#   1. DATE columns: Spark toPandas() renders DateType as
+#      object(datetime.date) while DuckDB .df() renders DATE as
+#      datetime64 — equal values, different dtype kind AND different
+#      str() forms, so NO value-hash scheme is guaranteed to match. At
+#      the registry boundary (the driver surface — functions keep
+#      idiomatic DATE internally and for direct callers/tests) every
+#      DateType column is serialized to its ISO 'yyyy-MM-dd' string,
+#      and the paired oracle CASTs the same columns to VARCHAR: string
+#      equality is robust under every hashing scheme.
+#
+#   2. Integer aggregates: DuckDB sum() over any integer returns
+#      HUGEINT (float64 in pandas); the oracle casts to BIGINT. Where
+#      the Spark side held a decimal(38,0) ACCUMULATOR, the final
+#      column is cast to long when the value provably fits (revenue
+#      cents) or to its exact digit STRING when it can exceed int64
+#      (event_twap_daily's cents x micros sums).
+#
+# ORACLE_SQL entries are rewritten mechanically with DuckDB's
+# `SELECT * REPLACE (...)` over the original statement, keeping the
+# original oracle logic byte-for-byte intact and auditable.
+
+def _iso_dates(df: DataFrame) -> DataFrame:
+    """Serialize every DateType column to its ISO yyyy-MM-dd string, and
+    every Timestamp(NTZ)Type column to 'yyyy-MM-dd HH:mm:ss' — the
+    registry-boundary wire form for the driver's pandas hash.
+    Timestamps are serialized too because SAME-KIND datetime64 columns
+    still differ in RESOLUTION across engines (Spark toPandas gives
+    ns, DuckDB .df() gives us — measured on tpch_q3_unshipped), so a
+    raw-value hash over equal instants can diverge."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    def conv(f):
+        if isinstance(f.dataType, DateType):
+            return F.date_format(f.name, "yyyy-MM-dd").alias(f.name)
+        if isinstance(f.dataType, (TimestampType, TimestampNTZType)):
+            return F.date_format(f.name, "yyyy-MM-dd HH:mm:ss") \
+                    .alias(f.name)
+        return F.col(f.name)
+
+    if not any(isinstance(f.dataType,
+                          (DateType, TimestampType, TimestampNTZType))
+               for f in df.schema.fields):
+        return df
+    return df.select(*[conv(f) for f in df.schema.fields])
+
+
+def _wrap_iso(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir):
+        return _iso_dates(fn(spark, sf_dir))
+    return wrapped
+
+
+# queries whose registry surface carries DATE columns (audited list)
+_GATE_DATE_QUERIES = [
+    "events_per_day", "cohort_retention_weekly", "linear_attribution_daily",
+    "user_activity_islands", "event_twap_daily", "cumulative_users_by_day",
+    "wau_daily", "event_funnel_daily", "event_ohlc_daily",
+    "scd2_daily_snapshot", "ranked_event_days", "order_percentiles_daily",
+    "orders_in_flight_daily", "lwma_revenue_daily", "event_pattern_users",
+    "tpch_q18_large_orders", "rolling_corr_daily", "weekday_anomaly_flags",
+    "cusum_change_points", "order_skyline", "cohort_ltv_weekly",
+    "conversion_latency_daily", "daily_revenue_moving_avg",
+    "daily_gapfill_ffill", "tpch_q3_unshipped",
+]
+for _n in _GATE_DATE_QUERIES:
+    QUERIES[_n] = _wrap_iso(QUERIES[_n])
+
+# per-query REPLACE lists: date columns -> VARCHAR (matching _iso_dates),
+# integer aggregates -> BIGINT (HUGEINT never reaches pandas)
+_GATE_ORACLE_REPLACE = {
+    "events_per_day": "CAST(day AS VARCHAR) AS day",
+    "cohort_retention_weekly": "CAST(cohort_week AS VARCHAR) AS cohort_week",
+    "linear_attribution_daily":
+        "CAST(click_day AS VARCHAR) AS click_day, "
+        "CAST(credit_millicents AS BIGINT) AS credit_millicents",
+    "user_activity_islands":
+        "CAST(start_date AS VARCHAR) AS start_date, "
+        "CAST(end_date AS VARCHAR) AS end_date",
+    "event_twap_daily":
+        "CAST(day AS VARCHAR) AS day, "
+        "CAST(wsum_cents_us AS VARCHAR) AS wsum_cents_us, "
+        "CAST(wtot_us AS BIGINT) AS wtot_us",
+    "cumulative_users_by_day": "CAST(day AS VARCHAR) AS day",
+    "wau_daily": "CAST(day AS VARCHAR) AS day",
+    "event_funnel_daily": "CAST(day AS VARCHAR) AS day",
+    "event_ohlc_daily":
+        "CAST(day AS VARCHAR) AS day, "
+        "CAST(volume_cents AS BIGINT) AS volume_cents",
+    "scd2_daily_snapshot": "CAST(day AS VARCHAR) AS day",
+    "ranked_event_days": "CAST(day AS VARCHAR) AS day",
+    "order_percentiles_daily": "CAST(day AS VARCHAR) AS day",
+    "orders_in_flight_daily": "CAST(day AS VARCHAR) AS day",
+    "lwma_revenue_daily":
+        "CAST(day AS VARCHAR) AS day, CAST(cents AS BIGINT) AS cents",
+    "event_pattern_users": "CAST(day AS VARCHAR) AS day",
+    "tpch_q18_large_orders": "CAST(o_orderdate AS VARCHAR) AS o_orderdate",
+    "rolling_corr_daily":
+        "CAST(day AS VARCHAR) AS day, CAST(x AS BIGINT) AS x, "
+        "CAST(y AS BIGINT) AS y",
+    "weekday_anomaly_flags":
+        "CAST(day AS VARCHAR) AS day, CAST(cents AS BIGINT) AS cents",
+    "cusum_change_points": "CAST(cusum_max_day AS VARCHAR) AS cusum_max_day",
+    "order_skyline": "CAST(day AS VARCHAR) AS day",
+    "cohort_ltv_weekly": "CAST(c_week AS VARCHAR) AS c_week",
+    "conversion_latency_daily": "CAST(day AS VARCHAR) AS day",
+    "daily_revenue_moving_avg": "CAST(day AS VARCHAR) AS day",
+    "daily_gapfill_ffill": "CAST(day AS VARCHAR) AS day",
+    "streaming_enriched_segments": "CAST(rev_cents AS BIGINT) AS rev_cents",
+    "tpch_q3_unshipped":
+        "CAST(revenue_cents AS BIGINT) AS revenue_cents, "
+        "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate",
+    "linear_quality_scores": "CAST(score AS BIGINT) AS score",
+    "k_anonymity_report":
+        "CAST(n_rows AS BIGINT) AS n_rows, "
+        "CAST(rows_below_k AS BIGINT) AS rows_below_k",
+    "label_centroids": "CAST(sum_q6 AS BIGINT) AS sum_q6",
+    "event_mad_by_type": "CAST(n AS BIGINT) AS n",
+    "orders_settled_returns": "CAST(total_cents AS BIGINT) AS total_cents",
+    "customer_rfm_segments":
+        "CAST(monetary_cents AS BIGINT) AS monetary_cents",
+    "nation_revenue_share": "CAST(cents AS BIGINT) AS cents",
+    "ab_experiment_report":
+        "CAST(rev_cents_control AS BIGINT) AS rev_cents_control, "
+        "CAST(rev_cents_treatment AS BIGINT) AS rev_cents_treatment",
+}
+for _n, _repl in _GATE_ORACLE_REPLACE.items():
+    ORACLE_SQL[_n] = (f"SELECT * REPLACE ({_repl})\n"
+                      f"FROM (\n{ORACLE_SQL[_n]}\n) _gate")
+
+
+# ---------------------------------------------------------------------------
+# Driver correctness window (round 4)
+# ---------------------------------------------------------------------------
+# The driver hash-checks exactly the FIRST 50 entries of queries() per
+# round (confirmed r3: CORRECTNESS_r03.json keys == registry[:50]).
+# r3 spent 8 of those 50 slots on rows-only queries with no SQL oracle.
+# Per the r3 verdict (#1c/#3): the window now holds ONLY oracled
+# queries, and rotates per round so the driver-verified set grows
+# monotonically — r4 keeps 29 anchors from the r3-green set (all seven
+# sketch families, the dedup/LSH/CC core, and the fixed
+# dup_cluster_radius) and front-loads 21 classes the driver has never
+# checked: the full oracled streaming set, TPC-H q3/q4/q5/q18, SCD2,
+# grouping sets, as-of + range + spatial joins, and the KS/QQ/gini
+# trio. The 13 rotated-out r3-green queries remain verified in
+# CORRECTNESS_r03.json and by tools/verify_queries.py every session.
+_DRIVER_WINDOW = [
+    # anchors re-verified from the r3-green set (29)
+    "tpch_q1", "top_suppliers_by_revenue",
+    "theta_distinct_parts_by_flag", "theta_union_custkeys",
+    "theta_intersect_custkeys", "theta_anotb_custkeys",
+    "theta_jaccard_event_types", "theta_monthly_rollup",
+    "freq_top_event_types", "countmin_event_counts",
+    "tdigest_price_stats", "bloom_semijoin_parts",
+    "exact_dedup_documents", "minhash_dup_pairs", "dedup_against_index",
+    "dedup_clusters", "dup_graph_triangles", "dup_cluster_radius",
+    "leakage_safe_split", "ngram_jaccard_pairs", "containment_dup_pairs",
+    "text_quality", "bpe_tokens_per_doc", "repetition_flags",
+    "pii_redaction_stats", "chunk_dedup_stats", "ann_topk_bruteforce",
+    "embedding_dup_pairs", "embedding_dedup_against_index",
+    # driver-unchecked classes rotated in (21)
+    "streaming_exact_dedup", "streaming_sessions",
+    "streaming_interval_join", "streaming_enriched_segments",
+    "streaming_windowed_topk", "streaming_windowed_distinct",
+    "streaming_windowed_sliding", "streaming_drift_monitor",
+    "tpch_q3_unshipped", "tpch_q4_late_orders", "tpch_q5_local_supplier",
+    "tpch_q18_large_orders", "scd2_user_versions", "scd2_daily_snapshot",
+    "sales_grouping_sets", "asof_last_purchase", "range_join_shipments",
+    "geo_nearby_customers", "two_sample_ks", "segment_qq_table",
+    "gini_revenue_concentration",
+]
+assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+assert all(n in ORACLE_SQL for n in _DRIVER_WINDOW), \
+    [n for n in _DRIVER_WINDOW if n not in ORACLE_SQL]
+assert all(n in QUERIES for n in _DRIVER_WINDOW), \
+    [n for n in _DRIVER_WINDOW if n not in QUERIES]
+QUERIES = {n: QUERIES[n] for n in _DRIVER_WINDOW} | \
+    {n: f for n, f in QUERIES.items() if n not in _DRIVER_WINDOW}

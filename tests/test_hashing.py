@@ -157,3 +157,32 @@ def test_encode_unsigned_conventions():
         encode_unsigned([1], 12, "natural")
     with pytest.raises(ValueError):
         encode_unsigned([1], 8, "zigzag")
+
+
+def test_encode_values_canonical_float():
+    """canonical_float.rs:105-118 parity: -0.0 encodes as +0.0, every
+    NaN payload (quiet, signalling-ish payloads, negative NaN) encodes
+    as the single Java Double.doubleToLongBits pattern
+    0x7ff8000000000000, and non-NaN floats keep their own bits."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from datasketches_rust_spark.hashing import encode_values
+
+    zero, negzero = encode_values([0.0, -0.0])
+    assert zero == negzero == struct.pack("<d", 0.0)
+
+    # three distinct NaN bit patterns -> one canonical encoding
+    payload_nan = struct.unpack("<d", struct.pack("<Q", 0x7FF8DEADBEEF0001))[0]
+    neg_nan = struct.unpack("<d", struct.pack("<Q", 0xFFF8000000000000))[0]
+    encs = encode_values([float("nan"), payload_nan, neg_nan,
+                          np.float64("nan")])
+    canon = struct.pack("<Q", 0x7FF8000000000000)
+    assert all(e == canon for e in encs)
+    assert math.isnan(struct.unpack("<d", canon)[0])
+
+    # a regular float is untouched
+    pi, = encode_values([3.141592653589793])
+    assert pi == struct.pack("<d", 3.141592653589793)

@@ -68,10 +68,13 @@ def checks_eval(plan: str, checks: dict[str, object]) -> dict[str, bool]:
                 out[desc] = bool(pred(plan))
             else:
                 out[desc] = bool(re.search(pred, plan))
-        except Exception:
+        except Exception as e:
             # a predicate that can't even evaluate (e.g. str.index on a
-            # renamed node) is a FAILED check, not a crashed audit run
+            # renamed node) is a FAILED check, not a crashed audit run —
+            # but print the exception so a buggy PREDICATE is
+            # distinguishable from a real plan regression
             out[desc] = False
+            print(f"[predicate error] {desc}: {type(e).__name__}: {e}")
     return out
 
 
