@@ -3751,29 +3751,31 @@ def q_abc_parts_by_revenue(spark, sf_dir):
     """PARETO / ABC ANALYSIS (the BI inventory-classification class):
     parts ranked by revenue, classified A/B/C at 80% / 95% cumulative
     share. Scale discipline: the FACT table collapses to a part-keyed
-    revenue aggregate first (map-side combined — the only corpus
-    exchange), and the ordered cumulative sum runs over that
-    DIM-BOUNDED aggregate; a single-partition window over a dim table
-    is the honest cost of a global cumulative rank (for dim tables
-    that outgrow one partition, reuse stable_row_ids' bucketed
-    row_number + offset machinery). The gate is float-free: revenue in
+    revenue aggregate first (map-side combined), and the ordered
+    cumulative sum runs over that part-keyed aggregate with the
+    BUCKETED rank decomposition (operators/bucketed_rank.py — the
+    stable_row_ids machinery generalized to running sums): the part
+    table's only exchange is hashpartitioning on the revenue bucket,
+    each task cumsums ONE bucket, and the bucket's exclusive revenue
+    offset comes from a <=64-row broadcast table — no single-reducer
+    window even at 10^9 parts. The gate is float-free: revenue in
     integer cents, the running total an INTEGER cumsum (exact
     cross-engine, unlike float window sums — the daily_revenue
     lesson), and the class thresholds evaluated as integer
     cross-multiplications (cum*100 <= total*80) so no division ever
     happens. Ties ordered (rev desc, partkey) identically on both
     engines."""
+    from datasketches_rust_spark.operators.bucketed_rank import (
+        with_global_ranks)
     li = _t(spark, sf_dir, "lineitem")
     rev = (li.groupBy("l_partkey")
            .agg(F.sum(F.round(F.col("l_extendedprice")
                               * (1 - F.col("l_discount")) * 100)
                       .cast("long")).alias("rev_cents")))
-    w = Window.orderBy(F.col("rev_cents").desc(), F.col("l_partkey"))
     total = rev.agg(F.sum("rev_cents").alias("total_cents"))
-    ranked = (rev.withColumn("cum_cents",
-                             F.sum("rev_cents").over(
-                                 w.rowsBetween(Window.unboundedPreceding,
-                                               Window.currentRow)))
+    ranked = (with_global_ranks(rev, "rev_cents", ["l_partkey"],
+                                ascending=False,
+                                cum_cols={"cum_cents": "rev_cents"})
               .crossJoin(F.broadcast(total)))
     cls = (F.when(F.col("cum_cents") * 100
                   <= F.col("total_cents") * 80, "A")
@@ -4551,17 +4553,25 @@ def q_order_value_lift_table(spark, sf_dir):
     CAPTURE of all F-orders — the gains curve, an integer cumsum over
     the 10-row decile table ordered decile-descending. Lift =
     rate/base-rate stays a ratio of the two ppm integers the row
-    already carries. One corpus exchange for the ntile sort at fixture
-    scale; at 10^12 rows positional deciles move to the histogram-walk
-    percentile machinery (source_profile) and this table keeps its
-    shape."""
+    already carries. The decile assignment is engine-ntile semantics
+    reproduced from a BUCKETED global row_number (operators/
+    bucketed_rank.py ntile_expr — true integer div arithmetic on
+    (rn, n)): the corpus exchanges once on the value bucket instead of
+    collapsing to one reducer for the ntile sort, so the plan holds at
+    10^12 rows (positional deciles could also bin through the
+    histogram-walk machinery; the exact-rank form keeps the oracle
+    byte-identical)."""
+    from datasketches_rust_spark.operators.bucketed_rank import (
+        ntile_expr, with_global_ranks)
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     d = o.select("o_orderkey", cents.alias("cents"),
                  F.when(F.col("o_orderstatus") == "F", 1)
                  .otherwise(0).alias("is_f"))
-    w = Window.orderBy("cents", "o_orderkey")
-    dec = d.select("is_f", F.ntile(10).over(w).cast("long").alias("decile"))
+    n1 = d.agg(F.count("*").alias("n"))
+    dec = (with_global_ranks(d, "cents", ["o_orderkey"], rn_col="rn")
+           .crossJoin(F.broadcast(n1))
+           .select("is_f", ntile_expr("rn", "n", 10).alias("decile")))
     per = (dec.groupBy("decile")
            .agg(F.count("*").alias("n_orders"),
                 F.sum("is_f").alias("n_f")))
@@ -4623,31 +4633,38 @@ def q_customer_rfm_segments(spark, sf_dir):
     5 = most recent, aligning all three scales as higher=better), then
     the standard segment names from the (r,f) cell. Scale shape: the
     orders corpus collapses to ONE customer-keyed aggregate (map-side
-    combined); the ntile sort runs on the customer table (dimension-
-    sized); at 10^9+ customers positional quintiles move to the
-    histogram-walk percentile machinery, same contract. All integers
-    and strings — exact cross-engine."""
+    combined); each quintile is engine-ntile semantics reproduced from
+    a BUCKETED global row_number (operators/bucketed_rank.py — three
+    bucket-keyed exchanges over the customer table instead of three
+    single-reducer ntile sorts, so the plan holds at 10^9+ customers).
+    All integers and strings — exact cross-engine."""
+    from datasketches_rust_spark.operators.bucketed_rank import (
+        ntile_expr, with_global_ranks)
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     per = (o.groupBy("o_custkey")
            .agg(F.max(F.to_date("o_orderdate")).alias("last_day"),
                 F.count("*").alias("frequency"),
                 F.sum(cents).alias("monetary_cents")))
-    mx = per.agg(F.max("last_day").alias("max_day"))
+    mx = per.agg(F.max("last_day").alias("max_day"),
+                 F.count("*").alias("n"))
     base = (per.crossJoin(F.broadcast(mx))
             .select(F.col("o_custkey").alias("c_custkey"),
                     F.datediff("max_day", "last_day").cast("long")
                     .alias("recency_days"),
-                    "frequency", "monetary_cents"))
-    wr = Window.orderBy(F.col("recency_days").desc(),
-                        F.col("c_custkey"))
-    wf = Window.orderBy(F.col("frequency"), F.col("c_custkey"))
-    wm = Window.orderBy(F.col("monetary_cents"), F.col("c_custkey"))
-    scored = base.select(
+                    "frequency", "monetary_cents", "n"))
+    ranked = with_global_ranks(
+        base, "recency_days", ["c_custkey"], ascending=False,
+        rn_col="rn_r")
+    ranked = with_global_ranks(
+        ranked, "frequency", ["c_custkey"], rn_col="rn_f")
+    ranked = with_global_ranks(
+        ranked, "monetary_cents", ["c_custkey"], rn_col="rn_m")
+    scored = ranked.select(
         "c_custkey", "recency_days", "frequency", "monetary_cents",
-        F.ntile(5).over(wr).cast("long").alias("r"),
-        F.ntile(5).over(wf).cast("long").alias("f"),
-        F.ntile(5).over(wm).cast("long").alias("m"))
+        ntile_expr("rn_r", "n", 5).alias("r"),
+        ntile_expr("rn_f", "n", 5).alias("f"),
+        ntile_expr("rn_m", "n", 5).alias("m"))
     seg = (F.when((F.col("r") >= 4) & (F.col("f") >= 4), "champion")
            .when((F.col("r") >= 4) & (F.col("f") <= 2), "new")
            .when((F.col("r") <= 2) & (F.col("f") >= 4), "at_risk")
@@ -5073,17 +5090,19 @@ def q_winsorized_order_values(spark, sf_dir):
     convention). The two cut values come from a rank filter on the
     window table and broadcast back as a 1-row cross join; the clamp
     is a pure expression. Output: order, raw cents, winsorized cents,
-    and which side (if any) clipped — integers only. The global sort
-    is order-table-bounded at fixture scale; at 10^12 rows the cuts
-    come from the histogram-walk percentile machinery
-    (source_profile) and the clamp expression is unchanged."""
+    and which side (if any) clipped — integers only. The rank table
+    uses the BUCKETED row_number decomposition (operators/
+    bucketed_rank.py): one bucket-keyed exchange, no single-reducer
+    sort, so the exact-positional cuts hold at 10^12 rows (the
+    histogram-walk machinery is the alternative convention;
+    exact ranks keep the oracle byte-identical)."""
+    from datasketches_rust_spark.operators.bucketed_rank import (
+        with_global_ranks)
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     d = o.select("o_orderkey", cents.alias("cents"))
-    w = Window.orderBy("cents", "o_orderkey")
-    ranked = d.select("o_orderkey", "cents",
-                      F.row_number().over(w).cast("long").alias("rn"))
-    n1 = ranked.agg(F.max("rn").alias("n"))
+    ranked = with_global_ranks(d, "cents", ["o_orderkey"], rn_col="rn")
+    n1 = d.agg(F.count("*").alias("n"))
     cuts = (ranked.crossJoin(F.broadcast(n1))
             .where((F.col("rn") == F.expr(
                 f"(n - 1) * {WINSOR_LO_PPM} div 1000000 + 1"))
@@ -5110,24 +5129,28 @@ def q_quantile_normalized_orders(spark, sf_dir):
     (rn-1)*(N-1) div (n_g-1) + 1 — floored linear position mapping,
     no engine quantile function, no interpolation floats; a singleton
     group maps to the global lower median (N+1) div 2. Shape: two
-    rank tables over the order table (segment-partitioned and global)
-    and one equi-join on the computed position — all order-table-
-    bounded; at 10^12 rows both rank sides move to the histogram-walk
-    percentile machinery, the mapping expression unchanged."""
+    rank tables over the order table (segment-partitioned and global),
+    BOTH on the bucketed row_number decomposition (operators/
+    bucketed_rank.py — the segment side partitions its buckets WITHIN
+    each segment: a 5-segment corpus would otherwise sort on 5
+    reducers, the same serialization as the global window at 1/5
+    scale), and one equi-join on the computed position — the only
+    corpus exchanges are bucket-keyed, so the plan holds at 10^12
+    rows (histogram-walk binning is the alternative convention; exact
+    ranks keep the oracle byte-identical)."""
+    from datasketches_rust_spark.operators.bucketed_rank import (
+        with_global_ranks)
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     rows = (o.join(c, o["o_custkey"] == c["c_custkey"])
             .select("o_orderkey", F.col("c_mktsegment").alias("segment"),
                     cents.alias("cents")))
-    wg = Window.partitionBy("segment").orderBy("cents", "o_orderkey")
-    ranked = rows.select(
-        "o_orderkey", "segment", "cents",
-        F.row_number().over(wg).cast("long").alias("rn"))
+    ranked = with_global_ranks(rows, "cents", ["o_orderkey"],
+                               partition_cols=("segment",), rn_col="rn")
     ng = rows.groupBy("segment").agg(F.count("*").alias("n_g"))
-    wall = Window.orderBy("cents", "o_orderkey")
-    gl = rows.select(F.row_number().over(wall).cast("long").alias("g"),
-                     F.col("cents").alias("norm_cents"))
+    gl = (with_global_ranks(rows, "cents", ["o_orderkey"], rn_col="g")
+          .select("g", F.col("cents").alias("norm_cents")))
     n1 = rows.agg(F.count("*").alias("n_all"))
     pos = F.when(F.col("n_g") > 1,
                  F.expr("(rn - 1) * (n_all - 1) div (n_g - 1) + 1")) \
@@ -5152,20 +5175,22 @@ def q_order_skyline(spark, sf_dir):
     whether a higher-valued, later order exists. Integer cents and
     day indices keep it exact; equal-cents rows never dominate each
     other (strict on both axes), which the range frame encodes for
-    free. Global sort is order-table-bounded; higher dimensions or
-    10^12 rows use the grid/partition skyline decomposition (same
-    candidates-then-verify idea as operators/spatial.py)."""
+    free. The sweep runs BUCKETED (operators/bucketed_rank.py
+    strict_prefix_max): the cross-bucket part is a strict prefix-max
+    over the <=64-row per-bucket-max table and the within-bucket part
+    is the same strict RANGE frame scoped to one bucket's partition —
+    one bucket-keyed corpus exchange, no single-reducer sort, holds at
+    10^12 rows (higher dimensions use the grid/partition skyline
+    decomposition — the operators/spatial.py idea)."""
+    from datasketches_rust_spark.operators.bucketed_rank import (
+        strict_prefix_max)
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     d = o.select("o_orderkey", cents.alias("cents"),
                  F.to_date("o_orderdate").alias("day"),
                  F.datediff(F.to_date("o_orderdate"),
                             F.lit("1992-01-01")).cast("long").alias("di"))
-    fr = (Window.orderBy(F.col("cents").desc())
-          .rangeBetween(Window.unboundedPreceding, -1))
-    marked = d.select(
-        "o_orderkey", "cents", "day",
-        F.max("di").over(fr).alias("best_later"), "di")
+    marked = strict_prefix_max(d, "cents", "di", "best_later")
     # dominated iff best_later > di STRICTLY — a same-day
     # higher-priced order does not dominate (strict on BOTH axes)
     return (marked.where(F.col("best_later").isNull()
@@ -5615,9 +5640,13 @@ def q_segment_qq_table(spark, sf_dir):
     convention — no interpolation, no engine quantile function), so
     every cell is an integer and the per-row delta is exact. The
     percentile spine is a literal 19-row table that joins each
-    segment's rank table on the computed position — all sorts are
-    order-table-bounded; the histogram-walk machinery takes over at
-    10^12 rows."""
+    segment's rank table on the computed position; the rank table uses
+    the bucketed row_number decomposition PER SEGMENT (operators/
+    bucketed_rank.py — a plain partitionBy(seg) window is 2 reducers
+    sorting half the corpus each), so the only corpus exchange is
+    (seg, bucket)-keyed and the plan holds at 10^12 rows."""
+    from datasketches_rust_spark.operators.bucketed_rank import (
+        with_global_ranks)
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -5625,10 +5654,9 @@ def q_segment_qq_table(spark, sf_dir):
             .where(F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
             .select(F.col("c_mktsegment").alias("seg"),
                     cents.alias("cents"), "o_orderkey"))
-    wseg = Window.partitionBy("seg").orderBy("cents", "o_orderkey")
-    ranked = rows.select(
-        "seg", "cents",
-        F.row_number().over(wseg).cast("long").alias("rn"))
+    ranked = (with_global_ranks(rows, "cents", ["o_orderkey"],
+                                partition_cols=("seg",), rn_col="rn")
+              .select("seg", "cents", "rn"))
     ns = rows.groupBy("seg").agg(F.count("*").alias("n"))
     spine = None
     for p in QQ_POINTS:
@@ -5663,16 +5691,19 @@ def q_gini_revenue_concentration(spark, sf_dir):
     double. Revenue ties are rank-broken by custkey; the standard
     identity is tie-invariant in aggregate (equal x under adjacent
     ranks contribute the same total — the test pins it). Shape: the
-    corpus collapses to one customer-keyed aggregate; the rank sort
-    runs on the customer-bounded table (per-key revenue, the
-    dimension's size); output is one row: n, total_cents, gini."""
+    corpus collapses to one customer-keyed aggregate; the rank runs
+    on the customer-bounded table with the bucketed row_number
+    decomposition (operators/bucketed_rank.py — one bucket-keyed
+    exchange, no single-reducer sort even at 10^9+ customers); output
+    is one row: n, total_cents, gini."""
+    from datasketches_rust_spark.operators.bucketed_rank import (
+        with_global_ranks)
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     per_c = (o.groupBy("o_custkey")
              .agg(F.sum(cents).alias("x")))
-    w = Window.orderBy("x", "o_custkey")
-    ranked = per_c.select(
-        "x", F.row_number().over(w).cast("long").alias("i"))
+    ranked = (with_global_ranks(per_c, "x", ["o_custkey"], rn_col="i")
+              .select("x", "i"))
     d19 = "decimal(19,0)"
     agg_ = ranked.agg(
         F.count("*").alias("n"),

@@ -1051,6 +1051,54 @@ def main() -> None:
             lambda p: _n_nodes(p, "Window") == 1,
     })
 
+    # 51. round-4: the 8 formerly-global-window rank queries (r3 verdict
+    #     "What's wrong #2") now run on operators/bucketed_rank.py —
+    #     every corpus-proportional window must partition by __bucket,
+    #     engine ntile (whose plan is an unpartitioned window) must be
+    #     gone, no global sort anywhere, and the only SinglePartition
+    #     exchanges left are the <=64-row bucket-offset windows and
+    #     scalar min/max/total aggregates (count-bounded per query so a
+    #     regression to a corpus-sized single-reducer stage trips the
+    #     audit).
+    def bucketed_rank_checks(max_single: int):
+        return {
+            "corpus window exchange is bucket-keyed":
+                r"hashpartitioning\([^)]*__bucket#\d+L",
+            "no engine ntile (single-reducer plan) anywhere":
+                lambda p: "ntile(" not in p,
+            "no global sort anywhere in the plan":
+                lambda p: not re.search(r"\(\d+\) Sort\b[\s\S]*?"
+                                        r"Arguments: \[[^\]]*\], true, 0",
+                                        p),
+            f"single-partition exchanges bounded (<= {max_single}: "
+            "offset windows + scalar aggs only)":
+                lambda p: p.count("Exchange SinglePartition")
+                <= max_single,
+        }
+
+    for name, fn, max_single in [
+        # offsets window + min/max agg + total agg
+        ("abc_parts_by_revenue", Q.q_abc_parts_by_revenue, 4),
+        # offsets window + min/max agg + n agg
+        ("order_value_lift_table", Q.q_order_value_lift_table, 4),
+        # 3 x (offsets window + min/max agg) + shared n agg
+        ("customer_rfm_segments", Q.q_customer_rfm_segments, 8),
+        # offsets window + min/max agg + n agg
+        ("winsorized_order_values", Q.q_winsorized_order_values, 4),
+        # global side + per-seg side (grouped mm joins, offset windows)
+        ("quantile_normalized_orders",
+         Q.q_quantile_normalized_orders, 6),
+        # per-bucket-max prefix window + min/max agg
+        ("order_skyline", Q.q_order_skyline, 3),
+        # per-seg bucketed rank (grouped mm: no SinglePartition mm agg)
+        ("segment_qq_table", Q.q_segment_qq_table, 4),
+        # offsets window + min/max agg + final 1-row aggregate
+        ("gini_revenue_concentration",
+         Q.q_gini_revenue_concentration, 4),
+    ]:
+        failures += audit(name, fn(spark, SF_DIR),
+                          bucketed_rank_checks(max_single))
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")
