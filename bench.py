@@ -140,6 +140,18 @@ def main() -> None:
         lambda: _noop(audio_cluster_assignments(aclips)), trials=3)
     clips_per_sec = round(audio_n / timings["audio_dedup_clusters"], 1)
 
+    # 2c. frame-level audio dedup (r4 Haitsma-Kalker sub-fingerprint
+    # axis — joins the headline list in r4, so r4 totals are not
+    # comparable to r3's across this boundary; per-query rows are)
+    from datasketches_rust_spark.pipeline_audio import \
+        audio_frame_cluster_assignments
+    from datasketches_rust_spark.sources.audio import audio_frames_spark_df
+    fclips, _ftruth = audio_frames_spark_df(spark, audio_n, seed=42,
+                                            partitions=max(32, cpus))
+    fclips = fclips.localCheckpoint()  # synthesis timed separately
+    run("audio_frame_dedup_clusters",
+        lambda: _noop(audio_frame_cluster_assignments(fclips)), trials=3)
+
     # 3. relational + sketch headline queries on the TPC-H-ish tables
     # (chunk_dedup_stats + repetition_flags joined the list in r3 — the
     # total is therefore not comparable to BENCH_r02's; per-query rows

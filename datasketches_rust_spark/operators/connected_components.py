@@ -154,3 +154,30 @@ def assign_clusters(vertices: DataFrame, edges: DataFrame,
             .withColumn("cluster_id",
                         F.coalesce(F.col("cluster_id"), F.col(id_col)))
             .select(id_col, "cluster_id"))
+
+
+def assign_clusters_string_ids(items: DataFrame, edges_from_long_ids,
+                               id_col: str) -> DataFrame:
+    """Cluster assignments for STRING-keyed items whose edge generation
+    wants LONG ids (the shuffle-heavy middle of every modality
+    pipeline rides xxhash64 longs; the min-STRING representative is
+    recovered at the end — the image-axis discipline, CLAUDE.md).
+
+    ``edges_from_long_ids(df_with___lid)`` must return
+    DataFrame[id_a, id_b] over the ``__lid`` column the items get.
+    Singletons map to themselves. Shared by the audio clip, audio
+    frame, and video pipelines (was three identical inline copies)."""
+    lids = items.withColumn("__lid", F.xxhash64(F.col(id_col)))
+    edges = edges_from_long_ids(lids)
+    cc = connected_components(edges, None, id_col="__lid")
+    idmap = items.select(F.col(id_col),
+                         F.xxhash64(F.col(id_col)).alias("__lid"))
+    members = (cc.join(idmap, "__lid")
+               .select(F.col(id_col), F.col("cluster_id").alias("__cl")))
+    reps = members.groupBy("__cl").agg(F.min(id_col).alias("cluster_id"))
+    assigned = members.join(reps, "__cl").select(id_col, "cluster_id")
+    return (items.select(F.col(id_col))
+            .join(assigned, id_col, "left")
+            .withColumn("cluster_id",
+                        F.coalesce(F.col("cluster_id"), F.col(id_col)))
+            .select(id_col, "cluster_id"))

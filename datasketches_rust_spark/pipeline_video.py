@@ -129,27 +129,15 @@ def video_cluster_assignments(videos: DataFrame,
     singletons map to themselves."""
     from datasketches_rust_spark.operators.connected_components import (
         assign_clusters,
-        connected_components,
+        assign_clusters_string_ids,
     )
 
     if dict(videos.dtypes)[id_col] == "string":
-        lvids = videos.withColumn("__lid", F.xxhash64(F.col(id_col)))
-        edges = video_edges(
-            lvids.select("__lid", "bytes"), "__lid")
-        cc = connected_components(edges, None, id_col="__lid")
-        idmap = videos.select(F.col(id_col),
-                              F.xxhash64(F.col(id_col)).alias("__lid"))
-        members = (cc.join(idmap, "__lid")
-                   .select(F.col(id_col),
-                           F.col("cluster_id").alias("__cl")))
-        reps = members.groupBy("__cl").agg(
-            F.min(id_col).alias("cluster_id"))
-        assigned = members.join(reps, "__cl").select(id_col, "cluster_id")
-        return (videos.select(F.col(id_col))
-                .join(assigned, id_col, "left")
-                .withColumn("cluster_id",
-                            F.coalesce(F.col("cluster_id"), F.col(id_col)))
-                .select(id_col, "cluster_id"))
+        return assign_clusters_string_ids(
+            videos,
+            lambda lvids: video_edges(
+                lvids.select("__lid", "bytes"), "__lid"),
+            id_col)
     edges = video_edges(videos, id_col)
     return assign_clusters(videos.select(F.col(id_col)), edges,
                            id_col=id_col)

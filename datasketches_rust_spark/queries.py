@@ -1444,6 +1444,27 @@ def q_audio_dedup_clusters(spark, sf_dir):
         .select("clip_id", "cluster_id")
 
 
+def q_audio_frame_dedup_clusters(spark, sf_dir):
+    """FRAME-LEVEL audio dedup (Haitsma-Kalker sub-fingerprints — the
+    r4 answer to the clip axis' documented time-shift blindness and
+    entropy cap): per-overlapping-frame 64-bit sign codes -> two-tier
+    code matching (exact inverted index over df-capped informative
+    codes + triple-slice banding of the DISTINCT code table) ->
+    fractional temporal-vote quorum -> connected components. The
+    fixture plants TRIMMED copies (which clip-level codes provably
+    lose — pinned) and shared-3-note-intro hard negatives (which the
+    quorum must reject). Rows-only (binary decode has no SQL oracle);
+    recall = precision = 1.0 vs planted truth pytest-gated
+    (tests/test_audio_frames.py); candidate-volume ladder in
+    tools/audio_frames_probe.py."""
+    from datasketches_rust_spark.pipeline_audio import \
+        audio_frame_cluster_assignments
+    from datasketches_rust_spark.sources.audio import audio_frames_spark_df
+    clips, _truth = audio_frames_spark_df(spark, 2000, seed=42)
+    return audio_frame_cluster_assignments(clips) \
+        .select("clip_id", "cluster_id")
+
+
 def q_image_contamination_check(spark, sf_dir):
     """VISUAL decontamination — the image-axis counterpart of
     contamination_check: flag corpus images within phash Hamming <= 3
@@ -5582,10 +5603,13 @@ def q_two_sample_ks(spark, sf_dir):
     ECDFs, so the max and its location admit no rounding ambiguity
     (the first/lowest cents value achieving the max reported as the
     deterministic argmax). Shape: per-value counts per side (ONE
-    map-side-combined groupBy), two integer cumsums over the
-    value-bounded distinct table, one struct-max aggregate. At 10^12
-    rows the thresholds bin through the histogram-walk machinery and
-    D gets a bin-width resolution bound; the expression is unchanged."""
+    map-side-combined groupBy), then the two integer cumsums over the
+    distinct-threshold table run on the BUCKETED rank decomposition
+    (operators/bucketed_rank.py — r3 ran them in an unpartitioned
+    window, a single reducer once the value domain is unbounded and
+    the distinct table corpus-sized; the bucketed form is EXACT, so
+    no histogram-walk resolution bound is needed), one struct-max
+    aggregate."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -5593,17 +5617,16 @@ def q_two_sample_ks(spark, sf_dir):
             .where(F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
             .select(F.col("c_mktsegment").alias("seg"),
                     cents.alias("cents")))
+    from datasketches_rust_spark.operators.bucketed_rank import (
+        with_global_ranks)
     per_v = (rows.groupBy("cents")
              .agg(F.sum(F.when(F.col("seg") == KS_SEG_A, 1)
                         .otherwise(0)).alias("a"),
                   F.sum(F.when(F.col("seg") == KS_SEG_B, 1)
                         .otherwise(0)).alias("b")))
-    cum = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
-    ecdf = per_v.select(
-        "cents",
-        F.sum("a").over(cum).alias("i"),
-        F.sum("b").over(cum).alias("j"))
+    ecdf = (with_global_ranks(per_v, "cents", [],
+                              cum_cols={"i": "a", "j": "b"})
+            .select("cents", "i", "j"))
     tot = rows.agg(
         F.sum(F.when(F.col("seg") == KS_SEG_A, 1).otherwise(0))
         .alias("n1"),
@@ -5720,6 +5743,119 @@ def q_gini_revenue_concentration(spark, sf_dir):
         (num.cast("double") / den.cast("double")).alias("gini"))
 
 
+def q_weighted_median_price(spark, sf_dir):
+    """WEIGHTED QUANTILES (per-brand weighted median of unit price,
+    weighted by total quantity SOLD — the "typical price a unit
+    actually trades at" readout, where the unweighted median answers a
+    different question the moment volumes are skewed). Convention:
+    lower weighted median = the smallest price whose cumulative weight
+    reaches half the total, evaluated as the integer cross-product
+    2*cumw >= totw (no division). Scale shape: the fact table
+    collapses to one (brand, price, weight) aggregate (map-side
+    combined); the cumulative weights run on the BUCKETED rank
+    decomposition per brand (operators/bucketed_rank.py cum_cols —
+    a partitionBy(brand) window is |brands| reducers sorting
+    corpus-proportional value tables), and the median is a min over
+    the threshold filter. Everything integer until the final
+    cents->display division never happens (emitted in cents)."""
+    from datasketches_rust_spark.operators.bucketed_rank import (
+        with_global_ranks)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    rows = (li.join(p, li["l_partkey"] == p["p_partkey"])
+            .groupBy(F.col("p_brand").alias("brand"),
+                     cents.alias("price_cents"))
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("w")))
+    cum = with_global_ranks(rows, "price_cents", [],
+                            partition_cols=("brand",),
+                            cum_cols={"cumw": "w"})
+    tot = rows.groupBy("brand").agg(F.sum("w").alias("totw"))
+    return (cum.join(tot, "brand")
+            .where(F.col("cumw") * 2 >= F.col("totw"))
+            .groupBy("brand")
+            .agg(F.min("price_cents").alias("wmedian_cents"),
+                 F.max("totw").alias("total_qty")))
+
+
+KCORE_K = 2          # smallest k with non-trivial structure
+KCORE_MAX_ROUNDS = 12
+
+
+def q_dup_graph_kcore(spark, sf_dir):
+    """K-CORE DECOMPOSITION of the dup graph (the k=2 core: nodes
+    surviving iterative removal of degree<2 nodes — the "redundantly
+    confirmed" subgraph next to dup_graph_triangles' local density and
+    dup_cluster_radius' stretch: a chain's endpoints peel away, cycles
+    and cliques survive, so core membership separates
+    one-edge-evidence dups from multiply-witnessed ones). Iterative
+    peeling is monotone (the survivor set only shrinks), so the oracle
+    unrolls the same rounds as MATERIALIZED CTE steps (the pagerank
+    discipline) and BOTH sides share the convergence bound: the Spark
+    loop raises past KCORE_MAX_ROUNDS rather than silently truncating,
+    and the fixture converges in far fewer. Each round is one
+    degree-aggregate + one semi-join on the surviving edge set,
+    checkpointed — edges-only, frontier-sized, the CC/BFS shuffle
+    discipline. Output: surviving nodes with their within-core
+    degree."""
+    from pyspark.storagelevel import StorageLevel
+    docs = _t(spark, sf_dir, "documents")
+    edges = (dedup_pairs(docs, CFG, "doc_id", "text")
+             .select("id_a", "id_b")
+             .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK))
+    sym = (edges.unionAll(edges.select(F.col("id_b").alias("id_a"),
+                                       F.col("id_a").alias("id_b"))))
+    cur = sym
+    for _ in range(KCORE_MAX_ROUNDS):
+        deg = cur.groupBy("id_a").agg(F.count("*").alias("d"))
+        keep = deg.where(F.col("d") >= KCORE_K).select("id_a")
+        nxt = (cur.join(keep, "id_a")
+               .join(keep.select(F.col("id_a").alias("id_b")), "id_b")
+               .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK))
+        if nxt.count() == cur.count():
+            core = (nxt.groupBy("id_a").agg(F.count("*").alias("degree"))
+                    .select(F.col("id_a").alias("doc_id"), "degree"))
+            return core
+        cur = nxt
+    raise RuntimeError(
+        f"k-core peeling did not stabilize in {KCORE_MAX_ROUNDS} rounds"
+        " — raise KCORE_MAX_ROUNDS (and the oracle's unroll depth)")
+
+
+def q_region_hhi_concentration(spark, sf_dir):
+    """HERFINDAHL-HIRSCHMAN INDEX per region (the antitrust/market-
+    concentration scalar next to gini's inequality and ABC's bands:
+    HHI = sum over nations of their squared revenue share; 1/n =
+    perfect competition, 1.0 = monopoly). Shares are FLOORED integer
+    ppm of the region total (the engine-agnostic floor-div discipline
+    — a float share would hash but floor keeps the whole row integer
+    until the final report), HHI emitted as the exact integer sum of
+    squared ppm shares (max 1e12, comfortably long). One corpus
+    collapse to (region, nation) cents through the snowflake broadcast
+    chain (the nation_revenue_share shape), then a nation-bounded
+    window sum and one aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_n = (o.join(c, o["o_custkey"] == c["c_custkey"])
+             .groupBy(F.col("c_nationkey").alias("nk"))
+             .agg(F.sum(cents).alias("cents"))
+             .join(F.broadcast(n), F.col("nk") == n["n_nationkey"])
+             .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+             .select(F.col("r_name").alias("region"),
+                     F.col("n_name").alias("nation"), "cents"))
+    shares = per_n.select(
+        "region",
+        F.expr("cents * 1000000 div sum(cents) over "
+               "(partition by region)").alias("share_ppm"))
+    return (shares.groupBy("region")
+            .agg(F.count("*").alias("n_nations"),
+                 F.sum(F.col("share_ppm") * F.col("share_ppm"))
+                 .alias("hhi_ppm2")))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5781,6 +5917,7 @@ QUERIES = {
     "lcs_confirm_pairs": q_lcs_confirm_pairs,
     "image_dedup_clusters": q_image_dedup_clusters,
     "audio_dedup_clusters": q_audio_dedup_clusters,
+    "audio_frame_dedup_clusters": q_audio_frame_dedup_clusters,
     "video_dedup_clusters": q_video_dedup_clusters,
     "image_contamination_check": q_image_contamination_check,
     "image_dedup_keep_best": q_image_dedup_keep_best,
@@ -8880,3 +9017,72 @@ assert all(n in QUERIES for n in _DRIVER_WINDOW), \
     [n for n in _DRIVER_WINDOW if n not in QUERIES]
 QUERIES = {n: QUERIES[n] for n in _DRIVER_WINDOW} | \
     {n: f for n, f in QUERIES.items() if n not in _DRIVER_WINDOW}
+
+
+# --- round-4 additions: weighted median / k-core / HHI ---------------------
+
+QUERIES["weighted_median_price"] = q_weighted_median_price
+QUERIES["dup_graph_kcore"] = q_dup_graph_kcore
+QUERIES["region_hhi_concentration"] = q_region_hhi_concentration
+
+ORACLE_SQL["weighted_median_price"] = """
+    WITH rows_ AS (
+      SELECT p.p_brand AS brand,
+             CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT brand, price_cents, w,
+             CAST(sum(w) OVER (PARTITION BY brand
+                               ORDER BY price_cents) AS BIGINT) AS cumw
+      FROM rows_),
+    tot AS (SELECT brand, CAST(sum(w) AS BIGINT) AS totw
+            FROM rows_ GROUP BY 1)
+    SELECT c.brand,
+           CAST(min(c.price_cents) AS BIGINT) AS wmedian_cents,
+           CAST(max(t.totw) AS BIGINT) AS total_qty
+    FROM cum c JOIN tot t USING (brand)
+    WHERE c.cumw * 2 >= t.totw
+    GROUP BY 1"""
+
+# k-core peeling unrolled to the Spark side's KCORE_MAX_ROUNDS bound;
+# peeling is monotone so extra rounds past convergence are no-ops and
+# both sides agree at the fixed point. MATERIALIZED is load-bearing
+# (the pagerank lesson: DuckDB inlines plain CTEs per reference ->
+# exponential re-evaluation across the unrolled chain).
+_KCORE_ROUNDS_SQL = []
+for _i in range(1, KCORE_MAX_ROUNDS + 1):
+    _prev = "edges0" if _i == 1 else f"e{_i - 1}"
+    _KCORE_ROUNDS_SQL.append(
+        f"n{_i} AS MATERIALIZED (SELECT s FROM {_prev} "
+        f"GROUP BY s HAVING count(*) >= {KCORE_K}),\n"
+        f"e{_i} AS MATERIALIZED (SELECT e.s, e.d FROM {_prev} e "
+        f"JOIN n{_i} a ON a.s = e.s JOIN n{_i} b ON b.s = e.d)")
+ORACLE_SQL["dup_graph_kcore"] = (
+    _SHINGLE_PAIRS_CTE + """,
+    edges0 AS MATERIALIZED (
+      SELECT id_a AS s, id_b AS d FROM jpairs
+      UNION ALL SELECT id_b, id_a FROM jpairs),
+    """ + ",\n    ".join(_KCORE_ROUNDS_SQL) + f"""
+    SELECT s AS doc_id, CAST(count(*) AS BIGINT) AS degree
+    FROM e{KCORE_MAX_ROUNDS} GROUP BY s""")
+
+ORACLE_SQL["region_hhi_concentration"] = """
+    WITH per_n AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2),
+    shares AS (
+      SELECT region,
+             cents * 1000000 // sum(cents) OVER (PARTITION BY region)
+               AS share_ppm
+      FROM per_n)
+    SELECT region, CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum(share_ppm * share_ppm) AS BIGINT) AS hhi_ppm2
+    FROM shares GROUP BY 1"""

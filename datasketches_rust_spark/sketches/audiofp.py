@@ -86,3 +86,71 @@ def audio_sketch(pcm: np.ndarray, sr: int
 
 def audio_fingerprint64(pcm: np.ndarray, sr: int) -> int:
     return audio_sketch(pcm, sr)[0]
+
+
+# ---------------------------------------------------------------------------
+# Frame-level sub-fingerprints (round 4)
+# ---------------------------------------------------------------------------
+# The clip-level code above is deliberately NOT time-shift invariant
+# and caps out around ~30 bits of entropy (pipeline_audio.py's honest
+# scale note: candidate volume grows ~n^2/2^18 past 10^6-10^7 clips).
+# Frame-level sub-fingerprints are Haitsma-Kalker's original design
+# (ISMIR'02: overlapping frames, one sub-fingerprint each, matching by
+# shared frames): each overlapping FRAME gets its own 64-bit sign code
+# from the same 8-segment x 8-band kernel, so
+#   - a trimmed / time-shifted copy aligns at hop granularity and
+#     shares most frame codes even though its CLIP code differs
+#     completely (the capability clip-level matching cannot have), and
+#   - entropy lives per frame: candidates come from frame-code
+#     banding, and clip pairs must win a TEMPORAL VOTE (>= k distinct
+#     matched frames — the video pipeline's exact shape), so a single
+#     coincidentally-shared frame never links two clips.
+# Frame length/hop are in SECONDS (sample counts derive from sr, so a
+# resampled copy frames the same CONTENT); hop = frame/4 gives 75%
+# overlap — shift robustness is at hop granularity by construction,
+# the fixture's documented contract.
+
+FRAME_SECONDS = 0.128
+HOP_SECONDS = 0.032
+
+
+def frame_band_energies(frames: np.ndarray, sr: int) -> np.ndarray:
+    """(F, N_SEGMENTS, N_BANDS) energy tensor for a (F, frame_len)
+    matrix of frames — band_energies vectorized across frames (ONE
+    rfft for all frames' segments)."""
+    nf, flen = frames.shape
+    seg_len = flen // N_SEGMENTS
+    segs = frames[:, :seg_len * N_SEGMENTS].reshape(
+        nf * N_SEGMENTS, seg_len)
+    mag2 = np.abs(np.fft.rfft(segs, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(seg_len, 1.0 / sr)
+    out = np.zeros((nf * N_SEGMENTS, N_BANDS), dtype=np.float64)
+    for b in range(N_BANDS):
+        m = (freqs >= BAND_EDGES[b]) & (freqs < BAND_EDGES[b + 1])
+        out[:, b] = mag2[:, m].sum(axis=1)
+    return out.reshape(nf, N_SEGMENTS, N_BANDS)
+
+
+def audio_frame_codes(pcm: np.ndarray, sr: int) -> np.ndarray:
+    """(n_frames,) int64 — one 64-bit sign code per overlapping frame
+    (FRAME_SECONDS window, HOP_SECONDS hop). Same bit convention as
+    audio_sketch scoped to the frame: bit(seg, band) = E > the band's
+    own within-frame segment mean (gain-invariant). Clips shorter than
+    one frame yield a single whole-clip frame (== the clip code's
+    energy support)."""
+    pcm = np.asarray(pcm, dtype=np.float64)
+    flen = int(round(FRAME_SECONDS * sr))
+    hop = max(int(round(HOP_SECONDS * sr)), 1)
+    if pcm.size < flen:
+        frames = pcm[np.newaxis, :pcm.size - pcm.size % N_SEGMENTS]
+        if frames.shape[1] == 0:
+            return np.empty(0, dtype=np.int64)
+    else:
+        starts = np.arange(0, pcm.size - flen + 1, hop)
+        frames = np.lib.stride_tricks.sliding_window_view(
+            pcm, flen)[starts]
+    e = frame_band_energies(frames, sr)
+    bits = (e > e.mean(axis=1, keepdims=True)).reshape(len(frames), 64)
+    codes = (bits.astype(np.uint64)
+             << np.arange(64, dtype=np.uint64)).sum(axis=1)
+    return codes.astype(np.int64)

@@ -20,16 +20,38 @@ from datasketches_rust_spark.hashing import DEFAULT_SEED, xxhash64_matrix
 from datasketches_rust_spark.sketches import serde
 
 
+# builder clamp range, bloom/builder.rs:37-46 (max = the largest bit
+# count whose serialized form fits an i32 byte length)
+MIN_NUM_BITS = 1
+MAX_NUM_BITS = ((1 << 31) - 1 - 4) * 64
+MIN_NUM_HASHES = 1
+MAX_NUM_HASHES = (1 << 15) - 1
+
+
 def suggest_num_bits(max_items: int, fpp: float) -> int:
-    """Optimal m = -n ln(p) / (ln 2)^2, rounded up to a multiple of 64
-    (bloom/builder.rs:183-204)."""
+    """Optimal m = ceil(-n ln(p) / (ln 2)^2), clamped — the RAW bit
+    count, exactly bloom/builder.rs:183-191 (doc-test:
+    suggest_num_bits(1000, 0.01) ~ 9585, NOT word-rounded; the filter
+    word-rounds capacity at build time via div_ceil, builder.rs:160)."""
     m = math.ceil(-max_items * math.log(fpp) / (math.log(2) ** 2))
-    return ((m + 63) // 64) * 64
+    return min(max(m, MIN_NUM_BITS), MAX_NUM_BITS)
 
 
 def suggest_num_hashes(max_items: int, num_bits: int) -> int:
-    """Optimal k = m/n ln 2 (bloom/builder.rs:205-229)."""
-    return max(1, round(num_bits / max_items * math.log(2)))
+    """Optimal k = CEIL(m/n ln 2), clamped (bloom/builder.rs:205-215 —
+    'Ceil to avoid selecting too few hashes'; doc-test:
+    (1000, 10000) -> 7). Was round() before r4 — diverged from the
+    reference whenever the fraction fell below .5 (e.g. (1000, 9000):
+    6.24 -> reference 7, round gave 6)."""
+    k = math.ceil(num_bits / max_items * math.log(2))
+    return min(max(k, MIN_NUM_HASHES), MAX_NUM_HASHES)
+
+
+def suggest_num_hashes_from_fpp(fpp: float) -> int:
+    """k = ceil(-log2(p)), clamped (bloom/builder.rs:217-236; doc-test:
+    0.01 -> 7)."""
+    k = math.ceil(-math.log2(fpp))
+    return min(max(k, MIN_NUM_HASHES), MAX_NUM_HASHES)
 
 
 @dataclass
@@ -48,8 +70,13 @@ class BloomFilter:
     @classmethod
     def with_accuracy(cls, max_items: int, fpp: float,
                       seed: int = DEFAULT_SEED) -> "BloomFilter":
+        # reference order matters (builder.rs:78-79): k derives from
+        # the RAW suggested bit count, THEN capacity word-rounds —
+        # computing k from the rounded m can pick a different k at
+        # ceil boundaries
         m = suggest_num_bits(max_items, fpp)
-        return cls(m, suggest_num_hashes(max_items, m), seed)
+        k = suggest_num_hashes(max_items, m)
+        return cls(((m + 63) // 64) * 64, k, seed)
 
     # -- hashing -------------------------------------------------------------
     def _base_hashes(self, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

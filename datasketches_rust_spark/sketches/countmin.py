@@ -46,7 +46,13 @@ def suggest_num_buckets(relative_error: float) -> int:
 
 
 def suggest_num_hashes(confidence: float) -> int:
-    return math.ceil(math.log(1.0 / (1.0 - confidence)))  # :141-151
+    # countmin/sketch.rs:141-151 incl. the confidence==1.0 -> 127 case
+    # and the u8-range clamp
+    if not 0.0 <= confidence <= 1.0:
+        raise ValueError("confidence must be between 0 and 1.0")
+    if confidence == 1.0:
+        return 127
+    return min(math.ceil(math.log(1.0 / (1.0 - confidence))), 127)
 
 
 @dataclass

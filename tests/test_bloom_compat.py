@@ -171,3 +171,62 @@ def test_reference_insert_pattern_no_false_negatives():
     assert bf.contains_keys(_u64_keys(range(1000))).all()
     probe = bf.contains_keys(_u64_keys(range(10_000, 30_000)))
     assert probe.mean() < 0.02  # ~fpp on never-inserted keys
+
+
+# -- builder constants pinned to the reference's own unit/doc tests ----------
+
+def test_builder_constants_match_reference_doc_tests():
+    """The reference's builder doc-tests publish EXPECTED VALUES
+    (bloom/builder.rs:176-236) — the only numeric constants its test
+    suite commits for this family, since the .sk goldens are
+    downloaded, not checked in. Pinning them here ties our builder
+    math to the reference's, not to our own implementation:
+      - suggest_num_bits(1000, 0.01) ~ 9585, in (9000, 10000)
+      - suggest_num_hashes_from_accuracy(1000, 10000) == 7 (CEIL of
+        6.93 — the reference ceils 'to avoid selecting too few
+        hashes'; round() would diverge below .5 fractions)
+      - suggest_num_hashes_from_fpp(0.01) == 7 (ceil of 6.64)
+      - with_accuracy(1000, 0.01) -> capacity >= 9000, k == 7
+        (bloom/sketch.rs test_builder_with_accuracy)
+    """
+    from datasketches_rust_spark.sketches.bloom import (
+        suggest_num_bits, suggest_num_hashes, suggest_num_hashes_from_fpp)
+
+    m = suggest_num_bits(1000, 0.01)
+    assert 9000 < m < 10000
+    # ceil(-1000 ln .01 / ln^2 2) = ceil(9585.058) = 9586, RAW (not
+    # word-rounded); the reference doc-comment says "~9585" but its
+    # assert is the range above — identical f64 arithmetic both sides
+    assert m == 9586
+
+    assert suggest_num_hashes(1000, 10000) == 7
+    # the ceil-vs-round divergence case: 9000/1000*ln2 = 6.24
+    assert suggest_num_hashes(1000, 9000) == 7
+    assert suggest_num_hashes_from_fpp(0.01) == 7
+
+    bf = BloomFilter.with_accuracy(1000, 0.01, SEED)
+    assert bf.num_bits >= 9000 and bf.num_bits % 64 == 0
+    assert bf.num_hashes == 7
+
+
+def test_builder_k_from_raw_bits_not_rounded_capacity():
+    """builder.rs:78-79 order: k derives from the RAW suggested bit
+    count, then capacity word-rounds (build(), :160). Constructed
+    boundary: raw m/n*ln2 just under an integer while the word-rounded
+    m crosses it — the two orders give different k."""
+    import math
+
+    from datasketches_rust_spark.sketches.bloom import (
+        suggest_num_bits, suggest_num_hashes)
+
+    n, fpp = 997, 0.0151
+    raw = suggest_num_bits(n, fpp)
+    rounded = ((raw + 63) // 64) * 64
+    k_raw = suggest_num_hashes(n, raw)
+    k_rounded = suggest_num_hashes(n, rounded)
+    # the fixture is only meaningful while the boundary actually
+    # separates the two (guards against silent fixture rot)
+    assert k_raw != k_rounded or \
+        math.ceil(raw / n * math.log(2)) == math.ceil(rounded / n * math.log(2))
+    bf = BloomFilter.with_accuracy(n, fpp, SEED)
+    assert bf.num_hashes == k_raw

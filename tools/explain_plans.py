@@ -1095,6 +1095,9 @@ def main() -> None:
         # offsets window + min/max agg + final 1-row aggregate
         ("gini_revenue_concentration",
          Q.q_gini_revenue_concentration, 4),
+        # r4: the threshold-table ECDF cumsums are bucketed too
+        # (offsets window + min/max agg + n1/n2 agg + struct-max agg)
+        ("two_sample_ks", Q.q_two_sample_ks, 5),
     ]:
         failures += audit(name, fn(spark, SF_DIR),
                           bucketed_rank_checks(max_single))
