@@ -9086,3 +9086,422 @@ ORACLE_SQL["region_hhi_concentration"] = """
     SELECT region, CAST(count(*) AS BIGINT) AS n_nations,
            CAST(sum(share_ppm * share_ppm) AS BIGINT) AS hhi_ppm2
     FROM shares GROUP BY 1"""
+
+
+# --- round-4 additions II: survival analysis + business-day SLA -----------
+
+KM_CHURN_GAP_DAYS = 90  # no order in the trailing gap => churned
+
+
+def q_kaplan_meier_retention(spark, sf_dir):
+    """KAPLAN-MEIER SURVIVAL (customer-retention curve with CENSORING
+    — the statistic behind every "how long do customers stay" readout;
+    a naive churn-rate-by-age curve is biased because customers who
+    joined recently haven't had TIME to churn, and KM is the standard
+    estimator that handles exactly that). Per customer: duration =
+    last order day - first order day; the observation is an EVENT
+    (churn) when the last order predates the corpus max day by more
+    than KM_CHURN_GAP_DAYS (the reproducible ledger-date discipline —
+    no wall clock), else CENSORED. At each event duration t:
+    n_t = still-at-risk count, d_t = events; S(t) multiplies
+    (1 - d_t/n_t).
+
+    Float discipline: a cumulative float PRODUCT (or exp of a window
+    log-sum) is NOT cross-engine-reproducible (DuckDB evaluates window
+    sums via a segment tree — CLAUDE.md). S(t) is therefore computed
+    as a LEFT-ASSOCIATIVE fold over the duration-ordered term array
+    (F.aggregate over an array slice per row), and the oracle replays
+    the identical sequential fold with a WITH RECURSIVE chain — the
+    same IEEE sequence, bit-for-bit. The term table is bounded by the
+    corpus day SPAN (~2.5k rows), so the per-row slice-fold is a few
+    million multiplies on a calendar-bounded table, not corpus work;
+    the corpus itself collapses in one customer-keyed aggregate.
+    Integers (n_at_risk, d_events, c_censored) carry the evidence;
+    survival is the one float column."""
+    o = _t(spark, sf_dir, "orders")
+    per_c = (o.groupBy("o_custkey")
+             .agg(F.min(F.to_date("o_orderdate")).alias("first_day"),
+                  F.max(F.to_date("o_orderdate")).alias("last_day")))
+    mx = per_c.agg(F.max("last_day").alias("max_day"))
+    obs = (per_c.crossJoin(F.broadcast(mx))
+           .select(
+               F.datediff("last_day", "first_day").cast("long")
+               .alias("dur"),
+               (F.datediff("max_day", "last_day")
+                > KM_CHURN_GAP_DAYS).cast("long").alias("event")))
+    tot = obs.agg(F.count("*").alias("n_total"))
+    per_t = (obs.groupBy("dur")
+             .agg(F.sum("event").alias("d"),
+                  F.sum(1 - F.col("event")).alias("c")))
+    w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (per_t.crossJoin(F.broadcast(tot))
+            .withColumn("left_before", F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w), F.lit(0)))
+            .withColumn("n_at_risk",
+                        F.col("n_total") - F.col("left_before")))
+    # duration-ordered term array, folded left-assoc per row
+    terms = risk.agg(F.array_sort(F.collect_list(F.struct(
+        F.col("dur"),
+        (F.lit(1.0) - F.col("d").cast("double")
+         / F.col("n_at_risk").cast("double")).alias("t")))).alias("a"))
+    row = (risk.crossJoin(F.broadcast(terms))
+           .withColumn("idx", F.expr(
+               "array_position(transform(a, x -> x.dur), dur)")))
+    surv = F.aggregate(
+        F.slice(F.col("a"), F.lit(1), F.col("idx").cast("int")),
+        F.lit(1.0),
+        lambda acc, x: acc * x["t"])
+    return (row.select("dur", "n_at_risk",
+                       F.col("d").alias("d_events"),
+                       F.col("c").alias("c_censored"),
+                       surv.alias("survival"))
+            .where(F.col("d_events") > 0))
+
+
+SLA_BUSINESS_DAYS = 7  # order-to-last-ship SLA in business days
+
+
+def q_sla_business_days(spark, sf_dir):
+    """BUSINESS-DAY SLA AGING (calendar arithmetic class: elapsed
+    Mon-Fri days between order and final ship, breach report per
+    priority — wall-clock day counts misstate SLAs that pause on
+    weekends). Exact integer formula both engines share: with a,b =
+    days-since-epoch and the epoch-mod-7 weekday convention
+    (CLAUDE.md: native dayofweek numberings disagree; 1970-01-01 was a
+    Thursday, so Mon=0 index = (a+3)%7): full_weeks*5 plus the
+    weekday count of the <=6-day remainder window, evaluated by the
+    same filtered-sequence expression in Spark SQL and DuckDB (empty
+    remainder guarded — Spark's sequence(1,0) is DESCENDING, not
+    empty). Per priority: orders, breaches (> SLA days), floored ppm
+    breach rate, max elapsed. One co-keyed corpus join + one bounded
+    aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    li = (_t(spark, sf_dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(F.max(F.to_date("l_shipdate")).alias("ship_day")))
+    j = (o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+         .select("o_orderpriority",
+                 F.unix_date(F.to_date("o_orderdate")).alias("a"),
+                 # clamp inverted intervals (ship < order in messy
+                 # data) to zero elapsed: unclamped, (b-a) goes
+                 # negative where Spark div TRUNCATES and DuckDB //
+                 # FLOORS — a real 2-count divergence measured at
+                 # sf0.01 (the orders_in_flight clamp discipline)
+                 F.greatest(F.unix_date("ship_day"),
+                            F.unix_date(F.to_date("o_orderdate")))
+                 .alias("b")))
+    bdays = F.expr(
+        "((b - a) div 7) * 5 + if((b - a) % 7 = 0, 0,"
+        " size(filter(sequence(1, (b - a) % 7),"
+        "             k -> ((a + 3) % 7 + k) % 7 <= 4)))")
+    per = j.select("o_orderpriority", bdays.alias("bd"))
+    return (per.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.when(F.col("bd") > SLA_BUSINESS_DAYS, 1)
+                       .otherwise(0)).alias("n_breaches"),
+                 F.max("bd").alias("max_business_days"))
+            .select("priority", "n_orders", "n_breaches",
+                    F.expr("n_breaches * 1000000 div n_orders")
+                    .alias("breach_ppm"),
+                    "max_business_days"))
+
+
+QUERIES["kaplan_meier_retention"] = q_kaplan_meier_retention
+QUERIES["sla_business_days"] = q_sla_business_days
+
+ORACLE_SQL["kaplan_meier_retention"] = f"""
+    WITH RECURSIVE per_c AS (
+      SELECT o_custkey,
+             CAST(min(o_orderdate) AS DATE) AS first_day,
+             CAST(max(o_orderdate) AS DATE) AS last_day
+      FROM orders GROUP BY 1),
+    mx AS (SELECT max(last_day) AS max_day FROM per_c),
+    obs AS (
+      SELECT CAST(datediff('day', first_day, last_day) AS BIGINT)
+               AS dur,
+             CASE WHEN datediff('day', last_day, max_day)
+                       > {KM_CHURN_GAP_DAYS}
+                  THEN 1 ELSE 0 END AS event
+      FROM per_c CROSS JOIN mx),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM obs),
+    per_t AS (
+      SELECT dur, CAST(sum(event) AS BIGINT) AS d,
+             CAST(sum(1 - event) AS BIGINT) AS c
+      FROM obs GROUP BY 1),
+    risk AS (
+      SELECT dur, d, c,
+             n_total - CAST(coalesce(sum(d + c) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk,
+             row_number() OVER (ORDER BY dur) AS rn
+      FROM per_t CROSS JOIN tot),
+    -- sequential left-assoc survival fold: the identical IEEE
+    -- multiply sequence the Spark F.aggregate fold runs
+    fold AS (
+      SELECT rn, dur, d, c, n_at_risk,
+             1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+               AS s
+      FROM risk WHERE rn = 1
+      UNION ALL
+      SELECT r.rn, r.dur, r.d, r.c, r.n_at_risk,
+             f.s * (1.0 - CAST(r.d AS DOUBLE)
+                    / CAST(r.n_at_risk AS DOUBLE))
+      FROM fold f JOIN risk r ON r.rn = f.rn + 1)
+    SELECT dur, n_at_risk, d AS d_events, c AS c_censored,
+           s AS survival
+    FROM fold WHERE d > 0"""
+
+ORACLE_SQL["sla_business_days"] = f"""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(max(l_shipdate) AS DATE) AS ship_day
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT o.o_orderpriority,
+             datediff('day', DATE '1970-01-01',
+                      CAST(o.o_orderdate AS DATE)) AS a,
+             -- clamp inverted intervals, matching the Spark side
+             greatest(
+               datediff('day', DATE '1970-01-01', li.ship_day),
+               datediff('day', DATE '1970-01-01',
+                        CAST(o.o_orderdate AS DATE))) AS b
+      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey),
+    per AS (
+      SELECT o_orderpriority,
+             ((b - a) // 7) * 5
+             + len(list_filter(range(1, (b - a) % 7 + 1),
+                               k -> ((a + 3) % 7 + k) % 7 <= 4))
+               AS bd
+      FROM j)
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN bd > {SLA_BUSINESS_DAYS} THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_breaches,
+           CAST(sum(CASE WHEN bd > {SLA_BUSINESS_DAYS} THEN 1 ELSE 0
+                    END) * 1000000 // count(*) AS BIGINT)
+             AS breach_ppm,
+           CAST(max(bd) AS BIGINT) AS max_business_days
+    FROM per GROUP BY 1"""
+
+
+# --- round-4 additions III: five more TPC-H query classes ------------------
+# Adapted to this fixture's schema where TPC-H columns are absent
+# (no l_shipmode / l_commitdate / partsupp / p_container / c_phone —
+# each adaptation keeps the QUERY CLASS: the docstrings name the
+# substitution).
+
+
+def q_tpch_q12_priority_by_flag(spark, sf_dir):
+    """TPC-H Q12 class (two-level conditional counts per routing
+    dimension; l_returnflag stands in for the fixture's missing
+    l_shipmode): per flag, how many lines belong to HIGH-priority
+    orders (1-URGENT / 2-HIGH) vs lower, within a ship-date year.
+    The shape is the co-keyed orders<->lineitem join feeding ONE
+    conditional aggregate (map-side combined, flag-bounded output) —
+    Q12's entire point is that the engine folds the CASE counts in a
+    single pass instead of two filtered scans."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.where(F.year(F.to_date("l_shipdate")) == 1996)
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy(F.col("l_returnflag").alias("flag"))
+            .agg(F.sum(F.when(hi, 1).otherwise(0))
+                 .alias("high_priority_lines"),
+                 F.sum(F.when(hi, 0).otherwise(1))
+                 .alias("low_priority_lines")))
+
+
+def q_tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 (promotion-effect ratio): share of one month's
+    discounted revenue coming from PROMO-type parts. The part
+    dimension BROADCASTS into the fact scan (catalog-sized build
+    side); both numerator and denominator come from the same single
+    conditional aggregate over integer cents, and the share is one
+    floored integer division (promo_cents * 1e6 div total) — Q14's
+    100*sum(case)/sum() with the engine-divergent float ratio
+    replaced by the ppm discipline."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("long")
+    promo = F.col("p_type").startswith("PROMO")
+    month = (F.year(F.to_date("l_shipdate")) == 1995) & \
+        (F.month(F.to_date("l_shipdate")) == 9)
+    agg_ = (li.where(month)
+            .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .agg(F.sum(F.when(promo, cents).otherwise(0))
+                 .alias("promo_cents"),
+                 F.sum(cents).alias("total_cents")))
+    return agg_.select(
+        "promo_cents", "total_cents",
+        F.expr("promo_cents * 1000000 div total_cents")
+        .alias("promo_share_ppm"))
+
+
+def q_tpch_q16_part_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 class (supplier-count-per-part-attribute with a
+    double exclusion; lineitem's (partkey, suppkey) pairs stand in for
+    the fixture's missing partsupp, and negative supplier acctbal
+    stands in for the comment-matched complaint filter): per (brand,
+    type-prefix, size), the DISTINCT supplier count, excluding one
+    brand and excluding flagged suppliers via an ANTI join. Scale
+    shape: the pair relation dedups FIRST (map-side combined distinct
+    on the co-keyed pair), the exclusions are one broadcast anti join
+    + a pushed-down dimension filter, and count_distinct runs on the
+    attribute-bounded groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad = s.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey"))
+    kept = pairs.join(F.broadcast(bad), "l_suppkey", "left_anti")
+    dim = (p.where(F.col("p_brand") != "Brand#45")
+           .select("p_partkey", "p_brand",
+                   F.substring("p_type", 1, 6).alias("type_prefix"),
+                   "p_size"))
+    return (kept.join(F.broadcast(dim),
+                      kept["l_partkey"] == dim["p_partkey"])
+            .groupBy("p_brand", "type_prefix", "p_size")
+            .agg(F.count_distinct("l_suppkey").alias("supplier_cnt")))
+
+
+def q_tpch_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 (disjunctive predicate revenue — the OR-of-three
+    bracket filter that exercises predicate pushdown and join-residual
+    handling; size/quantity brackets replace the fixture's missing
+    container lists): revenue from lines matching ANY of three
+    (brand, size-range, quantity-range) brackets. The dimension side
+    BROADCASTS with its own disjunct-union filter pushed into the
+    scan; the OR evaluates as a join residual in one pass — never
+    three scans unioned. One-row integer cents output."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("long")
+    q = F.col("l_quantity")
+    b1 = ((F.col("p_brand") == "Brand#12") &
+          F.col("p_size").between(1, 5) & q.between(1, 11))
+    b2 = ((F.col("p_brand") == "Brand#23") &
+          F.col("p_size").between(1, 10) & q.between(10, 20))
+    b3 = ((F.col("p_brand") == "Brand#34") &
+          F.col("p_size").between(1, 15) & q.between(20, 30))
+    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .where(b1 | b2 | b3)
+            .agg(F.sum(cents).alias("revenue_cents"),
+                 F.count("*").alias("n_lines")))
+
+
+def q_tpch_q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 (global-sales-opportunity: customers richer than the
+    positive-balance average who have NO orders; nationkey stands in
+    for the fixture's missing phone country code): the
+    scalar-subquery-threshold + ANTI-join class. The global average is
+    ONE scalar aggregate broadcast as a 1-row cross join (never a
+    correlated per-row subquery); cents discipline makes the
+    threshold compare exact; the anti join prunes on the co-keyed
+    custkey. "No orders" is adapted to "no URGENT orders" — every
+    fixture customer has SOME order, which would make the gate
+    vacuous (the zero-row-hash gotcha, CLAUDE.md; 75 candidate rows
+    survive this form). Output per nation: candidate count and their
+    total balance in cents."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = c.select("c_custkey", "c_nationkey", cents.alias("bal"))
+    avg_pos = (base.where(F.col("bal") > 0)
+               .agg((F.sum("bal") / F.count("*")).alias("thr")))
+    rich = (base.crossJoin(F.broadcast(avg_pos))
+            .where(F.col("bal").cast("double") > F.col("thr")))
+    urgent = (o.where(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey")))
+    idle = rich.join(urgent, "c_custkey", "left_anti")
+    return (idle.groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum("bal").alias("total_bal_cents")))
+
+
+QUERIES["tpch_q12_priority_by_flag"] = q_tpch_q12_priority_by_flag
+QUERIES["tpch_q14_promo_revenue"] = q_tpch_q14_promo_revenue
+QUERIES["tpch_q16_part_supplier_counts"] = q_tpch_q16_part_supplier_counts
+QUERIES["tpch_q19_disjunctive_revenue"] = q_tpch_q19_disjunctive_revenue
+QUERIES["tpch_q22_idle_rich_customers"] = q_tpch_q22_idle_rich_customers
+
+ORACLE_SQL["tpch_q12_priority_by_flag"] = """
+    SELECT l.l_returnflag AS flag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_priority_lines,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT)
+             AS low_priority_lines
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE year(CAST(l.l_shipdate AS DATE)) = 1996
+    GROUP BY 1"""
+
+ORACLE_SQL["tpch_q14_promo_revenue"] = """
+    WITH agg_ AS (
+      SELECT CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                      THEN CAST(round(l.l_extendedprice
+                                      * (1 - l.l_discount) * 100)
+                           AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS promo_cents,
+             CAST(sum(CAST(round(l.l_extendedprice
+                                 * (1 - l.l_discount) * 100)
+                      AS BIGINT)) AS BIGINT) AS total_cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE year(CAST(l.l_shipdate AS DATE)) = 1995
+        AND month(CAST(l.l_shipdate AS DATE)) = 9)
+    SELECT promo_cents, total_cents,
+           promo_cents * 1000000 // total_cents AS promo_share_ppm
+    FROM agg_"""
+
+ORACLE_SQL["tpch_q16_part_supplier_counts"] = """
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    kept AS (
+      SELECT pr.l_partkey, pr.l_suppkey FROM pairs pr
+      WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                        WHERE s.s_suppkey = pr.l_suppkey
+                          AND s.s_acctbal < 0))
+    SELECT p.p_brand, substring(p.p_type, 1, 6) AS type_prefix,
+           p.p_size,
+           CAST(count(DISTINCT k.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM kept k JOIN part p ON p.p_partkey = k.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+    GROUP BY 1, 2, 3"""
+
+ORACLE_SQL["tpch_q19_disjunctive_revenue"] = """
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)"""
+
+ORACLE_SQL["tpch_q22_idle_rich_customers"] = """
+    WITH base AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer),
+    thr AS (
+      SELECT CAST(sum(bal) AS DOUBLE) / count(*) AS thr
+      FROM base WHERE bal > 0),
+    rich AS (
+      SELECT b.* FROM base b CROSS JOIN thr t
+      WHERE CAST(b.bal AS DOUBLE) > t.thr),
+    idle AS (
+      SELECT r.* FROM rich r
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = r.c_custkey
+                          AND o.o_orderpriority = '1-URGENT'))
+    SELECT c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(bal) AS BIGINT) AS total_bal_cents
+    FROM idle GROUP BY 1"""
