@@ -112,16 +112,19 @@ def audio_sketch_table(clips: DataFrame, id_col: str = "clip_id",
     return sk
 
 
-def _audio_bands(sk: DataFrame, id_col: str) -> DataFrame:
-    """Explode the 64-bit code into 24 triple-slice band keys — JVM
-    bit slicing, injective via the combo index in the key's high
-    bits."""
+def _audio_bands(sk: DataFrame, id_col: str,
+                 combos: list[tuple[int, int, int]] | None = None
+                 ) -> DataFrame:
+    """Explode the 64-bit code into triple-slice band keys (default:
+    the clip pipeline's 24 ring combos) — JVM bit slicing, injective
+    via the combo index in the key's high bits."""
+    combos = combos if combos is not None else AUDIO_SLICE_TRIPLES
     slices = [F.shiftrightunsigned(F.col("afp"), 8 * b)
               .bitwiseAND(F.lit(255)) for b in range(8)]
     keys = [(F.lit(ci << 24) + slices[a]
              + F.shiftleft(slices[b], 8)
              + F.shiftleft(slices[c], 16))
-            for ci, (a, b, c) in enumerate(AUDIO_SLICE_TRIPLES)]
+            for ci, (a, b, c) in enumerate(combos)]
     return sk.select(F.col(id_col).alias("__id"), F.col("afp"),
                      F.explode(F.array(*keys)).alias("band_key"))
 
@@ -263,6 +266,19 @@ AUDIO_MIN_FRAME_MATCHES = 4   # quorum floor (very short clips)
 AUDIO_FRAME_QUORUM = 0.5      # fraction of the vote-side clip's frames
 AUDIO_FRAME_CODE_DF_CAP = 64  # max clips per code to stay informative
 AUDIO_FRAME_BUCKET_CAP = 32   # near-tier star cap (per band bucket)
+# The frame near tier uses only the 8 STRIDE-1 ring triples (the clip
+# pipeline keeps all 24): per-frame candidate recall is allowed to dip
+# because the QUORUM gives each clip pair ~12 independent frame
+# chances and needs only half — measured end-to-end on the ladder
+# (AUDIO_FRAMES_LADDER_r04.json): recall 1.0 / 1.0 / 0.9994 / 0.99622
+# at 4k/15k/60k/240k (target >= 0.99) for 3.2x less band volume and
+# 2.5x lower wall at 240k; the 24-combo form (pass
+# combos=AUDIO_SLICE_TRIPLES) buys 0.9996 at 240k for that cost.
+# Adversarial 3-flip placements that defeat all 8 consecutive triples
+# exist (flips at slice distance 3) but are rare under the measured
+# 0-5 random flips, and a single frame miss costs 1 vote, not the
+# pair.
+AUDIO_FRAME_SLICE_COMBOS = AUDIO_SLICE_TRIPLES[:8]
 
 
 def _code_match_table(frames: DataFrame) -> DataFrame:
@@ -280,7 +296,7 @@ def _code_match_table(frames: DataFrame) -> DataFrame:
     # near tier: distinct informative codes, clip-ladder triple keys
     d2 = info.select(F.col("fcode").alias("__code"),
                      F.col("fcode").alias("afp"))
-    ex = _audio_bands(d2, "__code")
+    ex = _audio_bands(d2, "__code", combos=AUDIO_FRAME_SLICE_COMBOS)
     cand = bucketed_pair_events(ex, AUDIO_FRAME_BUCKET_CAP,
                                 payload="afp")
     ham = F.bit_count(F.col("afp_a").bitwiseXOR(F.col("afp_b")))

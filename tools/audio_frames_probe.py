@@ -43,8 +43,9 @@ def main() -> None:
     from datasketches_rust_spark.config import spark_session
     from datasketches_rust_spark.operators.lsh import bucketed_pair_events
     from datasketches_rust_spark.pipeline_audio import (
-        AUDIO_FRAME_BUCKET_CAP, _audio_bands, _code_match_table,
-        audio_frame_cluster_assignments, audio_frame_sketches)
+        AUDIO_FRAME_BUCKET_CAP, AUDIO_FRAME_SLICE_COMBOS, _audio_bands,
+        _code_match_table, audio_frame_cluster_assignments,
+        audio_frame_sketches)
     from datasketches_rust_spark.sources.audio import audio_frames_spark_df
 
     levels = [int(a) for a in sys.argv[1:]] or [15_000, 60_000, 240_000]
@@ -70,7 +71,9 @@ def main() -> None:
               .select(F.col("fcode").alias("__code"),
                       F.col("fcode").alias("afp")))
         cand_events = bucketed_pair_events(
-            _audio_bands(d2, "__code"), AUDIO_FRAME_BUCKET_CAP,
+            _audio_bands(d2, "__code",
+                         combos=AUDIO_FRAME_SLICE_COMBOS),
+            AUDIO_FRAME_BUCKET_CAP,
             payload="afp").count()
 
         # vote-join cardinality (frames x matched codes x clips/code,
