@@ -9505,3 +9505,164 @@ ORACLE_SQL["tpch_q22_idle_rich_customers"] = """
            CAST(count(*) AS BIGINT) AS n_customers,
            CAST(sum(bal) AS BIGINT) AS total_bal_cents
     FROM idle GROUP BY 1"""
+
+
+# --- round-4 additions IV: two more exact-integer two-sample stats ---------
+
+
+def q_two_sample_cvm(spark, sf_dir):
+    """TWO-SAMPLE CRAMER-VON MISES (the INTEGRAL distribution-distance
+    next to two_sample_ks's max: T aggregates the squared ECDF gap
+    over every merged observation, so it sees distributed small shifts
+    KS's single supremum misses). Exact-integer formulation over the
+    same per-value count table as the KS query: with running counts
+    i, j at each distinct value and n1, n2 totals, the scaled gap is
+    g(v) = i*n2 - j*n1 and
+      T_scaled = sum over VALUES of (a_v + b_v) * g(v)^2
+    (each merged observation at value v contributes the same g —
+    multiplicity (a+b) replaces per-row expansion), with
+    T = T_scaled / (n1*n2*(n1+n2)^2 / ...) left to the reader: the
+    gate carries T_scaled plus the exact integer normalization inputs,
+    because the textbook normalization is a convention choice and any
+    float division is one engine-shared expression away. g^2 sums in
+    decimal(38,0) (g ~ n1*n2 ~ 2^24 here, g^2 ~ 2^48, times 10^4
+    values — the summand-cast discipline). Cumsums run on the
+    bucketed rank decomposition like the KS query."""
+    from datasketches_rust_spark.operators.bucketed_rank import (
+        with_global_ranks)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rows = (o.join(c, o["o_custkey"] == c["c_custkey"])
+            .where(F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
+            .select(F.col("c_mktsegment").alias("seg"),
+                    cents.alias("cents")))
+    per_v = (rows.groupBy("cents")
+             .agg(F.sum(F.when(F.col("seg") == KS_SEG_A, 1)
+                        .otherwise(0)).alias("a"),
+                  F.sum(F.when(F.col("seg") == KS_SEG_B, 1)
+                        .otherwise(0)).alias("b")))
+    ecdf = with_global_ranks(per_v, "cents", [],
+                             cum_cols={"i": "a", "j": "b"})
+    tot = rows.agg(
+        F.sum(F.when(F.col("seg") == KS_SEG_A, 1).otherwise(0))
+        .alias("n1"),
+        F.sum(F.when(F.col("seg") == KS_SEG_B, 1).otherwise(0))
+        .alias("n2"))
+    g = F.col("i") * F.col("n2") - F.col("j") * F.col("n1")
+    d19 = "decimal(19,0)"
+    return (ecdf.crossJoin(F.broadcast(tot))
+            .agg(F.max("n1").alias("n1"), F.max("n2").alias("n2"),
+                 F.sum((F.col("a") + F.col("b")).cast(d19)
+                       * (g * g).cast(d19)).cast("string")
+                 .alias("t_scaled")))
+
+
+def q_mann_whitney_auc(spark, sf_dir):
+    """MANN-WHITNEY U / AUC (the rank-sum test and the model-eval AUC
+    are the same number: U / (n1*n2) = P(random positive outranks a
+    random negative), here "does order value predict fulfilled
+    status"). Exact integers throughout via the DOUBLED-rank trick:
+    with ties, each value-group's members take the AVERAGE of the
+    ranks they span — fractional at .5 — so the gate carries
+    2*rank-sums: for a value v spanning global ranks
+    [lo, lo+m-1], 2*avg_rank = 2*lo + m - 1, an integer. R2_pos =
+    sum over values of a_v * (2*lo_v + m_v - 1), and
+    2U = R2_pos - n1*(n1+1). AUC (with the standard tie-half-credit)
+    = 2U / (2*n1*n2) — emitted as the exact integer pair (u2, n1, n2)
+    plus the one float division both engines share. lo comes from the
+    bucketed cumulative counts (lo = cum_before + 1), so there is no
+    row-level rank table at all — the whole statistic folds off the
+    value-bounded aggregate."""
+    from datasketches_rust_spark.operators.bucketed_rank import (
+        with_global_ranks)
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rows = o.select(cents.alias("cents"),
+                    F.when(F.col("o_orderstatus") == "F", 1)
+                    .otherwise(0).alias("pos"))
+    per_v = (rows.groupBy("cents")
+             .agg(F.sum("pos").alias("a"),
+                  F.sum(1 - F.col("pos")).alias("b")))
+    cum = with_global_ranks(per_v, "cents", [],
+                            cum_cols={"ci": "a", "cj": "b"})
+    tot = rows.agg(F.sum("pos").alias("n1"),
+                   F.sum(1 - F.col("pos")).alias("n2"))
+    m = F.col("a") + F.col("b")
+    lo = (F.col("ci") - F.col("a")) + (F.col("cj") - F.col("b")) + 1
+    d19 = "decimal(19,0)"
+    r2pos = F.sum(F.col("a").cast(d19)
+                  * (2 * lo + m - 1).cast(d19))
+    agg_ = (cum.agg(r2pos.alias("r2")).crossJoin(F.broadcast(tot)))
+    u2 = (F.col("r2")
+          - (F.col("n1").cast(d19)
+             * (F.col("n1") + 1).cast(d19)).cast("decimal(38,0)"))
+    return agg_.select(
+        "n1", "n2",
+        u2.cast("long").alias("u2"),
+        (u2.cast("double")
+         / (2 * F.col("n1") * F.col("n2")).cast("double"))
+        .alias("auc"))
+
+
+QUERIES["two_sample_cvm"] = q_two_sample_cvm
+QUERIES["mann_whitney_auc"] = q_mann_whitney_auc
+
+ORACLE_SQL["two_sample_cvm"] = f"""
+    WITH rows_ AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')),
+    per_v AS (
+      SELECT cents,
+             CAST(sum(CASE WHEN seg = '{KS_SEG_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(sum(CASE WHEN seg = '{KS_SEG_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM rows_ GROUP BY 1),
+    ecdf AS (
+      SELECT cents, a, b,
+             CAST(sum(a) OVER (ORDER BY cents) AS BIGINT) AS i,
+             CAST(sum(b) OVER (ORDER BY cents) AS BIGINT) AS j
+      FROM per_v),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN seg = '{KS_SEG_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN seg = '{KS_SEG_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2
+      FROM rows_)
+    SELECT t.n1, t.n2,
+           CAST(sum((e.a + e.b)
+                    * (e.i * t.n2 - e.j * t.n1)
+                    * (e.i * t.n2 - e.j * t.n1)) AS VARCHAR)
+             AS t_scaled
+    FROM ecdf e CROSS JOIN tot t
+    GROUP BY t.n1, t.n2"""
+
+ORACLE_SQL["mann_whitney_auc"] = """
+    WITH rows_ AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      FROM orders),
+    per_v AS (
+      SELECT cents, CAST(sum(pos) AS BIGINT) AS a,
+             CAST(sum(1 - pos) AS BIGINT) AS b
+      FROM rows_ GROUP BY 1),
+    cum AS (
+      SELECT cents, a, b,
+             CAST(sum(a) OVER (ORDER BY cents) AS BIGINT) AS ci,
+             CAST(sum(b) OVER (ORDER BY cents) AS BIGINT) AS cj
+      FROM per_v),
+    tot AS (SELECT CAST(sum(pos) AS BIGINT) AS n1,
+                   CAST(sum(1 - pos) AS BIGINT) AS n2
+            FROM rows_),
+    agg_ AS (
+      SELECT CAST(sum(a * (2 * ((ci - a) + (cj - b) + 1)
+                           + (a + b) - 1)) AS HUGEINT) AS r2
+      FROM cum)
+    SELECT t.n1, t.n2,
+           CAST(g.r2 - t.n1 * (t.n1 + 1) AS BIGINT) AS u2,
+           CAST(g.r2 - t.n1 * (t.n1 + 1) AS DOUBLE)
+             / CAST(2 * t.n1 * t.n2 AS DOUBLE) AS auc
+    FROM agg_ g CROSS JOIN tot t"""

@@ -157,3 +157,68 @@ def test_hhi_extremes():
     assert hhi([500]) == 10**12
     four = hhi([100, 100, 100, 100])
     assert abs(four - 10**12 // 4) <= 4 * 10**6
+
+
+# -- Mann-Whitney / AUC -------------------------------------------------------
+
+def test_mann_whitney_doubled_rank_formula():
+    """The 2U identity replayed in plain python on crafted samples with
+    heavy ties, against the probabilistic AUC definition
+    P(pos > neg) + 0.5 P(pos == neg)."""
+    def auc_exact(pos, neg):
+        wins = sum(1 for p in pos for n in neg if p > n)
+        ties = sum(1 for p in pos for n in neg if p == n)
+        return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+    def auc_ranksum(pos, neg):
+        vals = sorted(set(pos + neg))
+        r2, seen = 0, 0
+        for v in vals:
+            a = pos.count(v)
+            b = neg.count(v)
+            lo = seen + 1
+            m = a + b
+            r2 += a * (2 * lo + m - 1)
+            seen += m
+        u2 = r2 - len(pos) * (len(pos) + 1)
+        return u2 / (2 * len(pos) * len(neg))
+
+    cases = [
+        ([3, 4, 5], [1, 2]),            # perfect separation -> 1.0
+        ([1, 2], [3, 4, 5]),            # inverted -> 0.0
+        ([2, 2, 2], [2, 2]),            # all tied -> 0.5
+        ([1, 2, 2, 5], [2, 3, 3]),      # mixed ties
+    ]
+    for pos, neg in cases:
+        assert abs(auc_ranksum(pos, neg) - auc_exact(pos, neg)) < 1e-12
+    assert auc_ranksum([3, 4, 5], [1, 2]) == 1.0
+    assert auc_ranksum([2, 2, 2], [2, 2]) == 0.5
+
+
+# -- Cramer-von Mises --------------------------------------------------------
+
+def test_cvm_scaled_statistic_hand_computed():
+    """T_scaled = sum over values of (a+b) * (i*n2 - j*n1)^2 on a
+    crafted pair of samples, vs a brute-force ECDF evaluation."""
+    A = [1, 2, 2, 4]
+    B = [2, 3]
+    n1, n2 = len(A), len(B)
+    vals = sorted(set(A + B))
+    i = j = 0
+    t_scaled = 0
+    for v in vals:
+        a = A.count(v)
+        b = B.count(v)
+        i += a
+        j += b
+        t_scaled += (a + b) * (i * n2 - j * n1) ** 2
+    # brute force: same sum from raw ECDF fractions scaled by (n1*n2)^2
+    i = j = 0
+    brute = 0.0
+    for v in vals:
+        i += A.count(v)
+        j += B.count(v)
+        g = i / n1 - j / n2
+        brute += (A.count(v) + B.count(v)) * (g * n1 * n2) ** 2
+    assert abs(t_scaled - brute) < 1e-6
+    assert t_scaled > 0  # the two samples genuinely differ
