@@ -9666,3 +9666,88 @@ ORACLE_SQL["mann_whitney_auc"] = """
            CAST(g.r2 - t.n1 * (t.n1 + 1) AS DOUBLE)
              / CAST(2 * t.n1 * t.n2 AS DOUBLE) AS auc
     FROM agg_ g CROSS JOIN tot t"""
+
+
+# --- round-4 additions V: 10th streaming query -----------------------------
+
+
+def q_streaming_scd2_enrichment(spark, sf_dir):
+    """REAL streaming TEMPORAL (SCD2) enrichment — the streaming-join
+    class the other nine queries don't cover: each streamed PURCHASE
+    event is enriched with the user's STATUS VERSION valid ONE
+    MICROSECOND BEFORE it ("what state was the user in when they
+    bought" — the pre-conversion-state attribution readout, and the
+    point-in-time lookup every leakage-safe online feature pipeline
+    performs; scd2_daily_snapshot is its batch twin). The join is
+    stream-static on the key PLUS the half-open interval residual
+    valid_from <= t < valid_to; the dimension is the _scd2_versions
+    interval table built from the same change log and broadcasts per
+    micro-batch (version tables are entity-sized — at dimension scale
+    the lookup moves into a keyed state store, same semantics). A
+    user's FIRST-ever event has no prior state and keeps NULL status
+    (the gate covers the no-match edge; probing AT ts instead of
+    ts-1 would make every purchase tautologically match its own run).
+    Running per-prior-status totals, availableNow, complete-mode
+    memory sink; integer counts/cents are micro-batch-invariant so
+    the gate is the full hash-match against the plain SQL temporal
+    join."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    ev_path = f"{sf_dir}/events.parquet"
+    src_dir = tempfile.mkdtemp(prefix="dsrs_scd2s_src_")
+    ck = tempfile.mkdtemp(prefix="dsrs_scd2s_ck_")
+    try:
+        os.symlink(os.path.abspath(ev_path),
+                   os.path.join(src_dir, "events.parquet"))
+        schema = spark.read.parquet(ev_path).schema
+        stream = (spark.readStream.schema(schema).parquet(src_dir)
+                  .where(F.col("event_type") == "purchase")
+                  .select("user_id",
+                          F.round(F.col("value") * 100)
+                          .cast("long").alias("cents"),
+                          (F.unix_micros(F.col("ts").cast("timestamp"))
+                           - 1).alias("t_us")))
+        v = _scd2_versions(_t(spark, sf_dir, "events")).select(
+            F.col("user_id").alias("v_user"), F.col("status"),
+            "valid_from_us", "valid_to_us")
+        cond = ((stream["user_id"] == v["v_user"])
+                & (v["valid_from_us"] <= stream["t_us"])
+                & (v["valid_to_us"].isNull()
+                   | (stream["t_us"] < v["valid_to_us"])))
+        enriched = stream.join(F.broadcast(v), cond, "left")
+        out = (enriched.groupBy(F.col("status").alias("prior_status"))
+               .agg(F.count("*").alias("n_purchases"),
+                    F.sum("cents").alias("rev_cents")))
+        name = "dsrs_scd2s_" + uuid.uuid4().hex[:8]
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_scd2_enrichment did not finish within 300s")
+        return spark.table(name)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
+QUERIES["streaming_scd2_enrichment"] = q_streaming_scd2_enrichment
+
+ORACLE_SQL["streaming_scd2_enrichment"] = f"""
+    WITH {_SCD2_VERSIONS_CTE},
+    p AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts::TIMESTAMP) - 1 AS t_us
+      FROM events WHERE event_type = 'purchase')
+    SELECT vv.status AS prior_status,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(p.cents) AS BIGINT) AS rev_cents
+    FROM p LEFT JOIN v vv
+      ON vv.user_id = p.user_id
+     AND vv.valid_from_us <= p.t_us
+     AND (vv.valid_to_us IS NULL OR p.t_us < vv.valid_to_us)
+    GROUP BY 1"""
