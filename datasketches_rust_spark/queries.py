@@ -9751,3 +9751,137 @@ ORACLE_SQL["streaming_scd2_enrichment"] = f"""
      AND vv.valid_from_us <= p.t_us
      AND (vv.valid_to_us IS NULL OR p.t_us < vv.valid_to_us)
     GROUP BY 1"""
+
+
+# --- round-4 additions VI: embedding drift + dedup explainability ----------
+
+
+def q_embedding_drift_report(spark, sf_dir):
+    """PER-DIMENSION EMBEDDING DRIFT (the vector-space counterpart of
+    event_type_drift_report's categorical PSI: "did the embedding
+    distribution move between two cohorts?" — the retrain trigger for
+    ANN indexes and semantic-dedup thresholds). Cohorts split
+    deterministically by vec_id parity; per dimension the report
+    carries EXACT integers (counts and 1e-6-quantized coordinate sums
+    — the label_centroids discipline: a float mean would diverge in
+    addition order) plus the sign-exact cross-product
+    shift_num = n_b*sum_a - n_a*sum_b (positive iff cohort A's mean
+    exceeds B's, no division) and the one shared-expression float
+    delta. Scale shape: posexplode -> groupBy(pos) with a conditional
+    aggregate is map-side combinable; the exchange carries dim-bounded
+    rows regardless of corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = (F.col("vec_id") % 2 == 0)
+    ex = emb.select(a.alias("in_a"),
+                    F.posexplode("embedding").alias("pos", "v"))
+    q6 = F.round(F.col("v").cast("double") * 1e6).cast("long")
+    agg_ = (ex.groupBy("pos")
+            .agg(F.sum(F.when(F.col("in_a"), 1).otherwise(0))
+                 .alias("n_a"),
+                 F.sum(F.when(~F.col("in_a"), 1).otherwise(0))
+                 .alias("n_b"),
+                 F.sum(F.when(F.col("in_a"), q6).otherwise(0))
+                 .alias("sum_q6_a"),
+                 F.sum(F.when(~F.col("in_a"), q6).otherwise(0))
+                 .alias("sum_q6_b")))
+    shift = (F.col("n_b") * F.col("sum_q6_a")
+             - F.col("n_a") * F.col("sum_q6_b"))
+    return agg_.select(
+        "pos", "n_a", "n_b", "sum_q6_a", "sum_q6_b",
+        shift.alias("shift_num"),
+        (F.col("sum_q6_a").cast("double") / F.col("n_a").cast("double")
+         - F.col("sum_q6_b").cast("double")
+         / F.col("n_b").cast("double")).alias("mean_delta_q6"))
+
+
+def q_dup_pair_evidence(spark, sf_dir):
+    """DEDUP EXPLAINABILITY — the per-pair EVIDENCE table behind every
+    verified near-dup verdict (the audit artifact a takedown/merge
+    reviewer reads: WHY did these two documents match): shared
+    distinct 5-gram count, both set sizes, and the exact Jaccard as
+    its integer numerator/denominator plus the one shared-expression
+    float. Scale shape: the verified pair list (LSH->verify, the
+    expensive part the pipeline already runs) is tiny relative to the
+    corpus; shingles REJOIN only for the docs named in pairs (two
+    semi-joins prune the exploded table — the id-only/rejoin-once
+    pattern), so evidence costs pairs x shingle-set size, never a
+    corpus self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (dedup_pairs(docs, CFG, "doc_id", "text")
+             .select("id_a", "id_b"))
+    sh = (docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(length(lower(text)) - 4,"
+            " 1)), i -> substring(lower(text), i, 5))")).alias("g"))
+        .distinct())
+    ids = (pairs.select(F.col("id_a").alias("doc_id"))
+           .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+           .distinct())
+    sh = sh.join(ids, "doc_id")  # prune to docs named in pairs
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), "g")
+    sb = sh.select(F.col("doc_id").alias("b_id"),
+                   F.col("g").alias("g_b"))
+    shared = (pairs.join(sa, "id_a")
+              .join(sb, (F.col("id_b") == F.col("b_id"))
+                    & (F.col("g") == F.col("g_b")))
+              .groupBy("id_a", "id_b")
+              .agg(F.count("*").alias("n_shared")))
+    na = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("n").alias("n_b"))
+    ev = (shared.join(na, "id_a").join(nb, "id_b"))
+    den = F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    return ev.select(
+        "id_a", "id_b", "n_shared", "n_a", "n_b",
+        den.alias("union_size"),
+        (F.col("n_shared").cast("double") / den.cast("double"))
+        .alias("jaccard"))
+
+
+QUERIES["embedding_drift_report"] = q_embedding_drift_report
+QUERIES["dup_pair_evidence"] = q_dup_pair_evidence
+
+ORACLE_SQL["embedding_drift_report"] = """
+    WITH x AS (
+      SELECT vec_id % 2 = 0 AS in_a, embedding,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings),
+    e AS (
+      SELECT in_a, CAST(i - 1 AS INTEGER) AS pos,
+             CAST(round(embedding[i]::DOUBLE * 1000000.0) AS BIGINT)
+               AS q6
+      FROM x),
+    agg_ AS (
+      SELECT pos,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN in_a THEN q6 ELSE 0 END) AS BIGINT)
+               AS sum_q6_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE q6 END) AS BIGINT)
+               AS sum_q6_b
+      FROM e GROUP BY 1)
+    SELECT pos, n_a, n_b, sum_q6_a, sum_q6_b,
+           CAST(n_b * sum_q6_a - n_a * sum_q6_b AS BIGINT)
+             AS shift_num,
+           CAST(sum_q6_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           - CAST(sum_q6_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+             AS mean_delta_q6
+    FROM agg_"""
+
+ORACLE_SQL["dup_pair_evidence"] = _SHINGLE_PAIRS_CTE + """
+    SELECT i.id_a, i.id_b,
+           CAST(i.c AS BIGINT) AS n_shared,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(sa.n + sb.n - i.c AS BIGINT) AS union_size,
+           CAST(i.c AS DOUBLE)
+             / CAST(sa.n + sb.n - i.c AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.8"""
