@@ -5793,11 +5793,13 @@ def q_dup_graph_kcore(spark, sf_dir):
     unrolls the same rounds as MATERIALIZED CTE steps (the pagerank
     discipline) and BOTH sides share the convergence bound: the Spark
     loop raises past KCORE_MAX_ROUNDS rather than silently truncating,
-    and the fixture converges in far fewer. Each round is one
-    degree-aggregate + one semi-join on the surviving edge set,
-    checkpointed — edges-only, frontier-sized, the CC/BFS shuffle
-    discipline. Output: surviving nodes with their within-core
-    degree."""
+    and the fixture converges in far fewer. Each round costs exactly
+    ONE Spark job (the CC one-job-per-round discipline): the round's
+    checkpoint is LAZY (eager=False) and the convergence count() both
+    materializes it and yields the survivor count, which is carried
+    forward so the next round never re-counts the current edge set.
+    Edges-only, frontier-sized semi-joins throughout. Output:
+    surviving nodes with their within-core degree."""
     from pyspark.storagelevel import StorageLevel
     docs = _t(spark, sf_dir, "documents")
     edges = (dedup_pairs(docs, CFG, "doc_id", "text")
@@ -5805,18 +5807,21 @@ def q_dup_graph_kcore(spark, sf_dir):
              .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK))
     sym = (edges.unionAll(edges.select(F.col("id_b").alias("id_a"),
                                        F.col("id_a").alias("id_b"))))
-    cur = sym
+    cur, prev_n = sym, sym.count()
     for _ in range(KCORE_MAX_ROUNDS):
         deg = cur.groupBy("id_a").agg(F.count("*").alias("d"))
         keep = deg.where(F.col("d") >= KCORE_K).select("id_a")
         nxt = (cur.join(keep, "id_a")
                .join(keep.select(F.col("id_a").alias("id_b")), "id_b")
-               .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK))
-        if nxt.count() == cur.count():
+               .localCheckpoint(
+                   eager=False,
+                   storageLevel=StorageLevel.MEMORY_AND_DISK))
+        n = nxt.count()
+        if n == prev_n:
             core = (nxt.groupBy("id_a").agg(F.count("*").alias("degree"))
                     .select(F.col("id_a").alias("doc_id"), "degree"))
             return core
-        cur = nxt
+        cur, prev_n = nxt, n
     raise RuntimeError(
         f"k-core peeling did not stabilize in {KCORE_MAX_ROUNDS} rounds"
         " — raise KCORE_MAX_ROUNDS (and the oracle's unroll depth)")
