@@ -1102,6 +1102,200 @@ def main() -> None:
         failures += audit(name, fn(spark, SF_DIR),
                           bucketed_rank_checks(max_single))
 
+    # 52. round-5: the r4 analytics families (r4 verdict "What's wrong
+    #     #1" — the audit is the mechanism that keeps these shapes
+    #     under refactoring).
+
+    # kaplan_meier_retention: the corpus collapses in ONE customer
+    # aggregate; every window/fold after that runs on the
+    # duration-bounded term table (calendar-span rows), so the
+    # single-partition exchanges are bounded and the slice-fold is JVM
+    km = Q.q_kaplan_meier_retention(spark, SF_DIR)
+    failures += audit("kaplan_meier_retention", km, {
+        # operator ids, not text positions: ids number leaves lowest,
+        # so the partial (map-side) aggregate below the first exchange
+        # has a smaller id — the scan(1)->HashAgg(2)->Exchange(3) chain
+        "corpus collapses map-side (partial agg below the exchange)":
+            lambda p: min(int(m) for m in re.findall(
+                r"\((\d+)\) HashAggregate", p))
+            < min(int(m) for m in re.findall(r"\((\d+)\) Exchange", p)),
+        "orders scan pruned to custkey+orderdate":
+            lambda p: "o_totalprice" not in p and "o_orderstatus"
+            not in p,
+        "term fold is JVM (no Python UDF)":
+            lambda p: "EvalPython" not in p,
+        "single-partition exchanges bounded (<=4: scalar max/total "
+        "aggs + the duration-bounded term window)":
+            lambda p: p.count("Exchange SinglePartition") <= 4,
+    })
+
+    # sla_business_days: per-order ship aggregate partial-combines on
+    # the co-keyed join; the weekday count is a JVM sequence/filter
+    sla = Q.q_sla_business_days(spark, SF_DIR)
+    failures += audit("sla_business_days", sla, {
+        "per-order ship agg partial-combines (>=2 HashAggregate)":
+            lambda p: len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2,
+        "equi join only (no cartesian / nested loop)":
+            lambda p: "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+        "lineitem scan pruned to orderkey+shipdate":
+            lambda p: not re.search(r"ReadSchema:.*l_extendedprice", p)
+            and not re.search(r"ReadSchema:.*l_quantity", p),
+        "business-day arithmetic is JVM (no Python UDF)":
+            lambda p: "EvalPython" not in p,
+    })
+
+    # two_sample_cvm / mann_whitney_auc: the whole statistic folds off
+    # the VALUE-bounded count aggregate (never a row-level rank
+    # table); cumsums run on the bucketed rank decomposition
+    for name, fn, max_single in [
+        # offsets window + min/max agg + n1/n2 totals + final agg
+        ("two_sample_cvm", Q.q_two_sample_cvm, 5),
+        # offsets window + min/max agg + totals + final agg
+        ("mann_whitney_auc", Q.q_mann_whitney_auc, 5),
+        # per-brand bucketed cumw: brand-keyed exchanges, no
+        # single-reducer stage beyond the bounded offset windows
+        ("weighted_median_price", Q.q_weighted_median_price, 3),
+    ]:
+        checks = bucketed_rank_checks(max_single)
+        checks["value-bounded aggregate below the rank machinery "
+               "(partial HashAggregate present)"] = (
+            lambda p: len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2)
+        failures += audit(name, fn(spark, SF_DIR), checks)
+
+    # dup_graph_kcore: the returned degree table reads the FINAL
+    # checkpointed frontier (ScanExistingRDD — plan depth bounded, the
+    # peel loop's joins never accumulate), one exchange for the degree
+    # aggregate. Constructing the df runs the peel loop (sf0.01: fast).
+    kc = Q.q_dup_graph_kcore(spark, SF_DIR)
+    failures += audit("dup_graph_kcore", kc, {
+        "final aggregate reads the checkpointed frontier "
+        "(ExistingRDD scan, not an accumulated join tree)":
+            lambda p: "ExistingRDD" in p,
+        "exactly one exchange (the degree aggregate)":
+            lambda p: _n_nodes(p, "Exchange") == 1,
+        "partial aggregation below the exchange":
+            lambda p: p.index("HashAggregate") < p.index("Exchange"),
+    })
+
+    # region_hhi_concentration: snowflake broadcast chain
+    # (nation+region build sides), window over the nation-bounded
+    # share table
+    hhi = Q.q_region_hhi_concentration(spark, SF_DIR)
+    failures += audit("region_hhi_concentration", hhi, {
+        "nation+region dims broadcast (>=2 BroadcastExchange)":
+            lambda p: len(re.findall(r"BroadcastExchange", p)) >= 2,
+        "corpus collapses map-side (partial agg below the exchange)":
+            lambda p: p.index("HashAggregate") < p.index("Exchange"),
+        "share window runs over the nation-bounded aggregate":
+            lambda p: re.search(r"\(\d+\) Window\b", p) is not None,
+        "no cartesian / nested-loop join":
+            lambda p: "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+    })
+
+    # embedding_drift_report: posexplode -> ONE dim-bounded
+    # map-side-combined aggregate; nothing else shuffles
+    edr = Q.q_embedding_drift_report(spark, SF_DIR)
+    failures += audit("embedding_drift_report", edr, {
+        "exactly one exchange (the dim-keyed aggregate)":
+            lambda p: _n_nodes(p, "Exchange") == 1,
+        "partial aggregation below the exchange (map-side combine)":
+            lambda p: p.index("HashAggregate") < p.index("Exchange"),
+        "posexplode is a Generate (JVM)": lambda p: "Generate" in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    # dup_pair_evidence: the exploded shingle table is PRUNED to docs
+    # named in verified pairs BEFORE the gram join — the doc_id prune
+    # join must sit below (smaller operator id than) the g-keyed pair
+    # join, so evidence costs pairs x set size, never a corpus
+    # self-join
+    dpe = Q.q_dup_pair_evidence(spark, SF_DIR)
+
+    def _prune_below_gram_join(p: str) -> bool:
+        joins = re.findall(
+            r"\((\d+)\) (?:SortMergeJoin|BroadcastHashJoin|"
+            r"ShuffledHashJoin)[^\n]*\nLeft keys \[\d+\]: "
+            r"\[([^\]]*)\]", p)
+        gram = [int(i) for i, keys in joins if "g#" in keys
+                or "g_b#" in keys]
+        prune = [int(i) for i, keys in joins if "doc_id#" in keys]
+        return bool(gram) and bool(prune) and min(prune) < min(gram)
+    failures += audit("dup_pair_evidence", dpe, {
+        "doc_id prune joins below the gram join (ids-first rejoin)":
+            _prune_below_gram_join,
+        "no cartesian / nested-loop join":
+            lambda p: "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+        "vectorized ArrowEvalPython only (the cached minhash scan; "
+        "no row-at-a-time BatchEval)":
+            lambda p: "BatchEvalPython" not in p,
+    })
+
+    # 53. round-5: the new TPC-H five — pushdown / broadcast / one-pass
+    #     conditional-aggregate shapes
+    q12 = Q.q_tpch_q12_priority_by_flag(spark, SF_DIR)
+    failures += audit("tpch_q12_priority_by_flag", q12, {
+        "ONE conditional-aggregate pass (no Union of filtered scans)":
+            lambda p: "Union" not in p,
+        "partial aggregation before the group exchange":
+            lambda p: p.index("HashAggregate") < p.index("Exchange"),
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    q14 = Q.q_tpch_q14_promo_revenue(spark, SF_DIR)
+    failures += audit("tpch_q14_promo_revenue", q14, {
+        "part dimension broadcasts": r"BroadcastHashJoin",
+        "numerator+denominator in ONE pass (no Union)":
+            lambda p: "Union" not in p,
+        "lineitem scan pruned (quantity/tax never read)":
+            lambda p: "l_quantity" not in p and "l_tax" not in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    q16 = Q.q_tpch_q16_part_supplier_counts(spark, SF_DIR)
+    failures += audit("tpch_q16_part_supplier_counts", q16, {
+        "complaint exclusion is a broadcast ANTI join":
+            lambda p: "LeftAnti" in p,
+        "brand exclusion pushed into the part scan":
+            lambda p: re.search(
+                r"PushedFilters: \[[^\]]*p_brand", p) is not None,
+        "acctbal filter pushed into the supplier scan":
+            lambda p: re.search(
+                r"PushedFilters: \[[^\]]*s_acctbal", p) is not None,
+        "pair relation dedups map-side (partial distinct agg)":
+            lambda p: len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2,
+        "no cartesian / nested-loop join":
+            lambda p: "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+    })
+
+    q19 = Q.q_tpch_q19_disjunctive_revenue(spark, SF_DIR)
+    failures += audit("tpch_q19_disjunctive_revenue", q19, {
+        "part dimension broadcasts": r"BroadcastHashJoin",
+        "OR evaluates in ONE pass (no Union of three scans)":
+            lambda p: "Union" not in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    q22 = Q.q_tpch_q22_idle_rich_customers(spark, SF_DIR)
+    failures += audit("tpch_q22_idle_rich_customers", q22, {
+        "global average is ONE broadcast scalar (<=1 BNLJ)":
+            lambda p: _n_nodes(p, "BroadcastNestedLoopJoin") <= 1,
+        "no-URGENT-orders is an ANTI join": lambda p: "LeftAnti" in p,
+        "URGENT filter pushed into the orders scan":
+            lambda p: re.search(
+                r"PushedFilters: \[[^\]]*o_orderpriority", p)
+            is not None,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")
