@@ -144,8 +144,23 @@ def candidate_pairs(df: DataFrame, cfg: DedupConfig, id_col: str,
     """
     ex = explode_bands(df, id_col, bands_col)
     min_nb = max(getattr(cfg, "min_band_matches", 1), 1)
+    return window_pair_candidates(ex, cfg.max_bucket_size, min_nb)
 
-    if cfg.max_bucket_size > 0:
+
+def window_pair_candidates(ex: DataFrame, max_bucket_size: int,
+                           min_band_matches: int = 1) -> DataFrame:
+    """The near-unique-keyspace (window) formulation over an already-
+    exploded ``(__id, band_key)`` table — the shared core of
+    ``candidate_pairs`` (MinHash 2^64 keys) and of any other banding
+    whose keyspace is too large for the sizes-JOIN shape (e.g.
+    hyperplane LSH at >= ~20 bits/band in operators/similarity.py,
+    where the occupied-key count approaches the row count and a
+    keyspace-sized build side stops being small). See the module
+    docstring for the two-shape doctrine; semantics are identical to
+    ``bucketed_pair_events`` + the caller-side prefilter."""
+    min_nb = max(min_band_matches, 1)
+
+    if max_bucket_size > 0:
         # ONE band exchange for everything. Bucket size and representative
         # come from an unbounded WINDOW (count/min over partition by
         # band_key) instead of a groupBy + join/broadcast: with
@@ -176,7 +191,7 @@ def candidate_pairs(df: DataFrame, cfg: DedupConfig, id_col: str,
         # count) drops the second aggregate column the (id_a, id_b)
         # dedup shuffle used to carry (~100 MB per 2M-image trial).
         # __rep is the bucket min, so id_a = __rep < __id always holds.
-        star = (sized.where((F.col("__n") > cfg.max_bucket_size)
+        star = (sized.where((F.col("__n") > max_bucket_size)
                             & (F.col("__id") != F.col("__rep")))
                 .select(F.col("__rep").alias("id_a"),
                         F.col("__id").alias("id_b"),
@@ -185,7 +200,7 @@ def candidate_pairs(df: DataFrame, cfg: DedupConfig, id_col: str,
         # max_bucket_size) + JVM higher-order pair expression — the
         # groupBy runs exchange-free on the window's co-partitioned,
         # already-sorted output
-        members = (sized.where(F.col("__n") <= cfg.max_bucket_size)
+        members = (sized.where(F.col("__n") <= max_bucket_size)
                    .groupBy("band_key")
                    .agg(F.array_sort(
                         F.collect_list(F.struct(F.col("__id"))))

@@ -20,6 +20,12 @@ from pyspark.sql.types import ArrayType, LongType
 
 from datasketches_rust_spark.hashing import murmur3_x64_128
 
+# bits-per-band at which hyperplane band keys stop being a "small
+# keyspace" (sizes-JOIN build side = num_bands * 2^w keys; at w >= 20
+# that is >= num_bands x 1M keys — data-sized, so candidate generation
+# switches to the MinHash window formulation; operators/lsh docstring)
+_WINDOW_FORM_BITS = 20
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -133,10 +139,18 @@ def _band_candidates(df: DataFrame, id_col: str, vec_col: str, dim: int,
     caller). Dedup + the >=min_band_matches prefilter happen in one
     groupBy on the id pair.
 
-    Hot-bucket guard: hyperplane band keys live in a SMALL keyspace
-    (2^(nbits/num_bands) x num_bands), so candidate generation routes
-    through operators/lsh.bucketed_pair_events — the single-exchange
-    small-keyspace shape — and buckets over ``max_bucket_size`` degrade
+    Hot-bucket guard, chosen by band-keyspace size (the operators/lsh
+    two-shape doctrine): at the default low-threshold parameters the
+    keys live in a SMALL keyspace (2^(nbits/num_bands) x num_bands)
+    and candidate generation routes through
+    operators/lsh.bucketed_pair_events — the single-exchange
+    small-keyspace shape whose sizes-JOIN build side is keyspace-sized.
+    At selective near-dup parameters (>= _WINDOW_FORM_BITS bits per
+    band) the occupied-key count approaches the row count, a
+    keyspace-sized build side stops being small, and candidate
+    generation routes through lsh.window_pair_candidates — the MinHash
+    window formulation (one reused band exchange, sizes from a window,
+    no join). Either way buckets over ``max_bucket_size`` degrade
     to star edges around their min-id member instead of O(size^2) pairs
     (a crawl-scale cluster of near-identical embeddings lands its whole
     population in the same bucket of EVERY band; the downstream exact
@@ -148,7 +162,12 @@ def _band_candidates(df: DataFrame, id_col: str, vec_col: str, dim: int,
     bands = hyperplane_bands_udf(dim, nbits, num_bands, seed)
     keyed = df.select(F.col(id_col).alias("__id"),
                       F.explode(bands(F.col(vec_col))).alias("band_key"))
-    if max_bucket_size > 0:
+    if max_bucket_size > 0 and nbits // num_bands >= _WINDOW_FORM_BITS:
+        from datasketches_rust_spark.operators.lsh import \
+            window_pair_candidates
+        pairs = window_pair_candidates(keyed, max_bucket_size,
+                                       min_band_matches)
+    elif max_bucket_size > 0:
         from datasketches_rust_spark.operators.lsh import \
             bucketed_pair_events
         ev = bucketed_pair_events(keyed, max_bucket_size)
