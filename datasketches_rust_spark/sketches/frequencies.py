@@ -35,6 +35,13 @@ class FrequentItemsSketch:
     counts: dict = field(default_factory=dict)
     offset: int = 0
     total_weight: int = 0
+    # monotone map-size high-water mark (frequencies/sketch.rs
+    # maybe_resize_or_purge: the internal map DOUBLES while below
+    # lg_max and never shrinks on purge — so a purged sketch still
+    # serializes the GROWN lg_cur, r5 golden finding). 0 = "derive
+    # from the current active count" for states built directly from a
+    # counts dict; update paths and deserialize maintain it.
+    lg_cur: int = 0
 
     def __post_init__(self) -> None:
         if self.max_map_size & (self.max_map_size - 1):
@@ -55,6 +62,13 @@ class FrequentItemsSketch:
         return self.update_counts([item], [weight])
 
     def _maybe_purge(self) -> None:
+        # grow the high-water mark first (resize precedes purge in the
+        # reference; the map only purges once it is at max size)
+        while (len(self.counts) > _LOAD * (1 << max(self.lg_cur,
+                                                    self._LG_MIN))
+               and (1 << max(self.lg_cur, self._LG_MIN))
+               < self.max_map_size):
+            self.lg_cur = max(self.lg_cur, self._LG_MIN) + 1
         limit = int(_LOAD * self.max_map_size)
         while len(self.counts) > limit:
             med = int(np.median(np.fromiter(self.counts.values(),
@@ -94,7 +108,8 @@ class FrequentItemsSketch:
             raise serde.SketchDecodeError("incompatible freq-items configs")
         out = FrequentItemsSketch(self.max_map_size, dict(self.counts),
                                   self.offset + other.offset,
-                                  self.total_weight + other.total_weight)
+                                  self.total_weight + other.total_weight,
+                                  lg_cur=self.lg_cur)
         for item, c in other.counts.items():
             out.counts[item] = out.counts.get(item, 0) + c
         out._maybe_purge()
@@ -135,7 +150,9 @@ class FrequentItemsSketch:
         while (len(self.counts) > _LOAD * (1 << lg_cur)
                and lg_cur < lg_max):
             lg_cur += 1
-        return lg_max, lg_cur
+        # the tracked high-water mark floors the derived value: a
+        # purged map stays at its grown size (reference parity)
+        return lg_max, min(max(lg_cur, self.lg_cur), lg_max)
 
     def serialize(self) -> bytes:
         import struct
@@ -242,4 +259,5 @@ class FrequentItemsSketch:
         if len(set(items)) != len(items):
             raise serde.SketchDecodeError("duplicate items in payload")
         counts = dict(zip(items, (int(v) for v in values)))
-        return cls(1 << max(lg_max, cls._LG_MIN), counts, offset, int(tw))
+        return cls(1 << max(lg_max, cls._LG_MIN), counts, offset, int(tw),
+                   lg_cur=lg_cur)
