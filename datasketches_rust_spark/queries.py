@@ -9897,6 +9897,235 @@ ORACLE_SQL["dup_pair_evidence"] = _SHINGLE_PAIRS_CTE + """
     WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.8"""
 
 
+# --- round-5 additions: EWMA / forecast backtest / source overlap /
+#     readability ------------------------------------------------------------
+
+EWMA_ALPHA = 0.2
+
+
+def q_ewma_daily_revenue(spark, sf_dir):
+    """EWMA CONTROL CHART over daily revenue (the exponentially-
+    weighted moving average next to LWMA's linear window and CUSUM's
+    drift accumulator: EWMA_t = alpha*x_t + (1-alpha)*EWMA_{t-1} — the
+    standard smoother whose state never forgets, unlike the bounded
+    frames). A cumulative float recurrence over a window is NOT
+    cross-engine-reproducible, so the fold runs LEFT-ASSOCIATIVE per
+    row over the day-ordered term array (the kaplan_meier discipline:
+    F.aggregate over a slice; the oracle replays the identical IEEE
+    sequence in a recursive CTE — both engines evaluate literally
+    0.2*x + 0.8*acc in that order). The day table is calendar-bounded
+    (~2.4k rows), so the per-row slice-fold is bounded work and the
+    corpus collapses in ONE day aggregate first; cents stay integer,
+    the EWMA is the one float column."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum(cents).alias("cents")))
+    arr = daily.agg(F.array_sort(F.collect_list(
+        F.struct("day", "cents"))).alias("a"))
+    row = (daily.crossJoin(F.broadcast(arr))
+           .withColumn("idx", F.expr(
+               "array_position(transform(a, x -> x.day), day)")))
+    ewma = F.aggregate(
+        F.slice(F.col("a"), F.lit(2), (F.col("idx") - 1).cast("int")),
+        F.element_at(F.col("a"), 1)["cents"].cast("double"),
+        lambda acc, x: (F.lit(EWMA_ALPHA) * x["cents"].cast("double")
+                        + F.lit(1.0 - EWMA_ALPHA) * acc))
+    return row.select("day", "cents", ewma.alias("ewma"))
+
+
+def q_forecast_backtest_naive7(spark, sf_dir):
+    """FORECAST BACKTEST (seasonal-naive baseline — the MASE
+    denominator convention: before any model ships, measure what
+    "predict last week's value" already achieves). Per day with both
+    lag-7 and lag-1 history present, the absolute errors of the
+    seasonal-naive (x_{t-7}) and naive (x_{t-1}) forecasts in integer
+    cents; per month: evaluated days, both error sums, and the
+    MASE-like ratio err7/err1 as the one shared-expression float
+    (<1 = weekly seasonality is real signal). Shape: the corpus
+    collapses to the calendar-bounded day table ONCE; both lags are
+    self-joins of that bounded table (never a corpus window); month
+    rollup is a tiny aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum(cents).alias("cents")))
+    l7 = daily.select(F.date_add(F.col("day"), 7).alias("day"),
+                      F.col("cents").alias("c7"))
+    l1 = daily.select(F.date_add(F.col("day"), 1).alias("day"),
+                      F.col("cents").alias("c1"))
+    j = (daily.join(l7, "day").join(l1, "day")
+         .select(F.date_trunc("month", F.col("day")).cast("date")
+                 .alias("month"),
+                 F.abs(F.col("cents") - F.col("c7")).alias("e7"),
+                 F.abs(F.col("cents") - F.col("c1")).alias("e1")))
+    agg_ = (j.groupBy("month")
+            .agg(F.count("*").alias("n_days"),
+                 F.sum("e7").alias("err7_cents"),
+                 F.sum("e1").alias("err1_cents")))
+    return agg_.select(
+        "month", "n_days", "err7_cents", "err1_cents",
+        (F.col("err7_cents").cast("double")
+         / F.col("err1_cents").cast("double")).alias("mase_naive7"))
+
+
+def q_source_overlap_matrix(spark, sf_dir):
+    """DUP-PAIR PROVENANCE MATRIX (which SOURCES duplicate each other
+    — the crawl-curation readout that decides which feed to
+    deprioritize; cross_source_dup_pairs lists pairs, this is the
+    rollup a pipeline owner actually reads). Verified near-dup pairs
+    (the pipeline's LSH->exact-Jaccard machinery) joined to each
+    side's source, rolled up per UNORDERED source pair
+    (lexicographic min/max — (web, wiki) and (wiki, web) are one
+    cell): pair count plus the min (id_a, id_b) example pair for
+    drill-in. The source lookup is two id-keyed joins of the tiny
+    pair list against the 2-column (doc_id, source) projection —
+    the id-only/rejoin-once pattern; text never travels."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (dedup_pairs(docs, CFG, "doc_id", "text")
+             .select("id_a", "id_b"))
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"),
+                    F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"),
+                    F.col("source").alias("sb"))
+    j = (pairs.join(sa, "id_a").join(sb, "id_b")
+         .select("id_a", "id_b",
+                 F.least("sa", "sb").alias("source_a"),
+                 F.greatest("sa", "sb").alias("source_b")))
+    return (j.groupBy("source_a", "source_b")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.min(F.struct("id_a", "id_b")).alias("__ex"))
+            .select("source_a", "source_b", "n_pairs",
+                    F.col("__ex.id_a").alias("example_id_a"),
+                    F.col("__ex.id_b").alias("example_id_b")))
+
+
+def q_readability_by_source(spark, sf_dir):
+    """READABILITY SCORING per source (Flesch reading ease off exact
+    integer counts — the classic quality-cut axis next to
+    text_quality's length/punct ratios and bigram_logprob's LM score).
+    Per doc, three JVM regex counts: words ([a-z0-9]+ runs of the
+    lowercased text), sentence marks (./!/? — clamped to >= 1 so a
+    fragment is one sentence), and syllable proxies ([aeiouy]+ vowel
+    groups). Per source the INTEGER sums cross the exchange
+    (map-side combined, source-bounded output); the Flesch formula
+    206.835 - 1.015*(W/S) - 84.6*(Y/W) is evaluated once per source
+    row off the sums — the one shared-expression float. No Python
+    anywhere; the corpus never shuffles text."""
+    docs = _t(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    words = F.regexp_count(lt, F.lit("[a-z0-9]+"))
+    sents = F.greatest(F.regexp_count(lt, F.lit("[.!?]")), F.lit(1))
+    syll = F.regexp_count(lt, F.lit("[aeiouy]+"))
+    per = docs.select("source", words.alias("w"), sents.alias("s"),
+                      syll.alias("y"))
+    agg_ = (per.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("w").alias("words"),
+                 F.sum("s").alias("sentences"),
+                 F.sum("y").alias("syllables")))
+    wd = F.col("words").cast("double")
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (wd / F.col("sentences").cast("double"))
+              - F.lit(84.6) * (F.col("syllables").cast("double") / wd))
+    return agg_.select("source", "n_docs", "words", "sentences",
+                       "syllables", flesch.alias("flesch"))
+
+
+QUERIES["ewma_daily_revenue"] = _wrap_iso(q_ewma_daily_revenue)
+QUERIES["forecast_backtest_naive7"] = _wrap_iso(q_forecast_backtest_naive7)
+QUERIES["source_overlap_matrix"] = q_source_overlap_matrix
+QUERIES["readability_by_source"] = q_readability_by_source
+
+ORACLE_SQL["ewma_daily_revenue"] = f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    ord AS (
+      SELECT day, cents, row_number() OVER (ORDER BY day) AS rn
+      FROM daily),
+    -- sequential left-assoc EWMA fold: literally
+    -- {EWMA_ALPHA}*x + {1.0 - EWMA_ALPHA}*acc in that order, the
+    -- identical IEEE sequence the Spark F.aggregate fold runs
+    fold AS (
+      SELECT rn, day, cents, CAST(cents AS DOUBLE) AS ewma
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.rn, o.day, o.cents,
+             {EWMA_ALPHA} * CAST(o.cents AS DOUBLE)
+             + {1.0 - EWMA_ALPHA} * f.ewma
+      FROM fold f JOIN ord o ON o.rn = f.rn + 1)
+    SELECT day, cents, ewma FROM fold"""
+
+ORACLE_SQL["forecast_backtest_naive7"] = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    j AS (
+      SELECT CAST(date_trunc('month', d.day) AS DATE) AS month,
+             abs(d.cents - l7.cents) AS e7,
+             abs(d.cents - l1.cents) AS e1
+      FROM daily d
+      JOIN daily l7 ON l7.day = d.day - 7
+      JOIN daily l1 ON l1.day = d.day - 1)
+    SELECT month, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(e7) AS BIGINT) AS err7_cents,
+           CAST(sum(e1) AS BIGINT) AS err1_cents,
+           CAST(sum(e7) AS DOUBLE) / CAST(sum(e1) AS DOUBLE)
+             AS mase_naive7
+    FROM j GROUP BY 1"""
+
+ORACLE_SQL["source_overlap_matrix"] = _SHINGLE_PAIRS_CTE + """
+    , sp AS (
+      SELECT p.id_a, p.id_b,
+             least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM jpairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b)
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(struct_pack(a := id_a, b := id_b)).a AS BIGINT)
+             AS example_id_a,
+           CAST(min(struct_pack(a := id_a, b := id_b)).b AS BIGINT)
+             AS example_id_b
+    FROM sp GROUP BY 1, 2"""
+
+ORACLE_SQL["readability_by_source"] = """
+    WITH per AS (
+      SELECT source,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+             greatest(len(regexp_extract_all(lower(text), '[.!?]')),
+                      1) AS s,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+      FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS words,
+           CAST(sum(s) AS BIGINT) AS sentences,
+           CAST(sum(y) AS BIGINT) AS syllables,
+           206.835
+           - 1.015 * (CAST(sum(w) AS DOUBLE)
+                      / CAST(sum(s) AS DOUBLE))
+           - 84.6 * (CAST(sum(y) AS DOUBLE)
+                     / CAST(sum(w) AS DOUBLE)) AS flesch
+    FROM per GROUP BY 1"""
+
+# dtype discipline (driver gate): DATE columns serialize to ISO
+# strings at the registry boundary on the Spark side; coerce the
+# oracle to the same VARCHAR form
+_GATE_ORACLE_REPLACE_R5 = {
+    "ewma_daily_revenue": "CAST(day AS VARCHAR) AS day",
+    "forecast_backtest_naive7": "CAST(month AS VARCHAR) AS month",
+}
+for _n, _repl in _GATE_ORACLE_REPLACE_R5.items():
+    ORACLE_SQL[_n] = (f"SELECT * REPLACE ({_repl})\n"
+                      f"FROM (\n{ORACLE_SQL[_n]}\n) _gate")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window reorder (runs LAST — after every registration above)
 # ---------------------------------------------------------------------------
