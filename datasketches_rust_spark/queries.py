@@ -9816,6 +9816,19 @@ def q_dup_pair_evidence(spark, sf_dir):
     semi-joins prune the exploded table — the id-only/rejoin-once
     pattern), so evidence costs pairs x shingle-set size, never a
     corpus self-join."""
+    den = F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    return _pair_evidence_table(spark, sf_dir).select(
+        "id_a", "id_b", "n_shared", "n_a", "n_b",
+        den.alias("union_size"),
+        (F.col("n_shared").cast("double") / den.cast("double"))
+        .alias("jaccard"))
+
+
+def _pair_evidence_table(spark, sf_dir):
+    """[id_a, id_b, n_shared, n_a, n_b] — exact-integer shingle
+    evidence for the pipeline's verified pairs, shingles rejoined ONLY
+    for docs named in pairs (the two-semi-join prune; shared by
+    dup_pair_evidence and dedup_threshold_sensitivity)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = (dedup_pairs(docs, CFG, "doc_id", "text")
              .select("id_a", "id_b"))
@@ -9842,13 +9855,7 @@ def q_dup_pair_evidence(spark, sf_dir):
                       F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("id_b"),
                       F.col("n").alias("n_b"))
-    ev = (shared.join(na, "id_a").join(nb, "id_b"))
-    den = F.col("n_a") + F.col("n_b") - F.col("n_shared")
-    return ev.select(
-        "id_a", "id_b", "n_shared", "n_a", "n_b",
-        den.alias("union_size"),
-        (F.col("n_shared").cast("double") / den.cast("double"))
-        .alias("jaccard"))
+    return shared.join(na, "id_a").join(nb, "id_b")
 
 
 QUERIES["embedding_drift_report"] = q_embedding_drift_report
@@ -10124,6 +10131,88 @@ _GATE_ORACLE_REPLACE_R5 = {
 for _n, _repl in _GATE_ORACLE_REPLACE_R5.items():
     ORACLE_SQL[_n] = (f"SELECT * REPLACE ({_repl})\n"
                       f"FROM (\n{ORACLE_SQL[_n]}\n) _gate")
+
+
+def q_dedup_threshold_sensitivity(spark, sf_dir):
+    """DEDUP THRESHOLD SENSITIVITY (how many pairs each Jaccard band
+    above the shipped 0.8 threshold contributes — the tuning readout
+    that answers "what happens to dup volume if we move the cut" before
+    anyone re-runs the pipeline). Buckets are INTEGER-EXACT: bucket =
+    (20 * n_shared) div union_size off the pair-evidence integers
+    (bucket 16 = [0.80, 0.85), ..., 20 = exactly 1.0) — a float
+    jaccard*20 floor can land differently at exact boundaries
+    (the floor-before-cast discipline). Per bucket: pair count plus
+    the exact integer min/max numerators for audit. Evidence costs
+    pairs x shingle-set size via the shared prune
+    (_pair_evidence_table), never a corpus self-join."""
+    ev = _pair_evidence_table(spark, sf_dir)
+    u = F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    bucket = F.expr("20 * n_shared div (n_a + n_b - n_shared)")
+    return (ev.select(bucket.alias("jaccard_bucket"),
+                      F.col("n_shared"), u.alias("u"))
+            .groupBy("jaccard_bucket")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.min("n_shared").alias("min_shared"),
+                 F.max("u").alias("max_union")))
+
+
+def q_shingle_df_histogram(spark, sf_dir):
+    """SHINGLE DOCUMENT-FREQUENCY HISTOGRAM (corpus repetitiveness
+    profile: how many distinct 5-grams occur in 1 doc, 2-3, 4-7, ...
+    — the readout that predicts LSH bucket skew and chunk-dedup yield
+    before running either). Bin = floor(log2(df)) via BIT LENGTH
+    (length(bin(df)) - 1 — float logs misland at exact powers of two,
+    CLAUDE.md), so every number is integer-exact. Scale shape: the
+    exploded distinct (doc, gram) table collapses in ONE map-side-
+    combined groupBy(g) — the same exchange class the n-gram dedup
+    queries ride — and the histogram is a <= 40-row rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = (docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(length(lower(text)) - 4,"
+            " 1)), i -> substring(lower(text), i, 5))")).alias("g"))
+        .distinct())
+    df_ = sh.groupBy("g").agg(F.count("*").alias("df"))
+    bin_ = (F.length(F.bin(F.col("df"))) - 1).alias("lg2_df")
+    return (df_.groupBy(bin_)
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum("df").alias("occurrences"),
+                 F.min("df").alias("min_df"),
+                 F.max("df").alias("max_df")))
+
+
+QUERIES["dedup_threshold_sensitivity"] = q_dedup_threshold_sensitivity
+QUERIES["shingle_df_histogram"] = q_shingle_df_histogram
+
+ORACLE_SQL["dedup_threshold_sensitivity"] = _SHINGLE_PAIRS_CTE + """
+    , ev AS (
+      SELECT i.c AS n_shared, sa.n + sb.n - i.c AS u
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.8)
+    SELECT CAST(20 * n_shared // u AS BIGINT) AS jaccard_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(n_shared) AS BIGINT) AS min_shared,
+           CAST(max(u) AS BIGINT) AS max_union
+    FROM ev GROUP BY 1"""
+
+ORACLE_SQL["shingle_df_histogram"] = """
+    WITH docs_ AS (SELECT doc_id, lower(text) AS t FROM documents),
+    sh_pos AS (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+      FROM docs_),
+    sh AS (SELECT DISTINCT doc_id, substring(t, i, 5) AS g
+           FROM sh_pos),
+    df_ AS (SELECT g, count(*) AS df FROM sh GROUP BY 1)
+    SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS lg2_df,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(df) AS BIGINT) AS occurrences,
+           CAST(min(df) AS BIGINT) AS min_df,
+           CAST(max(df) AS BIGINT) AS max_df
+    FROM df_ GROUP BY 1"""
 
 
 # ---------------------------------------------------------------------------

@@ -1296,6 +1296,82 @@ def main() -> None:
             lambda p: "EvalPython" not in p,
     })
 
+    # 54. round-5 additions: fold/backtest/provenance/readability +
+    #     the dedup tuning pair
+    ew = Q.q_ewma_daily_revenue(spark, SF_DIR)
+    failures += audit("ewma_daily_revenue", ew, {
+        "corpus collapses map-side (partial agg below the exchange)":
+            lambda p: min(int(m) for m in re.findall(
+                r"\((\d+)\) HashAggregate", p))
+            < min(int(m) for m in re.findall(r"\((\d+)\) Exchange", p)),
+        "term array broadcast back (1-row build side)":
+            lambda p: "BroadcastNestedLoopJoin" in p
+            or "BroadcastExchange" in p,
+        "fold is JVM (no Python UDF)":
+            lambda p: "EvalPython" not in p,
+    })
+
+    fb = Q.q_forecast_backtest_naive7(spark, SF_DIR)
+    failures += audit("forecast_backtest_naive7", fb, {
+        "lag joins run on the aggregated day table (no corpus "
+        "self-join: partial agg below every join by operator id)":
+            lambda p: min(int(m) for m in re.findall(
+                r"\((\d+)\) HashAggregate", p))
+            < min(int(m) for m in re.findall(
+                r"\((\d+)\) (?:SortMergeJoin|BroadcastHashJoin|"
+                r"ShuffledHashJoin)", p)),
+        "no cartesian / nested-loop join":
+            lambda p: "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    rb = Q.q_readability_by_source(spark, SF_DIR)
+    failures += audit("readability_by_source", rb, {
+        "exactly one exchange (the source rollup)":
+            lambda p: _n_nodes(p, "Exchange") == 1,
+        "partial aggregation below the exchange":
+            lambda p: min(int(m) for m in re.findall(
+                r"\((\d+)\) HashAggregate", p))
+            < min(int(m) for m in re.findall(r"\((\d+)\) Exchange", p)),
+        "regex counts are JVM (no Python UDF)":
+            lambda p: "EvalPython" not in p,
+        "text never shuffles (counts computed in the scan stage)":
+            lambda p: not re.search(
+                r"Exchange hashpartitioning\([^)]*text", p),
+    })
+
+    sh = Q.q_shingle_df_histogram(spark, SF_DIR)
+    failures += audit("shingle_df_histogram", sh, {
+        "gram df aggregate partial-combines (HashAggregate >= 2)":
+            lambda p: len(re.findall(r"\(\d+\) HashAggregate", p)) >= 4,
+        "no join anywhere (explode -> two aggregates)":
+            lambda p: "Join" not in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
+    so = Q.q_source_overlap_matrix(spark, SF_DIR)
+    failures += audit("source_overlap_matrix", so, {
+        "no cartesian / nested-loop join":
+            lambda p: "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+        "vectorized ArrowEvalPython only (the cached minhash scan)":
+            lambda p: "BatchEvalPython" not in p,
+    })
+
+    ts = Q.q_dedup_threshold_sensitivity(spark, SF_DIR)
+    failures += audit("dedup_threshold_sensitivity", ts, {
+        "doc_id prune joins below the gram join (shared evidence "
+        "prune)": _prune_below_gram_join,
+        "no cartesian / nested-loop join":
+            lambda p: "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+        "vectorized ArrowEvalPython only":
+            lambda p: "BatchEvalPython" not in p,
+    })
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")

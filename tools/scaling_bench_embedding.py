@@ -64,7 +64,7 @@ INPUT_DIR = os.environ.get("SPARK_GRAFT_SCALING_EMB_INPUT",
 LEVELS = (2, 8, 32)
 PAIRS = ((2, 8), (8, 32))
 PRIMARY_PAIR = (2, 8)
-WARM_TRIALS = 2
+WARM_TRIALS = 3
 DEFAULT_N = 500_000
 
 _SYNTH = r"""
