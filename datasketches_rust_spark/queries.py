@@ -10215,6 +10215,162 @@ ORACLE_SQL["shingle_df_histogram"] = """
     FROM df_ GROUP BY 1"""
 
 
+HOLT_ALPHA, HOLT_BETA = 0.3, 0.1
+
+
+def q_holt_linear_daily(spark, sf_dir):
+    """HOLT LINEAR (double exponential) SMOOTHING over daily revenue —
+    the level+trend state EWMA lacks (ewma_daily_revenue flattens
+    trends; Holt tracks them, and level+trend IS the one-step
+    forecast). TWO mutually recursive accumulators ride ONE
+    F.aggregate fold as a named-struct accumulator (the CUSUM
+    discipline):
+      l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1})
+      b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}
+    evaluated left-associatively over the day-ordered array; the
+    oracle replays the IDENTICAL expression shapes (l_t appears
+    twice in b_t — same IEEE value, duplicated expression) in a
+    recursive CTE. Day table calendar-bounded; cents integer; level/
+    trend/forecast the float columns."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum(cents).alias("cents")))
+    arr = daily.agg(F.array_sort(F.collect_list(
+        F.struct("day", "cents"))).alias("a"))
+    row = (daily.crossJoin(F.broadcast(arr))
+           .withColumn("idx", F.expr(
+               "array_position(transform(a, x -> x.day), day)")))
+    a_, g_ = F.lit(HOLT_ALPHA), F.lit(HOLT_BETA)
+
+    def step(acc, x):
+        xd = x["cents"].cast("double")
+        new_l = a_ * xd + (F.lit(1.0) - a_) * (acc["l"] + acc["b"])
+        new_b = (g_ * ((a_ * xd + (F.lit(1.0) - a_)
+                        * (acc["l"] + acc["b"])) - acc["l"])
+                 + (F.lit(1.0) - g_) * acc["b"])
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    init = F.struct(
+        F.element_at(F.col("a"), 1)["cents"].cast("double").alias("l"),
+        F.lit(0.0).alias("b"))
+    st = F.aggregate(
+        F.slice(F.col("a"), F.lit(2), (F.col("idx") - 1).cast("int")),
+        init, step)
+    return row.select(
+        "day", "cents",
+        st["l"].alias("level"), st["b"].alias("trend"),
+        (st["l"] + st["b"]).alias("forecast_next"))
+
+
+AUTOCORR_LAGS = (1, 7, 28)
+
+
+def q_revenue_autocorr(spark, sf_dir):
+    """REVENUE AUTOCORRELATION at lags 1/7/28 days (the seasonality
+    detector that says WHETHER forecast_backtest_naive7's weekly
+    forecast should work, before it runs): exact-INTEGER-moment
+    Pearson (the lineitem_corr_matrix discipline — summands cast to
+    decimal(19,0) so products widen to decimal(38,0) and never wrap;
+    only the final correlation expression leaves integer space, so
+    both engines hash the identical double). Shape: the corpus
+    collapses to the calendar-bounded day table once; each lag is an
+    equi-join of that bounded table against its shifted self; output
+    is one row per lag."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum(cents).alias("cents")))
+    lags = spark.createDataFrame([(l,) for l in AUTOCORR_LAGS],
+                                 "lag int")
+    a = (daily.crossJoin(F.broadcast(lags))
+         .select("lag", F.col("day"), F.col("cents").alias("x")))
+    b = daily.select(F.col("day").alias("bday"),
+                     F.col("cents").alias("y"))
+    d19 = "decimal(19,0)"
+    j = (a.join(b, F.expr("bday = day - lag"))
+         .groupBy("lag")
+         .agg(F.count("*").alias("n"),
+              F.sum(F.col("x").cast(d19)).alias("sx"),
+              F.sum(F.col("y").cast(d19)).alias("sy"),
+              F.sum(F.col("x").cast(d19) * F.col("x").cast(d19))
+              .alias("sxx"),
+              F.sum(F.col("y").cast(d19) * F.col("y").cast(d19))
+              .alias("syy"),
+              F.sum(F.col("x").cast(d19) * F.col("y").cast(d19))
+              .alias("sxy")))
+    d38 = "decimal(38,0)"
+    n = F.col("n").cast(d38)
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 .cast("double")
+                 * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+                 .cast("double"))
+    return j.select("lag", "n",
+                    (num / den).alias("autocorr"))
+
+
+QUERIES["holt_linear_daily"] = _wrap_iso(q_holt_linear_daily)
+QUERIES["revenue_autocorr"] = q_revenue_autocorr
+
+ORACLE_SQL["holt_linear_daily"] = f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    ord AS (
+      SELECT day, cents, row_number() OVER (ORDER BY day) AS rn
+      FROM daily),
+    fold AS (
+      SELECT rn, day, cents, CAST(cents AS DOUBLE) AS l,
+             CAST(0.0 AS DOUBLE) AS b
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.rn, o.day, o.cents,
+             {HOLT_ALPHA} * CAST(o.cents AS DOUBLE)
+               + {1.0 - HOLT_ALPHA} * (f.l + f.b),
+             {HOLT_BETA} * (({HOLT_ALPHA} * CAST(o.cents AS DOUBLE)
+               + {1.0 - HOLT_ALPHA} * (f.l + f.b)) - f.l)
+               + {1.0 - HOLT_BETA} * f.b
+      FROM fold f JOIN ord o ON o.rn = f.rn + 1)
+    SELECT day, cents, l AS level, b AS trend,
+           l + b AS forecast_next
+    FROM fold"""
+
+ORACLE_SQL["revenue_autocorr"] = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    m AS (
+      SELECT l.lag, count(*) AS n,
+             sum(CAST(a.cents AS DECIMAL(19,0))) AS sx,
+             sum(CAST(b.cents AS DECIMAL(19,0))) AS sy,
+             sum(CAST(a.cents AS DECIMAL(19,0))
+                 * CAST(a.cents AS DECIMAL(19,0))) AS sxx,
+             sum(CAST(b.cents AS DECIMAL(19,0))
+                 * CAST(b.cents AS DECIMAL(19,0))) AS syy,
+             sum(CAST(a.cents AS DECIMAL(19,0))
+                 * CAST(b.cents AS DECIMAL(19,0))) AS sxy
+      FROM daily a
+      JOIN (VALUES (1), (7), (28)) l(lag) ON TRUE
+      JOIN daily b ON b.day = a.day - l.lag
+      GROUP BY 1)
+    SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n,
+           CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+           / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+                       AS DOUBLE)
+                  * CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
+                         AS DOUBLE)) AS autocorr
+    FROM m"""
+
+ORACLE_SQL["holt_linear_daily"] = (
+    "SELECT * REPLACE (CAST(day AS VARCHAR) AS day)\n"
+    f"FROM (\n{ORACLE_SQL['holt_linear_daily']}\n) _gate")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window reorder (runs LAST — after every registration above)
 # ---------------------------------------------------------------------------
