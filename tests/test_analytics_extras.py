@@ -208,3 +208,61 @@ def test_clamped_balance_fold(spark, tmp_path):
            for r in q_user_balance_clamped(spark, str(tmp_path))
            .collect()}
     assert got == {1: (5, 50, 1), 2: (2, 400, 1), 3: (2, 100, 1)}
+
+
+def _orders(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+
+def test_holt_linear_constant_and_trend(spark, tmp_path):
+    """Holt semantics on crafted series (r5): a CONSTANT series keeps
+    level == x and trend == 0 exactly (0.1*(l-l_prev)=0 at every
+    step); a LINEAR ramp's trend converges toward the slope and the
+    one-step forecast is level + trend."""
+    from datasketches_rust_spark.queries import q_holt_linear_daily
+    rows = [(i, 1, "O", 100.0, dt.datetime(2024, 1, 1 + i), "1-URGENT")
+            for i in range(10)]
+    _orders(spark, tmp_path, rows)
+    got = {r["day"]: r for r in
+           q_holt_linear_daily(spark, str(tmp_path)).collect()}
+    for r in got.values():
+        assert abs(r.level - 10000.0) < 1e-9
+        assert abs(r.trend) < 1e-9
+        assert abs(r.forecast_next - 10000.0) < 1e-9
+
+    # linear ramp: 100, 200, ... -> slope 100/day = 10000 cents
+    rows = [(i, 1, "O", 100.0 * (i + 1),
+             dt.datetime(2024, 2, 1) + dt.timedelta(days=i),
+             "1-URGENT") for i in range(25)]
+    import shutil
+    shutil.rmtree(tmp_path / "orders.parquet")
+    _orders(spark, tmp_path, rows)
+    out = sorted(q_holt_linear_daily(spark, str(tmp_path)).collect(),
+                 key=lambda r: r["day"])
+    last = out[-1]
+    # trend approaches the slope from below; after 25 steps it is
+    # well inside (0, slope]
+    assert 0.5 * 10000 < last.trend <= 10000 + 1e-6
+    assert abs(last.forecast_next - (last.level + last.trend)) < 1e-9
+
+
+def test_revenue_autocorr_perfect_weekly(spark, tmp_path):
+    """A strictly 7-periodic series has lag-7 autocorrelation exactly
+    1.0 and (for this alternating fixture) negative lag-1
+    correlation; the decimal-moment formula must land 1.0 within
+    float epsilon, not approximately."""
+    from datasketches_rust_spark.queries import q_revenue_autocorr
+    week = [100.0, 900.0, 100.0, 900.0, 100.0, 900.0, 500.0]
+    rows = [(i, 1, "O", week[i % 7],
+             dt.datetime(2024, 1, 1) + dt.timedelta(days=i),
+             "1-URGENT") for i in range(70)]
+    _orders(spark, tmp_path, rows)
+    got = {r.lag: r for r in
+           q_revenue_autocorr(spark, str(tmp_path)).collect()}
+    assert got[7].n == 63
+    assert abs(got[7].autocorr - 1.0) < 1e-12
+    assert got[1].autocorr < 0  # alternating neighbors anti-correlate

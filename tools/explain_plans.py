@@ -1372,6 +1372,33 @@ def main() -> None:
             lambda p: "BatchEvalPython" not in p,
     })
 
+    # 55. round-5 late additions: Holt double fold + autocorrelation
+    hl = Q.q_holt_linear_daily(spark, SF_DIR)
+    failures += audit("holt_linear_daily", hl, {
+        "corpus collapses map-side (partial agg below the exchange)":
+            lambda p: min(int(m) for m in re.findall(
+                r"\((\d+)\) HashAggregate", p))
+            < min(int(m) for m in re.findall(r"\((\d+)\) Exchange", p)),
+        "struct-accumulator fold is JVM (no Python UDF)":
+            lambda p: "EvalPython" not in p,
+    })
+
+    ac = Q.q_revenue_autocorr(spark, SF_DIR)
+    failures += audit("revenue_autocorr", ac, {
+        "lag joins run on the aggregated day table (partial agg "
+        "below every join by operator id)":
+            lambda p: min(int(m) for m in re.findall(
+                r"\((\d+)\) HashAggregate", p))
+            < min(int(m) for m in re.findall(
+                r"\((\d+)\) (?:SortMergeJoin|BroadcastHashJoin|"
+                r"ShuffledHashJoin)", p)),
+        "lags dimension broadcasts":
+            lambda p: "BroadcastExchange" in p
+            or "BroadcastNestedLoopJoin" in p,
+        "no Python UDF in the plan":
+            lambda p: "EvalPython" not in p,
+    })
+
     print(f"\n{'=' * 70}")
     if failures:
         print(f"{len(failures)} PLAN PROBLEMS:")
