@@ -266,3 +266,32 @@ def test_revenue_autocorr_perfect_weekly(spark, tmp_path):
     assert got[7].n == 63
     assert abs(got[7].autocorr - 1.0) < 1e-12
     assert got[1].autocorr < 0  # alternating neighbors anti-correlate
+
+
+def test_threshold_sensitivity_exact_dup_bucket(spark, tmp_path):
+    """Integer Jaccard banding edge (r5): an EXACT duplicate pair
+    (jaccard 1.0) lands in bucket 20 — 20*n div n — not 19 (a float
+    jaccard*20 floor can land 19 at representation boundaries; the
+    integer form cannot). A near-dup pair in [0.80, 0.85) lands in
+    bucket 16."""
+    from datasketches_rust_spark.queries import (
+        q_dedup_threshold_sensitivity)
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again while the band plays on " * 4)
+    # docs 1/2: exact dups; docs 3/4: one long shared prefix + a
+    # distinct tail (high-but-below-1.0 jaccard)
+    tail = " completely different ending segment follows here now"
+    rows = [(1, base, "a", len(base), "en"),
+            (2, base, "b", len(base), "en"),
+            (3, base + tail, "a", len(base + tail), "en"),
+            (4, base + tail + " x", "b", len(base + tail) + 2, "en")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, "
+              "n_chars long, lang string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.jaccard_bucket: r for r in
+           q_dedup_threshold_sensitivity(spark, str(tmp_path))
+           .collect()}
+    assert 20 in got and got[20].n_pairs >= 1
+    # every bucket is within the >=0.8 pipeline floor
+    assert all(16 <= b <= 20 for b in got)
