@@ -10371,6 +10371,54 @@ ORACLE_SQL["holt_linear_daily"] = (
     f"FROM (\n{ORACLE_SQL['holt_linear_daily']}\n) _gate")
 
 
+def q_event_dispersion_by_type(spark, sf_dir):
+    """DISPERSION (Fano) INDEX per event type — burstiness: is an
+    event spread evenly across users (index < 1, under-dispersed) or
+    concentrated in hot users (index > 1, the bot/power-user signal
+    next to join_key_skew_report's key histogram)? Per type, the
+    per-user count distribution's variance/mean off EXACT integer
+    moments (n users, sum c, sum c^2 — counts are small integers, the
+    long sums cannot wrap at any corpus size that fits a long row
+    count); the index and mean are the shared-expression floats.
+    Population variance convention (/n). Shape: two map-side-combined
+    aggregates — (type, user) then type — nothing else."""
+    ev = _t(spark, sf_dir, "events")
+    per_u = (ev.groupBy("event_type", "user_id")
+             .agg(F.count("*").alias("c")))
+    agg_ = (per_u.groupBy("event_type")
+            .agg(F.count("*").alias("n_users"),
+                 F.sum("c").alias("n_events"),
+                 F.sum(F.col("c") * F.col("c")).alias("sum_c2")))
+    n = F.col("n_users").cast("double")
+    mean = F.col("n_events").cast("double") / n
+    var = F.col("sum_c2").cast("double") / n - mean * mean
+    return agg_.select("event_type", "n_users", "n_events", "sum_c2",
+                       mean.alias("mean_per_user"),
+                       (var / mean).alias("fano_index"))
+
+
+QUERIES["event_dispersion_by_type"] = q_event_dispersion_by_type
+
+ORACLE_SQL["event_dispersion_by_type"] = """
+    WITH per_u AS (
+      SELECT event_type, user_id, count(*) AS c
+      FROM events GROUP BY 1, 2),
+    agg_ AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(sum(c * c) AS BIGINT) AS sum_c2
+      FROM per_u GROUP BY 1)
+    SELECT event_type, n_users, n_events, sum_c2,
+           CAST(n_events AS DOUBLE) / CAST(n_users AS DOUBLE)
+             AS mean_per_user,
+           (CAST(sum_c2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+            - (CAST(n_events AS DOUBLE) / CAST(n_users AS DOUBLE))
+              * (CAST(n_events AS DOUBLE) / CAST(n_users AS DOUBLE)))
+           / (CAST(n_events AS DOUBLE) / CAST(n_users AS DOUBLE))
+             AS fano_index
+    FROM agg_"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-window reorder (runs LAST — after every registration above)
 # ---------------------------------------------------------------------------
